@@ -1,0 +1,99 @@
+"""Indicator fold expressions — the reference's one aggregate, generalized.
+
+Reference parity (SURVEY.md S1-S5):
+  * alpha = 2 / (period_minutes*60 + 1)    (indicators.rs:17, main.rs:111)
+  * zero-seeded, per-window fold: current = alpha*x + (1-alpha)*current,
+    starting from 0.0, state never crosses windows (indicators.rs:19-26,
+    main.rs:113-116)
+  * windows whose EWMA <= 0 emit nothing (main.rs:118)
+  * fold order: reference uses Kafka arrival order (nondeterministic);
+    we define it over ascending (order_cols) — documented divergence S5.
+
+Everything here is a pure Catalyst expression (higher-order functions) —
+no UDFs, so the fold stays inside whole-stage codegen and the groupBy is
+a normal partial+final shuffle aggregate that scales to 100 TB: state per
+group is one array of projected values, built map-side via collect_list.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ewma_alpha(period_minutes: int) -> float:
+    """alpha = 2/(n+1) with n = period_minutes*60 (indicators.rs:17)."""
+    return 2.0 / (period_minutes * 60 + 1)
+
+
+def ewma_fold(values: Column, alpha: float, seed: float = 0.0) -> Column:
+    """Fold an array<double> in element order: a*x + (1-a)*acc, seed 0.0."""
+    a = float(alpha)
+    return F.aggregate(
+        values,
+        F.lit(float(seed)),
+        lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+    )
+
+
+def ordered_values(
+    value: Column | str, order_cols: Sequence[Column | str]
+) -> Column:
+    """Aggregate expression: values of `value` sorted by `order_cols`.
+
+    collect_list(struct(order..., value)) -> array_sort -> project value.
+    array_sort on structs orders lexicographically by field position, which
+    is exactly the (timestamp, seq) ordering S5 requires. Deterministic
+    regardless of partitioning — safe under shuffles.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    v = F.col(value) if isinstance(value, str) else value
+    fields = [c.alias(f"o{i}") for i, c in enumerate(cols)] + [v.alias("v")]
+    return F.transform(
+        F.array_sort(F.collect_list(F.struct(*fields))), lambda s: s["v"]
+    )
+
+
+def sma_fold(values: Column) -> Column:
+    """Simple moving average of an array<double> (companion indicator)."""
+    n = F.size(values)
+    return F.when(n > 0, F.aggregate(values, F.lit(0.0), lambda a, x: a + x) / n)
+
+
+def windowed_ewma(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    group_cols: Sequence[str] = (),
+    period_minutes: int = 5,
+    emit_positive_only: bool = True,
+) -> DataFrame:
+    """The reference pipeline's aggregation, batch/event-time form (R7+R8+R9).
+
+    Tumbling `period_minutes` windows on event time; per window (and
+    optional extra group columns) the zero-seeded EWMA fold in
+    (order_cols) order; windows with ewma<=0 suppressed (S4).
+
+    Output: group_cols..., window_start/window_end (epoch seconds, BIGINT —
+    cross-engine-stable), n_rows, ewma.
+    """
+    alpha = ewma_alpha(period_minutes)
+    secs = period_minutes * 60
+    wstart = (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs).cast("long")
+    out = (
+        df.withColumn("window_start", wstart)
+        .groupBy(*group_cols, "window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            ewma_fold(ordered_values(value_col, list(order_cols)), alpha).alias(
+                "ewma"
+            ),
+        )
+        .withColumn("window_end", (F.col("window_start") + secs).cast("long"))
+    )
+    if emit_positive_only:
+        out = out.filter(F.col("ewma") > 0.0)
+    return out

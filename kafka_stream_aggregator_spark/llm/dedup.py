@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash.
+
+All pure DataFrame compositions (xxhash64 is JVM-side and seedable via
+extra literal columns) — no python in the hot path, every stage is a
+keyed shuffle, so the same code runs at 100 TB:
+
+  exact:   hash-groupBy, one shuffle on the content hash
+  minhash: shingle-explode -> 1 shuffle (groupBy doc) for signatures ->
+           band-explode -> 1 shuffle (groupBy band bucket) -> pair join
+           restricted to same-bucket docs (never all-pairs)
+  simhash: token-explode -> bitwise majority agg -> 16-bit band blocking
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _shingles(text_col, shingle_len: int):
+    """Distinct word n-gram shingles of lower-cased text."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(toks)
+    return F.when(n >= shingle_len, F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - shingle_len + 1),
+            lambda i: F.array_join(F.slice(toks, i, shingle_len), " "),
+        )
+    )).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Keep the lowest-id row per distinct (optionally normalized) text.
+
+    Returns the input plus ``content_hash`` and ``is_canonical``.
+    """
+    txt = F.col(text_col)
+    if normalize:
+        txt = F.regexp_replace(F.lower(txt), r"\s+", " ")
+    h = F.md5(txt)
+    w_min = F.min(id_col).over(W.partitionBy("content_hash"))
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("is_canonical", F.col(id_col) == w_min)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>) — k independent min-hashes per doc.
+
+    One explode + one groupBy(id) with k min() aggregates (map-side
+    partial min keeps the shuffle tiny: k longs per doc).
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_shingles(F.col(text_col), shingle_len)).alias("__sh"),
+    )
+    mins = ex.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64("__sh", F.lit(k))).alias(f"h{k}")
+            for k in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        F.col("__id").alias(id_col),
+        F.array(*[f"h{k}" for k in range(n_hashes)]).alias("signature"),
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
+
+    Pairs sharing >=1 of `bands` band-buckets become candidates (only
+    same-bucket docs are ever joined); candidates are then verified with
+    exact shingle Jaccard. Output: (id_a, id_b, jaccard) with id_a < id_b
+    and jaccard >= threshold.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_len)
+    banded = sig.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("signature", b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        F.col("band"), F.col("bucket"), F.col("__id").alias("id_a")
+    )
+    b = banded.select(
+        F.col("band").alias("band_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("__id").alias("id_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a.band == b.band_b)
+            & (a.bucket == b.bucket_b)
+            & (a.id_a < b.id_b),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_shingles(F.col(text_col), shingle_len)).alias("__sh"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sh.select(F.col("__id").alias("rid_b"), F.col("__sh").alias("sh_b"))
+    inter = (
+        cand.join(sh_a, "id_a")
+        .join(
+            sh_b,
+            (F.col("id_b") == F.col("rid_b")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"__id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"__id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: per-token xxhash64, bitwise weighted
+    majority vote folded back into one BIGINT. explode + 64 conditional
+    sums in a single groupBy (one shuffle)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"),
+    ).withColumn("__h", F.xxhash64("__t"))
+    bit_sums = toks.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return bit_sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def _hamming(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Candidate pairs whose SimHashes differ in <= max_hamming bits.
+
+    Blocking: split the 64-bit signature into 4 16-bit chunks; pairs
+    within hamming<=3 of a chunk-match are guaranteed found when
+    max_hamming<=3 per pigeonhole; larger radii trade recall. Joins only
+    within chunk buckets — no all-pairs.
+    """
+    sig = simhash(df, id_col, text_col)
+    chunks = sig.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("__id", "simhash", "ck.chunk", "ck.key")
+    a = chunks.select(
+        "chunk", "key", F.col("__id").alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    b = chunks.select(
+        F.col("chunk").alias("chunk_b"),
+        F.col("key").alias("key_b"),
+        F.col("__id").alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.chunk == b.chunk_b) & (a.key == b.key_b) & (a.id_a < b.id_b),
+        )
+        .select("id_a", "id_b", _hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

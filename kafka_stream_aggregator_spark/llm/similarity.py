@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+cosine_sim is a pure Catalyst higher-order-function expression (zip_with
+dot product — JVM-side, codegen'd, no UDF). brute_force_topk is the
+exact baseline (queries x candidates join, top-k via row_number);
+ivf_topk is the scale path: coarse-quantize every vector to its nearest
+centroid, then search only vectors in the query's nprobe nearest cells —
+turning the O(Q*N) join into O(Q * N * nprobe / k_cells) with the
+centroid set broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def as_double(vec):
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against all
+    candidates; rank per query. Deterministic tiebreak on candidate id."""
+    joined = candidates.crossJoin(F.broadcast(queries)).filter(
+        F.col(q_id) != F.col(c_id)
+    )
+    scored = joined.select(
+        q_id,
+        c_id,
+        cosine_sim(F.col(q_vec), F.col(c_vec)).alias("cos_sim"),
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def assign_cells(
+    df: DataFrame, centroids: DataFrame, id_col: str, vec: str = "vec", n_probe: int = 1
+) -> DataFrame:
+    """Attach the ids of the n_probe nearest centroids (by cosine).
+
+    centroids: (cell_id, c_vec) — small, broadcast. One narrow pass."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_sim(F.col(vec), F.col("c_vec"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_probe)
+        .drop("c_vec", "__sim", "__rk")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates live in exactly one cell,
+    queries probe their n_probe nearest cells; scoring join is equi on
+    cell_id (a normal shuffle/broadcast hash join), then per-query rank.
+    Recall is checked against brute_force_topk in tests."""
+    cand_cells = assign_cells(
+        candidates.select(c_id, F.col(c_vec).alias("vec")), centroids, c_id, n_probe=1
+    ).select(c_id, F.col("vec").alias(c_vec), "cell_id")
+    q_cells = assign_cells(
+        queries.select(q_id, F.col(q_vec).alias("vec")), centroids, q_id, n_probe=n_probe
+    ).select(q_id, F.col("vec").alias(q_vec), "cell_id")
+    scored = (
+        q_cells.join(cand_cells, "cell_id")
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, cosine_sim(F.col(q_vec), F.col(c_vec)).alias("cos_sim"))
+        .groupBy(q_id, c_id)
+        .agg(F.max("cos_sim").alias("cos_sim"))  # dedup multi-probe hits
+    )
+    w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
+
+
+def pseudo_centroids(df: DataFrame, vec: str, id_col: str, n_cells: int) -> DataFrame:
+    """Deterministic centroid seed: the first n_cells vectors by id.
+    (A k-means refinement would slot in here; for engine plumbing the
+    seed choice is orthogonal.)"""
+    return (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell_id"), F.col(vec).alias("c_vec")
+        )
+    )

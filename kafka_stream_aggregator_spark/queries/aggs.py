@@ -1,0 +1,393 @@
+"""Aggregation operator inventory (SURVEY.md §2.B "Aggregations").
+
+All plain groupBy aggregates here compile to partial (map-side) + final
+(reduce-side) HashAggregate — one shuffle on the group keys, which is the
+scalable shape. Statistical moments beyond Spark's built-in definitions
+are oracle-matched by explicit-moment SQL (Spark's skewness/kurtosis are
+population g1/g2; DuckDB's builtins are sample stats, so the oracle
+computes the population formulas directly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .base import query, t
+
+
+@query(
+    "agg_basic_stats",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(min(l_extendedprice), 6) AS min_price,
+           round(max(l_extendedprice), 6) AS max_price,
+           round(sum(l_extendedprice), 6) AS sum_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_basic_stats(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.min("l_extendedprice"), 6).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT year(o_orderdate)) AS n_years
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        )
+    )
+
+
+@query(
+    "agg_stddev_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_quantity), 6) AS var_qty,
+           round(stddev_pop(l_extendedprice), 6) AS sdpop_price,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qty_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stddev_corr(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.stddev_pop("l_extendedprice"), 6).alias("sdpop_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+                "cov_qty_price"
+            ),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_skew_kurt",
+    # Spark: population skewness g1 = m3/m2^1.5, kurtosis g2 = m4/m2^2 - 3.
+    oracle="""
+    WITH m AS (
+      SELECT l_linestatus,
+             avg(l_quantity) AS mu,
+             avg(l_quantity * l_quantity) AS m2r,
+             avg(l_quantity * l_quantity * l_quantity) AS m3r,
+             avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus,
+           round((m3r - 3*mu*m2r + 2*mu*mu*mu)
+                 / pow(m2r - mu*mu, 1.5), 6) AS skew_qty,
+           round((m4r - 4*mu*m3r + 6*mu*mu*m2r - 3*mu*mu*mu*mu)
+                 / pow(m2r - mu*mu, 2) - 3, 6) AS kurt_qty
+    FROM m
+    """,
+)
+def agg_skew_kurt(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    bench=True,
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+           round(median(l_extendedprice), 6) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+            F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
+           array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+    FROM lineitem
+    WHERE l_orderkey < 400
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 400)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("l_linenumber")), ",").alias(
+                "linenumbers"
+            ),
+            F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias(
+                "flags"
+            ),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           grouping(l_returnflag)*2 + grouping(l_linestatus) AS gid,
+           round(sum(l_quantity), 6) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(CAST(year(l_shipdate) AS VARCHAR), '<all>') AS shipyear,
+           count(*) AS n_rows,
+           round(sum(l_extendedprice), 6) AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, year(l_shipdate))
+    """,
+)
+def agg_cube(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem").withColumn(
+        "shipyear_i", F.year("l_shipdate")
+    )
+    return (
+        l.cube("l_returnflag", "shipyear_i")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce(F.col("shipyear_i").cast("string"), F.lit("<all>")).alias(
+                "shipyear"
+            ),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 6) AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 6) AS sum_total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    out = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("O"), 6).alias("qty_O"),
+        F.round(F.col("F"), 6).alias("qty_F"),
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(avg(o_totalprice), 6) AS avg_total
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+        )
+    )
+
+
+@query(
+    "agg_minmax_by",
+    # arg-max/arg-min with an explicit unique tiebreak (struct ordering) so
+    # both engines pick the same row even on value ties.
+    oracle="""
+    WITH mx AS (
+      SELECT o_orderpriority, o_orderkey, row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn FROM orders),
+    mn AS (
+      SELECT o_orderpriority, o_orderkey, row_number() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice, o_orderkey) AS rn FROM orders),
+    ag AS (
+      SELECT o_orderpriority,
+             round(max(o_totalprice), 6) AS max_total,
+             round(min(o_totalprice), 6) AS min_total
+      FROM orders GROUP BY o_orderpriority)
+    SELECT ag.o_orderpriority,
+           mx.o_orderkey AS max_order,
+           mn.o_orderkey AS min_order,
+           max_total, min_total
+    FROM ag
+    JOIN mx ON ag.o_orderpriority = mx.o_orderpriority AND mx.rn = 1
+    JOIN mn ON ag.o_orderpriority = mn.o_orderpriority AND mn.rn = 1
+    """,
+)
+def agg_minmax_by(spark, sf_dir):
+    tie = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", tie).alias("max_order"),
+            F.min_by("o_orderkey", tie).alias("min_order"),
+            F.round(F.max("o_totalprice"), 6).alias("max_total"),
+            F.round(F.min("o_totalprice"), 6).alias("min_total"),
+        )
+    )
+
+
+@query(
+    "agg_first_last_ordered",
+    oracle="""
+    WITH o AS (SELECT * FROM orders WHERE o_custkey < 200),
+    fst AS (
+      SELECT o_custkey, o_totalprice, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM o),
+    lst AS (
+      SELECT o_custkey, o_totalprice, row_number() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM o),
+    ag AS (SELECT o_custkey, count(*) AS n_orders FROM o GROUP BY o_custkey)
+    SELECT ag.o_custkey,
+           fst.o_totalprice AS first_total,
+           lst.o_totalprice AS last_total,
+           n_orders
+    FROM ag
+    JOIN fst ON ag.o_custkey = fst.o_custkey AND fst.rn = 1
+    JOIN lst ON ag.o_custkey = lst.o_custkey AND lst.rn = 1
+    """,
+)
+def agg_first_last_ordered(spark, sf_dir):
+    ordk = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.min_by("o_totalprice", ordk).alias("first_total"),
+            F.max_by("o_totalprice", ordk).alias("last_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark, sf_dir):
+    """HLL++ approx distinct (self-checked: within 5% of exact in tests)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )

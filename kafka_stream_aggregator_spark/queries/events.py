@@ -1,0 +1,212 @@
+"""Event-stream queries — the reference pipeline's semantics, batch form.
+
+ewma_5min is the flagship: the reference's agg-producer (Kafka ->
+project(price) -> 5-min tumbling window -> zero-seeded EWMA fold ->
+filter > 0 -> sink; reference services/kstream-agg-rs/src/bin/
+agg-producer/main.rs:100-131, indicators.rs:14-26) re-expressed as an
+event-time groupBy over the synthetic events table. Oracle uses the
+closed form of the fold: ewma = sum_i alpha*(1-alpha)^(n-i) * x_i over
+rows ordered by (ts, event_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..indicators import ewma_alpha, windowed_ewma
+from ..ops import dedup_keep_first, sessionize
+from .base import query, t
+
+_A5 = ewma_alpha(5)  # 2/301 — indicators.rs:17 with period=5 (main.rs:111)
+
+
+@query(
+    "ewma_5min",
+    bench=True,
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS n
+      FROM events
+    )
+    SELECT event_type, window_start,
+           window_start + 300 AS window_end,
+           count(*) AS n_rows,
+           round(sum({_A5} * pow(1.0 - {_A5}, n - rn) * value), 6) AS ewma
+    FROM r
+    GROUP BY event_type, window_start
+    HAVING sum({_A5} * pow(1.0 - {_A5}, n - rn) * value) > 0
+    """,
+)
+def ewma_5min(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    out = windowed_ewma(
+        e,
+        ts_col="ts",
+        value_col="value",
+        order_cols=("ts", "event_id"),
+        group_cols=("event_type",),
+        period_minutes=5,
+        emit_positive_only=True,
+    )
+    return out.select(
+        "event_type",
+        "window_start",
+        "window_end",
+        "n_rows",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+@query(
+    "ewma_1min_all",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS window_start,
+             value,
+             row_number() OVER (
+               PARTITION BY user_id, CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (
+               PARTITION BY user_id,
+                            CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)) AS n
+      FROM events
+    )
+    SELECT user_id, window_start,
+           count(*) AS n_rows,
+           round(sum({ewma_alpha(1)} * pow(1.0 - {ewma_alpha(1)}, n - rn) * value), 6)
+             AS ewma
+    FROM r GROUP BY user_id, window_start
+    """,
+)
+def ewma_1min_all(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    out = windowed_ewma(
+        e,
+        ts_col="ts",
+        value_col="value",
+        order_cols=("ts", "event_id"),
+        group_cols=("user_id",),
+        period_minutes=1,
+        emit_positive_only=False,
+    )
+    return out.select(
+        "user_id", "window_start", "n_rows", F.round("ewma", 6).alias("ewma")
+    )
+
+
+@query(
+    "sma_5min_window",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           count(*) AS n_rows,
+           round(avg(value), 6) AS sma,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v
+    FROM events GROUP BY event_type, 2
+    """,
+)
+def sma_5min_window(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    wstart = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    return (
+        e.groupBy("event_type", wstart.alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("value"), 6).alias("sma"),
+            F.round(F.min("value"), 6).alias("min_v"),
+            F.round(F.max("value"), 6).alias("max_v"),
+        )
+    )
+
+
+@query(
+    "sessionize_gap",
+    bench=True,
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_gap(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    s = sessionize(e, ts_col="ts", by="user_id", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@query(
+    "event_dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type,
+           event_id AS first_event_id,
+           round(value, 6) AS first_value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def event_dedup_keep_first(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    d = dedup_keep_first(
+        e, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+    )
+    return d.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.round("value", 6).alias("first_value"),
+    )
+
+
+@query(
+    "event_type_rollup_daily",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type, 2
+    """,
+)
+def event_type_rollup_daily(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

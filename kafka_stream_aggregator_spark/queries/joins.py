@@ -1,0 +1,305 @@
+"""Join inventory (SURVEY.md §2.B "Joins").
+
+Physical-plan intent per query (checked in tests via explain):
+  * dim joins -> BroadcastHashJoin (explicit F.broadcast on sub-10MB sides)
+  * fact-fact equi joins -> shuffle on the key (SMJ/SHJ, AQE decides)
+  * theta/range joins -> BroadcastNestedLoop only with a broadcast-small
+    side (bucket dims); never NL between two large tables
+  * as-of join -> implemented scalably in ops (union + last_value window:
+    one shuffle, no pairwise blowup); here oracle-checked via the
+    equivalent arg_max formulation
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .base import query, t
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 6) AS avg_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_dim(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_inner_large",
+    bench=True,
+    oracle="""
+    SELECT o_orderstatus,
+           year(o_orderdate) AS order_year,
+           count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus, year(o_orderdate)
+    """,
+)
+def join_inner_large(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 6) AS sum_total
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 6).alias(
+                "sum_total"
+            ),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH hc AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+         hs AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+    SELECT coalesce(hc.nk, hs.nk) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM hc FULL OUTER JOIN hs ON hc.nk = hs.nk
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    hc = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    hs = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return hc.join(hs, hc.nk_c == hs.nk_s, "full").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND year(o_orderdate) = 1995)
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, s.o_orderstatus AS status
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def join_cross(spark, sf_dir):
+    r = t(spark, sf_dir, "region").select("r_name")
+    s = t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    return r.crossJoin(s)
+
+
+@query(
+    "join_range_theta",
+    # part joined to an inline bucket dimension on a non-equi (range)
+    # condition -> BroadcastNestedLoopJoin with the 5-row side broadcast.
+    oracle="""
+    WITH buckets(bucket, lo, hi) AS (
+      VALUES ('xs', 0, 10), ('s', 10, 20), ('m', 20, 30),
+             ('l', 30, 40), ('xl', 40, 50)
+    )
+    SELECT bucket, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+    FROM part JOIN buckets ON p_size > lo AND p_size <= hi
+    GROUP BY bucket
+    """,
+)
+def join_range_theta(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("xs", 0, 10), ("s", 10, 20), ("m", 20, 30), ("l", 30, 40), ("xl", 40, 50)],
+        "bucket string, lo int, hi int",
+    )
+    return (
+        p.join(
+            F.broadcast(buckets),
+            (p.p_size > buckets.lo) & (p.p_size <= buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    bench=True,
+    # For every purchase event: value/time of the latest click by the same
+    # user at or before it. Spark impl = scalable union + last_value window
+    # (ops.asof_join); oracle = equivalent arg_max over the time-bounded
+    # join, with (ts, event_id) struct tiebreak.
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id AS pid, c.value AS cv,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+         )
+    SELECT p.event_id,
+           CASE WHEN j.pid IS NOT NULL THEN 1.0 ELSE 0.0 END AS has_click,
+           round(coalesce(j.cv, -1.0), 6) AS last_click_value
+    FROM p LEFT JOIN (SELECT pid, cv FROM j WHERE rn = 1) j
+      ON p.event_id = j.pid
+    """,
+)
+def join_asof(spark, sf_dir):
+    from ..ops import asof_join
+
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    joined = asof_join(
+        left,
+        right,
+        left_on="ts",
+        right_on="r_ts",
+        left_by="user_id",
+        right_by="r_user_id",
+        right_tiebreak="r_event_id",
+        value_cols=["r_value"],
+    )
+    return joined.select(
+        "event_id",
+        F.when(F.col("r_value").isNotNull(), 1.0).otherwise(0.0).alias("has_click"),
+        F.round(F.coalesce("r_value", F.lit(-1.0)), 6).alias("last_click_value"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    # Self theta-join: pairs of error events of the same user within one
+    # hour of each other. Equi on user_id (shuffle) + range predicate.
+    oracle="""
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM (SELECT * FROM events WHERE event_type = 'error') a
+    JOIN (SELECT * FROM events WHERE event_type = 'error') b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch(a.ts) - epoch(b.ts)) <= 3600
+    GROUP BY a.user_id
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    a = e.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (a.a_user == b.b_user)
+            & (a.a_id < b.b_id)
+            & (
+                F.abs(
+                    F.col("a_ts").cast("double") - F.col("b_ts").cast("double")
+                )
+                <= 3600
+            ),
+        )
+        .groupBy(F.col("a_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

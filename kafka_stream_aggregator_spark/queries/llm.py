@@ -1,0 +1,314 @@
+"""LLM-data-pipeline queries over documents + embeddings (SURVEY.md §2.B).
+
+Deterministic ops (exact dedup, token stats, quality, fingerprints,
+n-gram Jaccard, brute-force cosine top-k) are DuckDB-oracle-checked.
+Probabilistic ops (MinHash LSH, SimHash, IVF ANN) are registered without
+an oracle (rows-only check) and verified in tests against brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..llm.dedup import minhash_near_dup, simhash_near_dup
+from ..llm.similarity import as_double, brute_force_topk, cosine_sim, ivf_topk, pseudo_centroids
+from ..llm.text import fingerprint, lang_id, quality_score, token_stats
+from .base import query, t
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        d.groupBy(h.alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@query(
+    "doc_token_stats",
+    bench=True,
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             regexp_extract_all(lower(text), '\\S+') AS tk,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS bpe_tokens,
+             length(text) AS true_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           true_chars AS n_chars_measured,
+           len(tk) AS n_tokens,
+           len(list_distinct(tk)) AS n_uniq_tokens,
+           round(list_aggregate(list_transform(tk, x -> CAST(length(x) AS DOUBLE)),
+                                'sum') / greatest(len(tk), 1), 6) AS mean_token_len,
+           round(n_punct / greatest(true_chars, 1), 6) AS punct_ratio,
+           bpe_tokens
+    FROM toks
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = token_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["n_chars"].alias("n_chars_measured"),
+        s["n_tokens"].alias("n_tokens"),
+        s["n_uniq_tokens"].alias("n_uniq_tokens"),
+        F.round(s["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(s["punct_ratio"], 6).alias("punct_ratio"),
+        s["bpe_tokens"].alias("bpe_tokens"),
+    )
+
+
+@query(
+    "doc_quality_by_source",
+    oracle="""
+    WITH q AS (
+      SELECT source,
+             regexp_extract_all(lower(text), '\\S+') AS tk,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             (CASE WHEN len(tk) BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN len(list_filter(tk, x -> list_contains(
+                ['the','and','of','to','in','is','that','for','with','it'], x)))
+                / greatest(len(tk), 1) > 0.01 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_punct / greatest(n_chars, 1) < 0.3 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN list_aggregate(list_transform(tk,
+                x -> CAST(length(x) AS DOUBLE)), 'sum') / greatest(len(tk), 1)
+                BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END) AS score
+      FROM q
+    )
+    SELECT source, count(*) AS n_docs,
+           round(avg(score), 6) AS avg_quality,
+           round(min(score), 6) AS min_quality
+    FROM scored GROUP BY source
+    """,
+)
+def doc_quality_by_source(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("score", quality_score(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_quality"),
+            F.round(F.min("score"), 6).alias("min_quality"),
+        )
+    )
+
+
+@query(
+    "doc_fingerprint_groups",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(regexp_replace(lower(text),
+               '[^\\w\\s]', '', 'g')), '\\S+'))), ' ')) AS fp,
+           count(*) AS n_docs,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_fingerprint_groups(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    bench=True,
+    # Exact word-3-gram Jaccard for doc pairs of the same lang (bounded id
+    # range keeps the pair count honest for the oracle; the scalable
+    # unbounded path is minhash_near_dup below).
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+      FROM documents WHERE doc_id < 120
+    ), sh0 AS (
+      SELECT doc_id, lang, array_to_string(tk[g:g+2], ' ') AS sh
+      FROM dt, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(g)
+    ), sh AS (
+      SELECT DISTINCT doc_id, lang, sh FROM sh0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b
+        ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select(
+        "doc_id", "lang", F.explode(shingles).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b")
+    )
+    inter = (
+        a.join(
+            b,
+            (a.sh_a == b.sh_b) & (a.lang_a == b.lang_b) & (a.id_a < b.id_b),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"})
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.05)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "cos_topk_bruteforce",
+    bench=True,
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT q_id, e.vec_id AS c_id,
+                  list_dot_product(qv, v)
+                    / (sqrt(list_dot_product(qv, qv))
+                       * sqrt(list_dot_product(v, v))) AS cos_sim
+           FROM q JOIN e ON e.vec_id <> q_id
+         ), ranked AS (
+           SELECT q_id, c_id, cos_sim,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos_sim DESC, c_id) AS rank
+           FROM scored
+         )
+    SELECT q_id, c_id, round(cos_sim, 6) AS cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def cos_topk_bruteforce(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    cands = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
+    out = brute_force_topk(queries, cands, k=5)
+    return out.select("q_id", "c_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+@query(
+    "emb_label_stats",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT label, count(*) AS n_vecs,
+           round(avg(sqrt(list_dot_product(v, v))), 6) AS avg_norm,
+           round(avg(v[1]), 6) AS avg_first
+    FROM e GROUP BY label
+    """,
+)
+def emb_label_stats(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    sq = F.aggregate(
+        F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(F.sqrt(sq)), 6).alias("avg_norm"),
+            F.round(F.avg(F.element_at("v", 1)), 6).alias("avg_first"),
+        )
+    )
+
+
+@query("minhash_near_dup", oracle=None, bench=True)
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (recall vs exact Jaccard checked in tests)."""
+    d = t(spark, sf_dir, "documents")
+    return minhash_near_dup(
+        d, "doc_id", "text", n_hashes=32, bands=8, jaccard_threshold=0.3
+    )
+
+
+@query("simhash_near_dup", oracle=None)
+def q_simhash_near_dup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return simhash_near_dup(d, "doc_id", "text", max_hamming=12)
+
+
+@query("ann_ivf_topk", oracle=None)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k (recall vs brute force in tests)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = pseudo_centroids(e, "v", "vec_id", n_cells=16)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    cands = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
+    return ivf_topk(queries, cands, cents, k=5, n_probe=4)
+
+
+@query(
+    "doc_lang_id_heuristic",
+    oracle=None,
+)
+def doc_lang_id_heuristic(spark, sf_dir):
+    """Stopword-vote language ID (mechanism check; accuracy asserted on
+    crafted samples in tests, not on the synthetic corpus labels)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("pred_lang", lang_id(F.col("text")))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,258 @@
+"""Window-function inventory (SURVEY.md §2.B "Window functions").
+
+Window specs always carry a full deterministic ORDER BY (unique tiebreak
+columns) so both engines rank identically. Rank/dense_rank order only by
+the semantic key (ties collapse the same way in both engines).
+
+Scale note: every window here partitions by a key (suppkey/custkey/
+user_id) — one shuffle, then per-partition sort; no global-order windows
+(those single-task at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..indicators import ewma_alpha, ewma_fold
+from .base import query, t
+
+
+@query(
+    "win_rank_suite",
+    bench=True,
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           row_number() OVER (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+           rank()       OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS rk,
+           dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS drk
+    FROM lineitem
+    """,
+)
+def win_rank_suite(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    w_full = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w_qty = W.partitionBy("l_suppkey").orderBy("l_quantity")
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w_full).alias("rn"),
+        F.rank().over(w_qty).alias("rk"),
+        F.dense_rank().over(w_qty).alias("drk"),
+    )
+
+
+@query(
+    "win_ntile_pct",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_pct(spark, sf_dir):
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(lag(o_totalprice)     OVER w, 6) AS prev_total,
+           round(lead(o_totalprice)    OVER w, 6) AS next_total,
+           round(lag(o_totalprice, 2, -1.0) OVER w, 6) AS prev2_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 6).alias("prev_total"),
+        F.round(F.lead("o_totalprice").over(w), 6).alias("next_total"),
+        F.round(F.lag("o_totalprice", 2, -1.0).over(w), 6).alias("prev2_total"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_qty
+    FROM lineitem
+    """,
+)
+def win_running_sum(spark, sf_dir):
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 6).alias("run_qty"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4_price
+    FROM lineitem
+    """,
+)
+def win_moving_avg(spark, sf_dir):
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_extendedprice").over(w), 6).alias("ma4_price"),
+    )
+
+
+@query(
+    "win_range_frame",
+    bench=True,
+    oracle="""
+    SELECT event_id,
+           round(sum(value) OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS sum_10min,
+           count(*) OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_10min
+    FROM events
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    w = (
+        W.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-600, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("sum_10min"),
+        F.count(F.lit(1)).over(w).alias("n_10min"),
+    )
+
+
+@query(
+    "win_first_last_value",
+    oracle="""
+    SELECT o_orderkey,
+           round(first_value(o_totalprice) OVER w, 6) AS first_total,
+           round(last_value(o_totalprice)  OVER w, 6) AS last_total,
+           round(nth_value(o_totalprice, 2) OVER w, 6) AS second_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_value(spark, sf_dir):
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 6).alias("first_total"),
+        F.round(F.last("o_totalprice").over(w), 6).alias("last_total"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 6).alias("second_total"),
+    )
+
+
+@query(
+    "win_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             round(o_totalprice, 6) AS total,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_topk_per_group(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("total"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_cumulative_ewma",
+    bench=True,
+    # Continuous per-user EWMA (the cross-window variant the reference does
+    # not compute — SURVEY.md §2.B "per-group cumulative EWMA"). Spark folds
+    # the actual recurrence; the oracle uses the closed form
+    # S_i = a * sum_j x_j (1-a)^(i-j), equal to ~1e-12.
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round({ewma_alpha(5)} * pow(1.0 - {ewma_alpha(5)}, rn)
+                 * sum(value * pow(1.0 - {ewma_alpha(5)}, -rn))
+                   OVER (PARTITION BY user_id ORDER BY rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS ewma
+    FROM r
+    """,
+)
+def win_cumulative_ewma(spark, sf_dir):
+    a = ewma_alpha(5)
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    vals = F.collect_list("value").over(w)  # frame is already ordered
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(ewma_fold(vals, a), 6).alias("ewma"),
+    )

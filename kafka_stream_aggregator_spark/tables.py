@@ -1,0 +1,56 @@
+"""Testdata table loaders.
+
+Two cross-engine hazards are normalized here so every query (and the
+DuckDB oracle the driver runs beside it) sees identical values:
+
+* ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which the
+  Spark reader rejects. We read raw nanos (spark.sql.legacy.parquet.
+  nanosAsLong) and rebuild a timestamp with integer division (``DIV`` —
+  a double divide would lose precision at ~1.7e18 ns).
+* The other tables carry TIMESTAMP(MILLIS) without UTC adjustment, which
+  Spark may surface as TIMESTAMP_NTZ depending on
+  spark.sql.parquet.inferTimestampNTZ.enabled. We pin the session zone to
+  UTC and cast any NTZ column to TimestampType, so epoch math and
+  date_format agree with DuckDB's naive reading regardless of the
+  driver-supplied session's configuration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TESTDATA_TABLES
+from .session import NANOS_CONF
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    casts = {
+        f.name: F.col(f.name).cast("timestamp")
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    }
+    return df.withColumns(casts) if casts else df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set(NANOS_CONF, "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
+    return _normalize(spark.read.parquet(path))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql entry)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

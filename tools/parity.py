@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its DuckDB oracle on the same
+parquet, canonicalizes (columns sorted by name, rows sorted, floats
+already rounded by the queries themselves), and diffs. Usage:
+
+    python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from kafka_stream_aggregator_spark.queries import REGISTRY
+from kafka_stream_aggregator_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or list(REGISTRY)
+    spark = get_spark("parity", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    n_pass = n_fail = 0
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf_dir)
+            s_cols = df.columns
+            s_rows = [tuple(r) for r in df.collect()]
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"self {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            o_cols = [d[0] for d in cur.description]
+            o_rows = cur.fetchall()
+        except Exception:
+            print(f"FAIL {name}: DUCKDB ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        sc, sr = canon(s_rows, s_cols)
+        oc, orows = canon(o_rows, o_cols)
+        if sc != oc:
+            print(f"FAIL {name}: columns spark={sc} oracle={oc}")
+            n_fail += 1
+            continue
+        if len(sr) != len(orows):
+            print(f"FAIL {name}: rowcount spark={len(sr)} oracle={len(orows)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(sr, orows) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first: ")
+            print(f"  cols:   {sc}")
+            print(f"  spark:  {bad[0][0]}")
+            print(f"  oracle: {bad[0][1]}")
+            n_fail += 1
+            continue
+        print(f"PASS {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail / {len(names)}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
