@@ -134,10 +134,12 @@ def minhash_near_dup(
         .distinct()
     )
 
+    # verification joins on 8-byte shingle hashes, not strings — ~10x less
+    # shuffle volume and a long-key hash join (collision odds ~n^2/2^64).
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(_shingles(F.col(text_col), shingle_len)).alias("__sh"),
-    )
+        F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
+    ).select("__id", F.xxhash64("__s").alias("__sh"))
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = sh.select(F.col("__id").alias("rid_b"), F.col("__sh").alias("sh_b"))

@@ -1,0 +1,165 @@
+"""LLM-op verification: probabilistic operators vs exact baselines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_aggregator_spark.llm.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    simhash,
+    simhash_near_dup,
+)
+from kafka_stream_aggregator_spark.llm.similarity import (
+    as_double,
+    brute_force_topk,
+    ivf_topk,
+    pseudo_centroids,
+)
+from kafka_stream_aggregator_spark.llm.text import lang_id, quality_score, token_stats
+from kafka_stream_aggregator_spark.tables import load_table
+
+
+def _docs_with_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup
+        (3, base.replace("lazy", "sleepy")),        # near dup
+        (4, "completely different text about spark query engines at scale"),
+        (5, "THE  quick   brown fox jumps over the lazy dog again and again"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs_with_dups(spark), "doc_id", "text")
+    canon = {r["doc_id"]: r["is_canonical"] for r in out.collect()}
+    # 1,2,5 normalize to the same text -> only 1 canonical
+    assert canon[1] and not canon[2] and not canon[5]
+    assert canon[3] and canon[4]
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(
+            _docs_with_dups(spark), "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert (1, 3) in pairs  # one-word change, high jaccard
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_recall_vs_bruteforce(spark, sf_dir):
+    """On the real corpus: every pair with exact jaccard >= 0.6 must be
+    found by the LSH path (32 hashes / 8 bands -> ~98% @ 0.6)."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    got = minhash_near_dup(docs, "doc_id", "text", jaccard_threshold=0.6)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    # exact jaccard via shingle join on the same shingle definition
+    from kafka_stream_aggregator_spark.llm.dedup import _shingles
+
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = (
+        a.join(b, (a.sha == b.shb) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"})
+    exact = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("j", F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")))
+        .filter(F.col("j") >= 0.6)
+    )
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    missed = exact_pairs - lsh_pairs
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_identical_and_blocking(spark):
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(_docs_with_dups(spark), "doc_id", "text").collect()}
+    assert sig[1] == sig[2]  # identical text, identical signature
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup(_docs_with_dups(spark), "doc_id", "text", max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0
+
+
+def test_ivf_recall(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
+    cents = pseudo_centroids(e, "v", "vec_id", n_cells=8)
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in brute_force_topk(q, c, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_topk(q, c, cents, k=5, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_lang_id_crafted(spark):
+    rows = [
+        (1, "the cat is on the mat and it is happy", "en"),
+        (2, "der Hund ist nicht mit der Katze und das ist gut", "de"),
+        (3, "le chat est dans la maison et il est content pour les enfants", "fr"),
+        (4, "el perro es grande y no es una casa con los gatos", "es"),
+        (5, "xyzzy qwerty plugh", "und"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, expect string")
+    out = df.withColumn("pred", lang_id(F.col("text"))).collect()
+    for r in out:
+        assert r["pred"] == r["expect"], f"{r['text']!r}: {r['pred']} != {r['expect']}"
+
+
+def test_quality_and_token_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog for a while")],
+        "id long, text string",
+    )
+    row = df.select(
+        quality_score(F.col("text")).alias("q"),
+        token_stats(F.col("text")).alias("s"),
+    ).first()
+    assert row["q"] == 1.0
+    assert row["s"]["n_tokens"] == 12
+    assert row["s"]["n_uniq_tokens"] == 11  # 'the' twice
+    assert row["s"]["punct_ratio"] == 0.0
+
+
+def test_multimodal_plumbing(spark):
+    from kafka_stream_aggregator_spark.llm.multimodal import (
+        attach_meta,
+        decode_audio,
+        image_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x01\x02\x03" * 100)), (2, bytearray(b"\xff" * 64))],
+        "id long, payload binary",
+    )
+    media = attach_meta(df, "id", "payload")
+    assert media.schema["meta"].dataType.fieldNames() == ["mime", "width", "height", "n_bytes"]
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    assert feats[1]["n_bytes"] == 400
+    assert feats[2]["byte_mean"] == 255.0 and feats[2]["byte_std"] == 0.0
+    with pytest.raises(NotImplementedError):
+        decode_audio(media)
