@@ -1,6 +1,16 @@
 """Query registry assembly — importing the modules registers everything."""
 
-from . import aggs, events, joins, llm, scalars, setops, tpch, windows  # noqa: F401
+from . import (  # noqa: F401
+    aggs,
+    events,
+    joins,
+    llm,
+    scalars,
+    setops,
+    streaming_q,
+    tpch,
+    windows,
+)
 from .base import REGISTRY, QuerySpec
 
 __all__ = ["REGISTRY", "QuerySpec"]

@@ -1,0 +1,108 @@
+"""Streaming queries in the registry — executed for real through
+Structured Streaming (file source -> availableNow -> memory sink), then
+returned as a batch DataFrame so the driver can compare them.
+
+stream_ewma_5min carries a full DuckDB oracle: the batch closed form
+restricted to windows the stream actually finalizes (append mode emits a
+window only once the watermark — max event time minus 10 min — passes
+its end; the unfinalized tail is excluded on both sides).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..indicators import ewma_alpha
+from ..schemas import EVENTS_SCHEMA
+from ..streaming.pipeline import streaming_dedup, streaming_windowed_ewma
+from ..streaming.sources import file_stream
+from .base import query, t
+
+_A5 = ewma_alpha(5)
+
+
+def _events_stream(spark, sf_dir):
+    """File-stream over events (rewritten to us-timestamps in a temp dir:
+    the streaming reader needs a declared schema and cannot read the
+    original TIMESTAMP(NANOS) files)."""
+    d = tempfile.mkdtemp(prefix="stream_events_")
+    t(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return file_stream(spark, d, EVENTS_SCHEMA)
+
+
+def _run_to_df(spark, sdf, mode="append"):
+    name = "q_" + uuid.uuid4().hex[:12]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_ewma_5min",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 AS horizon FROM events
+    ), r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS n
+      FROM events
+    ), g AS (
+      SELECT event_type, window_start,
+             window_start + 300 AS window_end,
+             count(*) AS n_rows,
+             round(sum({_A5} * pow(1.0 - {_A5}, n - rn) * value), 6) AS ewma,
+             sum({_A5} * pow(1.0 - {_A5}, n - rn) * value) AS raw
+      FROM r GROUP BY event_type, window_start
+    )
+    SELECT event_type, window_start, window_end, n_rows, ewma
+    FROM g, h WHERE raw > 0 AND window_end <= horizon
+    """,
+)
+def stream_ewma_5min(spark, sf_dir):
+    """The reference pipeline run as an actual stream (R5->R6->R7->R8->R9)."""
+    sdf = streaming_windowed_ewma(
+        _events_stream(spark, sf_dir),
+        group_cols=("event_type",),
+        period_minutes=5,
+        watermark="10 minutes",
+    )
+    return _run_to_df(spark, sdf).select(
+        "event_type",
+        "window_start",
+        "window_end",
+        "n_rows",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+@query(
+    "stream_dedup_count",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_count(spark, sf_dir):
+    """Streaming dropDuplicates over a deliberately doubled stream must
+    reproduce exact per-type counts."""
+    s = _events_stream(spark, sf_dir)
+    deduped = streaming_dedup(s.union(s), keys=["event_id"])
+    out = _run_to_df(spark, deduped)
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))

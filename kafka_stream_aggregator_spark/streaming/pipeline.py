@@ -1,0 +1,162 @@
+"""The reference aggregation pipeline as Structured Streaming (R7-R10).
+
+Reference behavior (bin/agg-producer/main.rs:100-131): a wall-clock
+timer fires every `period` minutes; the buffered prices are folded
+through the zero-seeded EWMA; results with ewma<=0 are suppressed;
+output keyed by emit time. Canonical mode here upgrades to event-time
+tumbling windows + watermark (late data handled, deterministic fold
+order via (ts, tiebreak) sort — SURVEY S3/S5/S7); compat mode
+reproduces the literal processing-time behavior with a
+Trigger(processingTime=...) + foreachBatch fold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..indicators import ewma_alpha, ewma_fold, ordered_values
+
+
+def streaming_windowed_ewma(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    group_cols: Sequence[str] = (),
+    period_minutes: int = 5,
+    watermark: str = "10 minutes",
+    emit_positive_only: bool = True,
+) -> DataFrame:
+    """Event-time tumbling EWMA on a streaming DataFrame.
+
+    groupBy(window(...)) + the same pure-Catalyst fold as batch — state
+    store keeps one partial collect_list per open window; the watermark
+    bounds state (windows older than it are finalized and evicted), so
+    state size is O(open windows x rows-in-window), not O(stream).
+    Append output mode -> each window emits exactly once, on close.
+    """
+    alpha = ewma_alpha(period_minutes)
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{period_minutes} minutes").alias("win"),
+            *group_cols,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            ewma_fold(ordered_values(value_col, list(order_cols)), alpha).alias(
+                "ewma"
+            ),
+        )
+        .select(
+            *group_cols,
+            F.unix_timestamp("win.start").alias("window_start"),
+            F.unix_timestamp("win.end").alias("window_end"),
+            "n_rows",
+            "ewma",
+        )
+    )
+    if emit_positive_only:
+        out = out.filter(F.col("ewma") > 0.0)  # R9, main.rs:118
+    return out
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state (watermarked)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [*keys, ts_col]
+    )
+
+
+def sliding_window_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg(value_col).alias("avg_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            *group_cols,
+            F.unix_timestamp("win.start").alias("window_start"),
+            "n_rows",
+            "avg_value",
+            "max_value",
+        )
+    )
+
+
+def session_window_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    group_cols: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Native session windows (gap-based), streaming or batch."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *group_cols,
+            F.unix_timestamp("win.start").alias("session_start"),
+            F.unix_timestamp("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def processing_time_ewma_query(
+    stream: DataFrame,
+    sink_fn,
+    value_col: str = "value",
+    period_minutes: int = 5,
+    checkpoint: str | None = None,
+):
+    """S3 compat mode: literal reference semantics — a processing-time
+    trigger fires every period; each micro-batch's buffered rows are
+    folded in arrival order and the result (if > 0) handed to sink_fn
+    as (ewma_row_df, batch_id). This is Trigger(processingTime) +
+    foreachBatch, the direct analogue of the tokio interval + mutex
+    buffer (main.rs:83-131)."""
+    alpha = ewma_alpha(period_minutes)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.agg(
+            ewma_fold(
+                F.collect_list(F.col(value_col)), alpha
+            ).alias("current"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).select(
+            F.lit(period_minutes).alias("period"),
+            F.lit(alpha).alias("alpha"),
+            "current",
+            "n_rows",
+        )
+        out = agg.filter(F.col("current") > 0.0)
+        sink_fn(out, batch_id)
+
+    w = stream.writeStream.foreachBatch(fold_batch).trigger(
+        processingTime=f"{period_minutes * 60} seconds"
+    )
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w

@@ -36,6 +36,16 @@ def _normalize(df: DataFrame) -> DataFrame:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # A driver-supplied vanilla session ships Spark's 200-partition default;
+    # on local[N] that's pure overhead (AQE can coalesce batch stages but is
+    # disabled for stateful streaming). Pin to the core count once.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        import os
+
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set(NANOS_CONF, "true")

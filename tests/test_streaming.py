@@ -1,0 +1,266 @@
+"""Streaming ≡ batch equivalence (SURVEY.md §5.2-3) via file stream +
+availableNow over the same parquet the batch queries read."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_aggregator_spark.indicators import ewma_alpha, windowed_ewma
+from kafka_stream_aggregator_spark.schemas import EVENTS_SCHEMA
+from kafka_stream_aggregator_spark.streaming.pipeline import (
+    session_window_stats,
+    sliding_window_stats,
+    streaming_dedup,
+    streaming_windowed_ewma,
+)
+from kafka_stream_aggregator_spark.streaming.sinks import (
+    foreach_batch_parquet_writer,
+    start_to_memory,
+)
+from kafka_stream_aggregator_spark.streaming.sources import (
+    confluent_avro_payload,
+    confluent_schema_id,
+    file_stream,
+)
+from kafka_stream_aggregator_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """events re-written with us-timestamps so the file stream can read
+    them with a declared schema (original files are ns)."""
+    d = tempfile.mkdtemp(prefix="events_us_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(spark, sdf, name, mode="append"):
+    q = start_to_memory(sdf, name, mode)
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_streaming_ewma_equals_batch(spark, sf_dir, events_dir):
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sdf = streaming_windowed_ewma(
+        stream, group_cols=("event_type",), period_minutes=5
+    )
+    got = {
+        (r["event_type"], r["window_start"]): (r["n_rows"], round(r["ewma"], 9))
+        for r in _run(spark, sdf, "s_ewma").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = windowed_ewma(ev, group_cols=("event_type",), period_minutes=5)
+    # append mode only finalizes windows whose end <= final watermark
+    # (max event time - 10 min); later windows stay open — by design.
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    horizon = max_ts - 600
+    want = {
+        (r["event_type"], r["window_start"]): (r["n_rows"], round(r["ewma"], 9))
+        for r in batch.collect()
+        if r["window_start"] + 300 <= horizon
+    }
+    got = {k: v for k, v in got.items() if k[1] + 300 <= horizon}
+    assert got == want and len(want) > 900
+
+
+def test_streaming_late_data_dropped(spark, tmp_path):
+    """A row arriving after the watermark passed its window is dropped,
+    and the watermark survives a query restart (checkpoint). Two
+    availableNow runs over one checkpoint: run 1 advances the watermark
+    past the first window; run 2 delivers a late row into that window —
+    it must not contribute. (Within a single run, the watermark lags one
+    micro-batch by design, so restart is the deterministic way to test
+    this.)"""
+    import glob
+    import os
+    import time
+    from datetime import datetime
+
+    src, outp, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def put(r, mt):
+        spark.createDataFrame([r], EVENTS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in glob.glob(src + "/*.parquet"):
+            os.utime(f, (mt, mt))
+
+    def run():
+        stream = file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1)
+        sdf = streaming_windowed_ewma(
+            stream, period_minutes=5, watermark="10 minutes"
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    base = time.time() - 1000
+    put((0, datetime(2024, 1, 1, 0, 1, 0), 1, "a", 10.0, None), base)
+    put((1, datetime(2024, 1, 1, 1, 0, 0), 1, "a", 20.0, None), base + 60)
+    run()  # watermark ends at 00:50
+    put((2, datetime(2024, 1, 1, 0, 2, 0), 1, "a", 99.0, None), base + 120)  # late
+    put((3, datetime(2024, 1, 1, 2, 0, 0), 1, "a", 30.0, None), base + 180)
+    run()
+    a = ewma_alpha(5)
+    got = {
+        r["window_start"]: (r["n_rows"], round(r["ewma"], 9))
+        for r in spark.read.parquet(outp).collect()
+    }
+    # first window: value 10.0 ONLY — the late 99.0 was dropped
+    assert got[1704067200] == (1, round(a * 10.0, 9))
+    # second window: the watermark-advancing 20.0
+    assert got[1704070800] == (1, round(a * 20.0, 9))
+
+
+def test_streaming_dedup(spark, events_dir):
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    # duplicate the stream by unioning with itself: dedup must collapse
+    sdf = streaming_dedup(stream.union(stream), keys=["event_id"])
+    n = _run(spark, sdf, "s_dedup").count()
+    batch_n = spark.read.parquet(events_dir).count()
+    assert n == batch_n
+
+
+def test_sliding_and_session_windows_run(spark, events_dir, sf_dir):
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    slid = _run(spark, sliding_window_stats(stream, group_cols=("event_type",)), "s_slide")
+    assert slid.count() > 0
+    stream2 = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sess = _run(spark, session_window_stats(stream2, gap="30 minutes"), "s_sess")
+    # session windows ≡ batch sessionize groups, for sessions that closed
+    # before the final watermark (append mode never emits the tail ones)
+    from kafka_stream_aggregator_spark.ops import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0] - 600
+    batch_closed = (
+        sessionize(ev, gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.max(F.unix_timestamp("ts")).alias("last_ts"))
+        .filter(F.col("last_ts") + 1800 <= horizon)
+    )
+    sess_closed = sess.filter(F.col("session_end") <= horizon)
+    assert sess_closed.count() == batch_closed.count()
+
+
+def test_continuous_ewma_stateful(spark, events_dir):
+    """applyInPandasWithState EWMA over the full stream == batch fold."""
+    from kafka_stream_aggregator_spark.streaming.stateful import continuous_ewma
+
+    a = ewma_alpha(5)
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sdf = continuous_ewma(stream, a, key_cols=("user_id",))
+    out = _run(spark, sdf, "s_cont", mode="update")
+    # last update per key is the final state
+    from pyspark.sql import Window as W
+
+    final = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("user_id").orderBy(F.col("n_seen").desc())),
+        )
+        .filter("rn = 1")
+        .select("user_id", "ewma", "n_seen")
+    )
+    got = {r["user_id"]: (r["n_seen"], round(r["ewma"], 9)) for r in final.collect()}
+
+    import numpy as np
+
+    pdf = (
+        spark.read.parquet(events_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        cur = 0.0
+        for x in grp["value"]:
+            cur = a * float(x) + (1 - a) * cur
+        want[uid] = (len(grp), round(cur, 9))
+    assert got == want
+
+
+def test_processing_time_compat_foreachbatch(spark, events_dir, tmp_path):
+    """S3 compat path: the foreachBatch fold machinery (driven with
+    availableNow so the test is deterministic; production uses the
+    processingTime trigger)."""
+    from kafka_stream_aggregator_spark.indicators import ewma_fold
+
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sink = foreach_batch_parquet_writer(str(tmp_path / "out"))
+    a = ewma_alpha(5)
+
+    def fold_batch(batch_df, batch_id):
+        agg = batch_df.agg(
+            ewma_fold(F.collect_list("value"), a).alias("current"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        sink(agg.filter(F.col("current") > 0.0), batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() >= 1
+    assert set(out.columns) == {"current", "n_rows"}
+
+
+def test_confluent_framing_slice(spark):
+    """5-byte Confluent frame: id extracted, payload sliced past it."""
+    import struct
+
+    framed = b"\x00" + struct.pack(">I", 42) + b'{"price": 1.5}'
+    df = spark.createDataFrame([(bytearray(framed),)], "value binary")
+    row = df.select(
+        confluent_schema_id(F.col("value")).alias("sid"),
+        confluent_avro_payload(F.col("value")).cast("string").alias("body"),
+    ).first()
+    assert row["sid"] == 42
+    assert row["body"] == '{"price": 1.5}'
+
+
+def test_checkpoint_recovery(spark, events_dir, tmp_path):
+    """Restarting a query on the same checkpoint does not re-emit
+    already-processed data (upgrades reference's at-least-once, S6)."""
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    outp, ckpt = str(tmp_path / "o"), str(tmp_path / "c")
+    q = (
+        stream.select("event_id")
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n1 = spark.read.parquet(outp).count()
+    # restart on same checkpoint: no new input -> no duplicates
+    q2 = (
+        file_stream(spark, events_dir, EVENTS_SCHEMA)
+        .select("event_id")
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    n2 = spark.read.parquet(outp).count()
+    assert n1 == n2

@@ -1,0 +1,97 @@
+"""TOML pipeline runner (R13 config parity) tests."""
+
+from __future__ import annotations
+
+import textwrap
+
+from kafka_stream_aggregator_spark.plans.toml_runner import (
+    load_spec,
+    run_pipeline,
+)
+
+
+def test_env_overlay(tmp_path):
+    p = tmp_path / "c.toml"
+    p.write_text(
+        textwrap.dedent(
+            """
+            [source]
+            kind = "rate"
+            rows_per_second = 10
+            """
+        )
+    )
+    spec = load_spec(str(p), env={"APP_SOURCE__ROWS_PER_SECOND": "99"})
+    assert spec["source"]["rows_per_second"] == 99
+
+
+def test_batch_pipeline_ewma(spark, sf_dir, tmp_path):
+    p = tmp_path / "batch.toml"
+    p.write_text(
+        textwrap.dedent(
+            f"""
+            [pipeline]
+            name = "batch-ewma"
+
+            [source]
+            kind = "parquet"
+            dir = "{sf_dir}"
+            table = "events"
+
+            [[transform]]
+            kind = "filter"
+            predicate = "event_type = 'click'"
+
+            [[transform]]
+            kind = "indicator"
+            name = "EWMA"
+            period = 5
+
+            [sink]
+            kind = "return"
+            """
+        )
+    )
+    df = run_pipeline(spark, str(p))
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"window_start", "window_end", "n_rows", "ewma"}
+    assert all(r["ewma"] > 0 for r in rows)
+
+
+def test_streaming_pipeline_from_config(spark, sf_dir, tmp_path):
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    src = str(tmp_path / "in")
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    p = tmp_path / "stream.toml"
+    p.write_text(
+        textwrap.dedent(
+            f"""
+            [pipeline]
+            name = "agg-producer"
+
+            [source]
+            kind = "file-stream"
+            path = "{src}"
+            schema = "events"
+
+            [[transform]]
+            kind = "indicator"
+            name = "EWMA"
+            period = 5
+            group_cols = ["event_type"]
+
+            [sink]
+            kind = "memory"
+            name = "toml_agg_out"
+            """
+        )
+    )
+    q = run_pipeline(spark, str(p))
+    q.awaitTermination()
+    out = spark.table("toml_agg_out")
+    assert out.count() > 900
+    assert set(out.columns) == {
+        "event_type", "window_start", "window_end", "n_rows", "ewma",
+    }
