@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     setops,
     streaming_q,
     tpch,
+    udf_io,
     windows,
 )
 from .base import REGISTRY, QuerySpec

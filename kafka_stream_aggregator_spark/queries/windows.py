@@ -243,16 +243,30 @@ def win_topk_per_group(spark, sf_dir):
     """,
 )
 def win_cumulative_ewma(spark, sf_dir):
+    """Linear per-key recurrence via applyInPandas (grouped-map, Arrow).
+
+    A collect_list window frame would materialize O(n^2) values per key
+    (every row carries its whole prefix) — fine at 60k rows, fatal at
+    100 TB. The grouped-map fold is O(n) per key, parallel across keys,
+    and one shuffle; the closed-form SQL oracle pins its semantics.
+    """
+    import pandas as pd
+
     a = ewma_alpha(5)
-    e = t(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    vals = F.collect_list("value").over(w)  # frame is already ordered
-    return e.select(
-        "user_id",
-        "event_id",
-        F.round(ewma_fold(vals, a), 6).alias("ewma"),
+    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cur, out = 0.0, []
+        for x in pdf["value"].to_numpy():
+            cur = a * float(x) + (1.0 - a) * cur
+            out.append(cur)
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma": out}
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(fold, "user_id long, event_id long, ewma double")
+        .select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
     )

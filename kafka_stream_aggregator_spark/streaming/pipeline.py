@@ -160,3 +160,38 @@ def processing_time_ewma_query(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w
+
+
+def stream_static_join(
+    stream: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Stream ⋈ static dimension. The static side is broadcast per
+    micro-batch (re-resolved each trigger, so slowly-changing dims pick
+    up updates without restarting the query)."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    watermark: str = "10 minutes",
+    max_lag_seconds: int = 3600,
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-bound condition.
+
+    Both sides carry watermarks and the join condition bounds the event-
+    time distance, so each side's state store holds only `watermark +
+    max_lag` worth of rows — bounded state, the requirement for an
+    unbounded stream pair at scale."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag_seconds} SECONDS"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "inner")

@@ -264,3 +264,66 @@ def test_checkpoint_recovery(spark, events_dir, tmp_path):
     q2.awaitTermination()
     n2 = spark.read.parquet(outp).count()
     assert n1 == n2
+
+
+def test_stream_static_join(spark, events_dir, sf_dir):
+    from kafka_stream_aggregator_spark.streaming.pipeline import stream_static_join
+
+    # static dim: per-user total counts derived from the batch table
+    dim = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.col("user_id").alias("d_user"))
+        .count()
+        .withColumnRenamed("count", "user_total")
+    )
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    joined = stream_static_join(
+        stream, dim, F.col("user_id") == F.col("d_user")
+    ).select("event_id", "user_total")
+    out = _run(spark, joined, "s_static")
+    assert out.count() == spark.read.parquet(events_dir).count()
+    # spot-check one user's annotation
+    row = out.join(
+        spark.read.parquet(events_dir).select("event_id", "user_id"), "event_id"
+    ).first()
+    expect = dim.filter(F.col("d_user") == row["user_id"]).first()["user_total"]
+    assert row["user_total"] == expect
+
+
+def test_stream_stream_join(spark, events_dir):
+    from kafka_stream_aggregator_spark.streaming.pipeline import stream_stream_join
+
+    ev = spark.read.parquet(events_dir)
+    purchases = file_stream(spark, events_dir, EVENTS_SCHEMA).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = (
+        file_stream(spark, events_dir, EVENTS_SCHEMA)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+        )
+    )
+    joined = stream_stream_join(
+        purchases, clicks, "user_id", "r_user", max_lag_seconds=3600
+    ).select("event_id", "r_event_id")
+    got = _run(spark, joined, "s_ss").count()
+    # batch twin: same inner time-bound join
+    p = ev.filter("event_type = 'purchase'")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    want = (
+        p.join(
+            c,
+            (p.user_id == c.r_user)
+            & (c.r_ts >= p.ts - F.expr("INTERVAL 3600 SECONDS"))
+            & (c.r_ts <= p.ts),
+        )
+        .count()
+    )
+    assert got == want and got > 0
