@@ -97,3 +97,29 @@ def windowed_ewma(
     if emit_positive_only:
         out = out.filter(F.col("ewma") > 0.0)
     return out
+
+
+def cumulative_ewma_col(
+    value_col: str,
+    alpha: float,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+) -> Column:
+    """Continuous (cross-row) zero-seeded EWMA as a pure window expression.
+
+    Closed form S_i = alpha * lam^i * sum_j(x_j * lam^-j) over a running
+    window — one shuffle, JVM-side, no python. lam^-i overflows past
+    ~100k rows per key (lam = 1 - 2/301), so this is the fast path for
+    bounded key cardinality; for unbounded keys use the grouped-map fold
+    (queries/windows.py win_cumulative_ewma docstring) or the streaming
+    stateful op (streaming/stateful.py), both O(1) memory per row.
+    """
+    from pyspark.sql import Window as W
+
+    a = float(alpha)
+    lam = 1.0 - a
+    w_rank = W.partitionBy(*partition_by).orderBy(*order_by)
+    w_run = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    rn = F.row_number().over(w_rank).cast("double")
+    scaled = F.col(value_col) * F.pow(F.lit(lam), -rn)
+    return F.lit(a) * F.pow(F.lit(lam), rn) * F.sum(scaled).over(w_run)

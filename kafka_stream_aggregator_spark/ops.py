@@ -127,3 +127,33 @@ def global_top_k(df: DataFrame, order_by: Sequence[Column | str], k: int) -> Dat
     """orderBy().limit(k) — compiles to TakeOrderedAndProject: each task
     keeps a k-heap, driver merges; no global sort at any scale."""
     return df.orderBy(*order_by).limit(k)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join: replicate the (small-ish) dim side across
+    `salt_buckets` salts and spread the fact side's hot keys uniformly.
+
+    A plain shuffle join sends every row of a hot key to ONE reducer; at
+    100 TB a single skewed key (a null user_id, a default partition key)
+    stalls the stage. Salting bounds any reducer at 1/salt_buckets of a
+    key's rows. AQE skew-join handles sort-merge cases adaptively; this
+    is the explicit tool for when the skew is known and extreme.
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    salted_dim = dim.select("*", salts)
+    out = salted_fact.join(
+        salted_dim,
+        (F.col(fact_key) == F.col(dim_key)) & (salted_fact["__salt"] == salted_dim["__salt"]),
+        how,
+    )
+    return out.drop("__salt")

@@ -165,7 +165,7 @@ def doc_fingerprint_groups(spark, sf_dir):
            round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
     FROM inter JOIN sizes sa ON id_a = sa.doc_id
                JOIN sizes sb ON id_b = sb.doc_id
-    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.01
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
@@ -180,8 +180,10 @@ def ngram_jaccard_pairs(spark, sf_dir):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    sh = d.select(
-        "doc_id", "lang", F.explode(shingles).alias("sh")
+    # join on 8-byte shingle hashes, not strings: same jaccard (collision
+    # odds ~n^2/2^64), ~10x smaller shuffle for the self-join
+    sh = d.select("doc_id", "lang", F.explode(shingles).alias("s")).select(
+        "doc_id", "lang", F.xxhash64("s").alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(
@@ -204,7 +206,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(jac >= 0.05)
+        .filter(jac >= 0.01)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -312,3 +312,88 @@ def fn_struct_ops(spark, sf_dir):
         s.getField("yr").alias("s_year"),
         s.getField("total").alias("s_total"),
     )
+
+
+@query(
+    "fn_array_suite2",
+    # posexplode ≡ unnest + generate_subscripts; Spark set ops sort-
+    # normalized on both sides (result order is engine-defined).
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 50
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(range(1, 4), x -> CAST(x AS VARCHAR)), ',')
+             AS seq3,
+           round(list_aggregate(flatten([list_slice(v, 1, 2),
+                                         list_slice(v, 3, 4)]), 'sum'), 6)
+             AS flat_sum,
+           list_contains(list_transform(v, x -> x > 0.5), true) AS any_gt,
+           round(list_slice(list_reverse_sort(v), 1, 1)[1], 6) AS top1,
+           CAST(list_position(list_transform(v, x -> x > 0.5), true) AS INT)
+             AS first_gt_pos
+    FROM e
+    """,
+)
+def fn_array_suite2(spark, sf_dir):
+    from ..llm.similarity import as_double
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 50)
+        .withColumn("v", as_double(F.col("embedding")))
+    )
+    return e.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(3)), lambda x: x.cast("string")),
+            ",",
+        ).alias("seq3"),
+        F.round(
+            F.aggregate(
+                F.flatten(F.array(F.slice("v", 1, 2), F.slice("v", 3, 2))),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("flat_sum"),
+        F.array_contains(F.transform("v", lambda x: x > 0.5), True).alias("any_gt"),
+        F.round(
+            F.element_at(F.slice(F.sort_array("v", asc=False), 1, 1), 1), 6
+        ).alias("top1"),
+        F.array_position(F.transform("v", lambda x: x > 0.5), True)
+        .cast("int")
+        .alias("first_gt_pos"),
+    )
+
+
+@query(
+    "fn_json_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k_val,
+           CAST(props->>'$.k' AS INT) % 7 AS k_mod
+    FROM events WHERE event_id < 3000
+    """,
+)
+def fn_json_from_json(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        (parsed["k"] % 7).alias("k_mod"),
+    )
+
+
+@query("fn_hash_spark_native", oracle=None)
+def fn_hash_spark_native(spark, sf_dir):
+    """xxhash64 / murmur3 / crc32 — Spark-native hashes with no DuckDB
+    twin; determinism asserted in tests (stable across runs & partitions)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("h_xx"),
+        F.hash("c_name").alias("h_murmur"),
+        F.crc32(F.col("c_name").cast("binary")).alias("h_crc"),
+    )

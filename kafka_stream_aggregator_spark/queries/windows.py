@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..indicators import ewma_alpha, ewma_fold
+from ..indicators import cumulative_ewma_col, ewma_alpha, ewma_fold
 from .base import query, t
 
 
@@ -243,30 +243,17 @@ def win_topk_per_group(spark, sf_dir):
     """,
 )
 def win_cumulative_ewma(spark, sf_dir):
-    """Linear per-key recurrence via applyInPandas (grouped-map, Arrow).
-
-    A collect_list window frame would materialize O(n^2) values per key
-    (every row carries its whole prefix) — fine at 60k rows, fatal at
-    100 TB. The grouped-map fold is O(n) per key, parallel across keys,
-    and one shuffle; the closed-form SQL oracle pins its semantics.
-    """
-    import pandas as pd
-
+    """Continuous per-key EWMA via the JVM closed-form window expression
+    (indicators.cumulative_ewma_col) — one shuffle, codegen'd, no python.
+    Safe while any single key holds < ~100k rows (lam^-i overflow bound);
+    beyond that the engine's grouped-map fold / stateful streaming op are
+    the unbounded-scale paths (see indicators.cumulative_ewma_col)."""
     a = ewma_alpha(5)
-    e = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        cur, out = 0.0, []
-        for x in pdf["value"].to_numpy():
-            cur = a * float(x) + (1.0 - a) * cur
-            out.append(cur)
-        return pd.DataFrame(
-            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma": out}
-        )
-
-    return (
-        e.groupBy("user_id")
-        .applyInPandas(fold, "user_id long, event_id long, ewma double")
-        .select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            cumulative_ewma_col("value", a, ["user_id"], ["ts", "event_id"]), 6
+        ).alias("ewma"),
     )

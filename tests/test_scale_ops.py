@@ -1,0 +1,108 @@
+"""Scale-path operators: skew-salted join, bucketed co-located join.
+
+These verify the *mechanisms* the engine reaches for at 100 TB:
+salting (bound any one reducer's share of a hot key) and bucketing
+(pre-shuffle data once at write time, join forever shuffle-free).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_aggregator_spark.ops import salted_join
+from kafka_stream_aggregator_spark.tables import load_table
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Same result as the plain join, including under a hot key."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # make a deliberately skewed fact: map 90% of keys to one hot key
+    fact = l.withColumn(
+        "k", F.when(F.col("l_orderkey") % 10 < 9, F.lit(7)).otherwise(F.col("l_orderkey"))
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("dk"), "o_orderstatus")
+    )
+    plain = fact.join(dim, fact.k == dim.dk).groupBy("o_orderstatus").count()
+    salted = (
+        salted_join(fact, dim, "k", "dk", salt_buckets=8)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted fact side spreads the hot key across all salt buckets."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    fact = l.withColumn("k", F.lit(7))  # 100% hot
+    salted = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)),
+    )
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets == 8
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    # warehouse.dir is a static conf — managed tables land in the
+    # session's default warehouse; DROP TABLE below cleans them up.
+    lt = load_table(spark, sf_dir, "lineitem")
+    ot = load_table(spark, sf_dir, "orders")
+    spark.sql("DROP TABLE IF EXISTS l_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    (
+        lt.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("l_bucketed")
+    )
+    (
+        ot.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("o_bucketed")
+    )
+    yield "l_bucketed", "o_bucketed"
+    spark.sql("DROP TABLE IF EXISTS l_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
+    """Joining two tables bucketed on the join key runs with ZERO
+    Exchange operators — the 100 TB co-location strategy: pay the
+    shuffle once at write time, never again."""
+    lb, ob = bucketed_tables
+    # at sf0.001 Catalyst would just broadcast the whole orders table
+    # (correct, but it bypasses bucketing); disable auto-broadcast to
+    # exercise the plan shape that matters at scale, where neither side
+    # fits in memory and bucketing is what removes the shuffle.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(lb).join(
+            spark.table(ob), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange" not in plan, plan[:800]
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+    # and it computes the same thing as the un-bucketed join
+    n_plain = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == n_plain
+
+
+def test_hash_functions_deterministic(spark, sf_dir):
+    from kafka_stream_aggregator_spark.queries import REGISTRY
+
+    a = REGISTRY["fn_hash_spark_native"].fn(spark, sf_dir).collect()
+    b = REGISTRY["fn_hash_spark_native"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
