@@ -3,12 +3,14 @@
 from . import (  # noqa: F401
     aggs,
     events,
+    indicators_q,
     joins,
     llm,
     scalars,
     setops,
     streaming_q,
     tpch,
+    tpch2,
     udf_io,
     windows,
 )
