@@ -397,3 +397,38 @@ def fn_hash_spark_native(spark, sf_dir):
         F.hash("c_name").alias("h_murmur"),
         F.crc32(F.col("c_name").cast("binary")).alias("h_crc"),
     )
+
+
+@query(
+    "fn_json_tuple",
+    oracle="""
+    SELECT event_id, props->>'$.k' AS k
+    FROM events WHERE event_id < 2000
+    """,
+)
+def fn_json_tuple(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select("event_id", F.json_tuple("props", "k").alias("k"))
+
+
+@query(
+    "fn_posexplode",
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(v5, 1) AS INT) - 1 AS pos,
+           round(unnest(v5), 6) AS elem
+    FROM (SELECT vec_id, (embedding::DOUBLE[])[1:5] AS v5
+          FROM embeddings WHERE vec_id < 100)
+    """,
+)
+def fn_posexplode(spark, sf_dir):
+    from ..llm.similarity import as_double
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 100)
+        .select("vec_id", F.slice(as_double(F.col("embedding")), 1, 5).alias("v5"))
+    )
+    return e.select(
+        "vec_id", F.posexplode("v5").alias("pos", "elem")
+    ).select("vec_id", "pos", F.round("elem", 6).alias("elem"))
