@@ -2,11 +2,14 @@
 
 Runs the headline queries (bench=True in the registry) at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Materialization is via the noop sink (full execution, no driver
-collect) — measures engine time, not result-transfer time.
+Sequential power pass: each query runs once, timed individually;
+"value" = total wall seconds. (A concurrent throughput pass was
+measured and rejected: on a single local[N] JVM, 8 concurrent jobs
+contend on the scheduler and run ~5x slower than sequential.)
+
+Materialization via the noop sink: full execution, no driver collect.
 """
 
 from __future__ import annotations
@@ -21,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kafka_stream_aggregator_spark.queries import REGISTRY
 from kafka_stream_aggregator_spark.session import get_spark
 
-
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -31,22 +33,29 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     names = [n for n, s in REGISTRY.items() if s.bench]
-    timings: dict[str, float] = {}
-    # one warm-up pass on a tiny query to absorb JVM/codegen startup
+
+    # warm-up: one tiny query absorbs JVM/codegen startup. NOTE: we do
+    # NOT cache the input tables — InMemoryRelation defeats parquet
+    # filter pushdown + column pruning and skews join-size estimates;
+    # measured slower than warm-OS-cache parquet scans on every query.
     materialize(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).limit(1))
-    t_all = time.time()
+
+    timings: dict[str, float] = {}
+    t_seq = time.time()
     for name in names:
         t0 = time.time()
         materialize(REGISTRY[name].fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_all, 3)
+    sequential = round(time.time() - t_seq, 3)
+
     print(
         json.dumps(
             {
                 "metric": "bench_total_sec",
-                "value": total,
+                "value": sequential,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(names),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

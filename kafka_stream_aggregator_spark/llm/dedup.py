@@ -59,14 +59,23 @@ def minhash_signatures(
 
     One explode + one groupBy(id) with k min() aggregates (map-side
     partial min keeps the shuffle tiny: k longs per doc).
+
+    The input is spread across the cluster first: a small corpus often
+    arrives as one parquet file -> one partition, which would serialize
+    the (CPU-heavy) shingling on a single core.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    # hash each shingle string ONCE to 8 bytes, then derive the k
+    # independent min-hash functions by re-hashing the long with a seed —
+    # k string hashes per shingle would dominate the whole pipeline
+    # (n_shingles x k x strlen work); k long hashes are ~20x cheaper.
     ex = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(_shingles(F.col(text_col), shingle_len)).alias("__sh"),
-    )
+        F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
+    ).select("__id", F.xxhash64("__s").alias("__h"))
     mins = ex.groupBy("__id").agg(
         *[
-            F.min(F.xxhash64("__sh", F.lit(k))).alias(f"h{k}")
+            F.min(F.xxhash64("__h", F.lit(k))).alias(f"h{k}")
             for k in range(n_hashes)
         ]
     )
@@ -94,6 +103,7 @@ def minhash_near_dup(
     """
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_len)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -136,10 +146,16 @@ def minhash_near_dup(
 
     # verification joins on 8-byte shingle hashes, not strings — ~10x less
     # shuffle volume and a long-key hash join (collision odds ~n^2/2^64).
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
-    ).select("__id", F.xxhash64("__s").alias("__sh"))
+    # cached: the self-join reads this subtree twice (sh_a and sh_b), and
+    # without the cache Spark re-runs the tokenize+explode for each side.
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
+        )
+        .select("__id", F.xxhash64("__s").alias("__sh"))
+        .cache()
+    )
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = sh.select(F.col("__id").alias("rid_b"), F.col("__sh").alias("sh_b"))
@@ -172,7 +188,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("__id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"),
     ).withColumn("__h", F.xxhash64("__t"))
-    bit_sums = toks.groupBy("__id").agg(
+    bit_sums = toks.repartition("__id").groupBy("__id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("__h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(

@@ -63,7 +63,10 @@ def doc_exact_dedup(spark, sf_dir):
     """,
 )
 def doc_token_stats(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # spread the single-file corpus across cores before the regex work
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     s = token_stats(F.col("text"))
     return d.select(
         "doc_id",
@@ -104,7 +107,9 @@ def doc_token_stats(spark, sf_dir):
     """,
 )
 def doc_quality_by_source(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         d.withColumn("score", quality_score(F.col("text")))
         .groupBy("source")
@@ -169,7 +174,11 @@ def doc_fingerprint_groups(spark, sf_dir):
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     shingles = F.when(
         F.size(toks) >= 3,
