@@ -323,3 +323,20 @@ def doc_lang_id_heuristic(spark, sf_dir):
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark, sf_dir):
+    """Binary-column plumbing driven end-to-end: documents' text bytes
+    stand in for media payloads (no codec libs in this container — the
+    decode is a deterministic byte-statistics fake, the Spark plumbing
+    is production-shaped: binary column + metadata struct + Arrow
+    mapInPandas batches). Rows-only driver check; exact values asserted
+    in tests/test_llm.py::test_multimodal_plumbing."""
+    from ..llm.multimodal import attach_meta, image_features
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    media = attach_meta(d, "doc_id", "payload")
+    return image_features(media)

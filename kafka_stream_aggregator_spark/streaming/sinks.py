@@ -64,3 +64,47 @@ def start_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+class ProgressListener:
+    """R12 analogue: stream observability via StreamingQueryListener.
+
+    The reference traces per-record spans through Kafka headers into
+    Zipkin (registry_handler.rs:10-48); Spark's idiom is query-progress
+    events — rows/sec, batch durations, watermark, state size — captured
+    here into a list the caller can inspect or forward.
+    """
+
+    def __init__(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                outer.started.append(event.id)
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                outer.progress.append(
+                    {
+                        "batchId": p.batchId,
+                        "numInputRows": p.numInputRows,
+                        "durationMs": dict(p.durationMs),
+                    }
+                )
+
+            def onQueryTerminated(self, event):
+                outer.terminated.append(event.id)
+
+        self.started: list = []
+        self.progress: list = []
+        self.terminated: list = []
+        self._listener = _L()
+
+    def attach(self, spark) -> "ProgressListener":
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark) -> None:
+        spark.streams.removeListener(self._listener)

@@ -327,3 +327,32 @@ def test_stream_stream_join(spark, events_dir):
         .count()
     )
     assert got == want and got > 0
+
+
+def test_progress_listener(spark, events_dir):
+    from kafka_stream_aggregator_spark.streaming.sinks import ProgressListener
+
+    lis = ProgressListener().attach(spark)
+    try:
+        stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+        q = start_to_memory(stream.select("event_id"), "s_listener")
+        q.awaitTermination()
+        import time
+
+        for _ in range(20):  # listener events are async
+            if lis.progress:
+                break
+            time.sleep(0.5)
+        assert lis.started
+        assert any(p["numInputRows"] > 0 for p in lis.progress)
+    finally:
+        lis.detach(spark)
+
+
+def test_complete_output_mode(spark, events_dir):
+    """Complete mode re-emits the full aggregate every batch."""
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    agg = stream.groupBy("event_type").count()
+    out = _run(spark, agg, "s_complete", mode="complete")
+    batch = spark.read.parquet(events_dir).groupBy("event_type").count()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
