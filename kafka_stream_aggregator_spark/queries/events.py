@@ -210,3 +210,51 @@ def event_type_rollup_daily(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "ewma_5min_twolevel",
+    # same semantics (and same closed-form oracle) as ewma_5min, computed
+    # with the two-level segment fold. 2x slower at small scale (second
+    # shuffle) — its purpose is bounded reducer memory when one window
+    # holds more rows than an executor can collect; not in the bench set.
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS n
+      FROM events
+    )
+    SELECT event_type, window_start,
+           window_start + 300 AS window_end,
+           count(*) AS n_rows,
+           round(sum({_A5} * pow(1.0 - {_A5}, n - rn) * value), 6) AS ewma
+    FROM r
+    GROUP BY event_type, window_start
+    HAVING sum({_A5} * pow(1.0 - {_A5}, n - rn) * value) > 0
+    """,
+)
+def ewma_5min_twolevel(spark, sf_dir):
+    from ..indicators import windowed_ewma_two_level
+
+    e = t(spark, sf_dir, "events")
+    out = windowed_ewma_two_level(
+        e,
+        group_cols=("event_type",),
+        period_minutes=5,
+        sub_bucket_seconds=30,
+    )
+    return out.select(
+        "event_type",
+        "window_start",
+        "window_end",
+        "n_rows",
+        F.round("ewma", 6).alias("ewma"),
+    )

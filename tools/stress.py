@@ -1,0 +1,85 @@
+"""Scale stress check: the engine's heavy operators on a 10M-row events
+table synthesized by exploding sf0.1 (100k rows x 100 replicas with
+perturbed keys/timestamps — no testdata mutation; output to /tmp).
+
+This is not the bench (bench.py is the driver contract); it exists to
+answer the scale-up question directly: do the plans that win at 600k
+rows still run, without memory blowups or single-task stages, at 100x?
+Run:  python tools/stress.py [n_replicas]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafka_stream_aggregator_spark.indicators import (
+    cumulative_ewma_col,
+    ewma_alpha,
+    windowed_ewma,
+)
+from kafka_stream_aggregator_spark.ops import asof_join, sessionize
+from kafka_stream_aggregator_spark.session import get_spark
+from kafka_stream_aggregator_spark.tables import load_table
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    spark = get_spark("stress")
+    base = load_table(spark, "/root/testdata/sf0.1", "events")
+
+    out_dir = tempfile.mkdtemp(prefix="stress_events_")
+    t0 = time.time()
+    # replicate: shift each replica by r days and give it disjoint
+    # user/event id ranges, preserving intra-replica distributions
+    r = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("r")
+    big = (
+        base.select("*", r)
+        .select(
+            (F.col("event_id") + F.col("r") * 1_000_000).alias("event_id"),
+            (F.col("ts") + F.make_interval(days=F.col("r"))).alias("ts"),
+            (F.col("user_id") + F.col("r") * 1_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    big.write.mode("overwrite").parquet(out_dir)
+    n = spark.read.parquet(out_dir).count()
+    print(f"materialized {n:,} rows in {time.time()-t0:.1f}s -> {out_dir}")
+
+    ev = spark.read.parquet(out_dir)
+
+    def tt(label, df):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"{label}: {time.time()-t0:.1f}s")
+
+    tt("windowed_ewma(5min, by type)", windowed_ewma(
+        ev, group_cols=("event_type",), period_minutes=5))
+    tt("cumulative_ewma(by user)", ev.select(
+        "user_id", "event_id",
+        cumulative_ewma_col("value", ewma_alpha(5), ["user_id"], ["ts", "event_id"]).alias("e")))
+    tt("sessionize+agg", sessionize(ev).groupBy("user_id", "session_id").count())
+    left = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    right = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("ru"), F.col("ts").alias("rts"),
+        F.col("event_id").alias("rid"), F.col("value").alias("rv"))
+    tt("asof_join(purchase<-click)", asof_join(
+        left, right, "ts", "rts", "user_id", "ru", "rid", ["rv"]))
+    tt("topk_per_user", ev.groupBy("user_id").agg(
+        F.max("value"), F.percentile_approx("value", 0.5)))
+
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
