@@ -258,3 +258,98 @@ def ewma_5min_twolevel(spark, sf_dir):
         "n_rows",
         F.round("ewma", 6).alias("ewma"),
     )
+
+
+@query(
+    "sliding_window_counts",
+    # batch-mode sliding window: F.window(ts, 10min, 5min) maps each row
+    # to exactly 2 windows; the oracle reproduces that with an unnest
+    # over the two candidate window starts.
+    oracle="""
+    SELECT event_type,
+           (CAST(floor(epoch(ts) / 300) AS BIGINT) - g) * 300 AS window_start,
+           count(*) AS n_rows,
+           round(sum(value), 6) AS sum_value
+    FROM events, unnest([0, 1]) AS u(g)
+    GROUP BY event_type, 2
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "10 minutes", "5 minutes").alias("win"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp("win.start").alias("window_start"),
+            "n_rows",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "session_window_batch",
+    # native session_window (gap 30min) in batch mode; oracle = the
+    # lag/cumsum sessionization with start=min(ts), end=max(ts)+gap.
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_batch(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").alias("session_start"),
+            F.unix_timestamp("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("trade_pipeline_ewma", oracle=None)
+def trade_pipeline_ewma(spark, sf_dir):
+    """The reference's full trade chain (synthetic trades -> Confluent-
+    framed messages -> decode -> 5-min zero-seeded EWMA -> EWMA record
+    shape). Self-checked: exact parity vs a python reimplementation of
+    indicators.rs in tests/test_trade_pipeline.py."""
+    from ..streaming.trade_pipeline import (
+        aggregate_trades,
+        decode_trades,
+        frame_trades,
+        synthetic_trades,
+    )
+
+    trades = synthetic_trades(spark, n=20_000)
+    return aggregate_trades(decode_trades(frame_trades(trades)), per_instrument=True)
