@@ -1,6 +1,7 @@
 """Query registry assembly — importing the modules registers everything."""
 
 from . import (  # noqa: F401
+    analytics,
     aggs,
     events,
     indicators_q,

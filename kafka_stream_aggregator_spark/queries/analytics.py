@@ -1,0 +1,203 @@
+"""Time-series / product-analytics operators over the event stream —
+the composite shapes a real pipeline needs beyond raw SQL primitives:
+gap filling, cohort retention, cumulative distinct counts, embedding
+quantization. All pure DataFrame expressions with exact SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .base import query, t
+
+
+@query(
+    "ts_gap_fill",
+    # dense 1-hour grid per event_type via sequence + left join; missing
+    # slots carry 0 events. The grid generation is a tiny cross join
+    # (types x hours), never a per-row explosion.
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(ts)) / 3600) * 3600 AS BIGINT) AS lo,
+             CAST(floor(epoch(max(ts)) / 3600) * 3600 AS BIGINT) AS hi
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, g.slot
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(range(lo, hi + 3600, 3600)) AS slot
+                  FROM bounds) g
+    ), agg AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS slot,
+             count(*) AS n, round(sum(value), 6) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT grid.event_type, grid.slot,
+           coalesce(n, 0) AS n_events,
+           coalesce(sv, 0.0) AS sum_value
+    FROM grid LEFT JOIN agg
+      ON grid.event_type = agg.event_type AND grid.slot = agg.slot
+    """,
+)
+def ts_gap_fill(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    slot = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    agg = e.groupBy(
+        "event_type", slot.alias("slot")
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sv"))
+    bounds = e.agg(
+        (F.floor(F.min(F.unix_timestamp("ts")) / 3600) * 3600)
+        .cast("long")
+        .alias("lo"),
+        (F.floor(F.max(F.unix_timestamp("ts")) / 3600) * 3600)
+        .cast("long")
+        .alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            bounds.select(
+                F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("slot")
+            )
+        )
+    )
+    return grid.join(agg, ["event_type", "slot"], "left").select(
+        "event_type",
+        "slot",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "cohort_retention",
+    # classic retention matrix: users bucketed by first-seen week, counted
+    # as active in each later week. Two aggregations + one join, all
+    # shuffles on user_id/week — the scalable cohort shape.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    )
+    SELECT cohort_week,
+           week - cohort_week AS week_offset,
+           count(*) AS n_active
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY cohort_week, week - cohort_week
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    week = (F.floor(F.unix_timestamp("ts") / 604800)).cast("long")
+    firsts = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = e.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "cumulative_distinct_users",
+    # running distinct-user count per day: windowed countDistinct isn't a
+    # Spark window function, so mark each user's first day (row_number==1
+    # over user) and run a cumulative sum of first-appearances — the
+    # standard scalable rewrite.
+    oracle="""
+    WITH day_first AS (
+      SELECT CAST(floor(epoch(min(ts)) / 86400) AS BIGINT) AS day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT day, count(*) AS new_users FROM day_first GROUP BY day
+    ), all_days AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
+    )
+    SELECT a.day,
+           sum(coalesce(new_users, 0))
+             OVER (ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum_users
+    FROM all_days a LEFT JOIN per_day p ON a.day = p.day
+    """,
+)
+def cumulative_distinct_users(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 86400)).cast("long")
+    day_first = e.groupBy("user_id").agg(F.min(day).alias("day"))
+    per_day = day_first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    all_days = e.select(day.alias("day")).distinct()
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        all_days.join(per_day, "day", "left")
+        .select(
+            "day",
+            F.sum(F.coalesce("new_users", F.lit(0))).over(w).alias("cum_users"),
+        )
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    # scalar int8 quantization of embeddings (storage/IO reduction at
+    # 100 TB): per-vector absmax scale, symmetric round-to-nearest;
+    # reports reconstruction error. Pure higher-order expressions.
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+    ), s AS (
+      SELECT vec_id, v,
+             greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'),
+                      1e-12) AS scale
+      FROM e
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(floor(v[1] / scale * 127 + 0.5) AS INT) AS q_first,
+           round(list_aggregate(list_transform(v,
+                 x -> abs(x - floor(x / scale * 127 + 0.5) / 127.0 * scale)),
+                 'max'), 6) AS max_abs_err
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    from ..llm.similarity import as_double
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+    )
+    scale = F.greatest(
+        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    # internal name "__scale" — the output column is aliased "scale",
+    # and Spark's lateral column aliases (3.4+) would make later
+    # references in the SAME select resolve to the rounded alias,
+    # silently corrupting the error computation.
+    s = e.withColumn("__scale", scale)
+    # floor(x+0.5) instead of round(): identical half-way behavior in
+    # both engines (Spark/DuckDB round() disagree on some double halves)
+    dequant_err = F.transform(
+        "v",
+        lambda x: F.abs(
+            x
+            - F.floor(x / F.col("__scale") * 127 + 0.5) / 127.0 * F.col("__scale")
+        ),
+    )
+    return s.select(
+        "vec_id",
+        F.round("__scale", 6).alias("scale"),
+        F.floor(F.element_at("v", 1) / F.col("__scale") * 127 + 0.5)
+        .cast("int")
+        .alias("q_first"),
+        F.round(F.array_max(dequant_err), 6).alias("max_abs_err"),
+    )
