@@ -9,11 +9,12 @@ All built on DataFrame ops + Arrow-batched pandas where unavoidable; no
 driver-side loops, every fan-out keyed so the shuffles scale.
 """
 
-from .dedup import exact_dedup, minhash_near_dup, minhash_signatures, simhash, simhash_near_dup
+from .dedup import cluster_near_dups, exact_dedup, minhash_near_dup, minhash_signatures, simhash, simhash_near_dup
 from .similarity import brute_force_topk, cosine_sim, ivf_topk
 from .text import fingerprint, lang_id, quality_score, token_stats
 
 __all__ = [
+    "cluster_near_dups",
     "exact_dedup",
     "minhash_near_dup",
     "minhash_signatures",

@@ -258,3 +258,57 @@ def simhash_near_dup(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def cluster_near_dups(
+    pairs: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc id, cluster_id)
+    with cluster_id = min doc id in the component (the canonical doc).
+
+    Iterative label propagation: each node adopts the smallest label
+    among itself and its neighbors until fixpoint — O(diameter)
+    iterations, each one join + one aggregate (all shuffles on id).
+    Near-dup components are tiny (diameter ~2-3), so max_iter=10 is
+    generous; convergence is checked per iteration.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        # materialize once: every iteration joins against edges, and
+        # without this the (possibly expensive) pair-producing pipeline
+        # upstream would re-execute per iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter("n.cluster_id <> o.cluster_id")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage
+        if changed == 0:
+            break
+    return labels

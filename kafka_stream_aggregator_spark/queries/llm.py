@@ -340,3 +340,20 @@ def multimodal_features(spark, sf_dir):
     )
     media = attach_meta(d, "doc_id", "payload")
     return image_features(media)
+
+
+@query("near_dup_clusters", oracle=None)
+def near_dup_clusters(spark, sf_dir):
+    """MinHash pairs -> connected-component clusters -> cluster sizes
+    (the complete dedup flow: each cluster keeps its min-id canonical
+    doc). Self-checked: component correctness in tests/test_llm.py."""
+    from ..llm.dedup import cluster_near_dups, minhash_near_dup
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(d, "doc_id", "text", jaccard_threshold=0.3)
+    clusters = cluster_near_dups(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -163,3 +163,31 @@ def test_multimodal_plumbing(spark):
     assert feats[2]["byte_mean"] == 255.0 and feats[2]["byte_std"] == 0.0
     with pytest.raises(NotImplementedError):
         decode_audio(media)
+
+
+def test_cluster_near_dups(spark):
+    from kafka_stream_aggregator_spark.llm.dedup import cluster_near_dups
+
+    # components: {1,2,3,4} via chain, {7,9}, singleton pairs absent
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (3, 4, 0.7), (7, 9, 0.95)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r["id"]: r["cluster_id"] for r in cluster_near_dups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_cluster_near_dups_on_corpus(spark):
+    """End-to-end: minhash pairs -> clusters; every clustered doc maps to
+    the min id of its pair-connected component."""
+    from kafka_stream_aggregator_spark.llm.dedup import (
+        cluster_near_dups,
+        minhash_near_dup,
+    )
+
+    pairs = minhash_near_dup(
+        _docs_with_dups(spark), "doc_id", "text", jaccard_threshold=0.5
+    )
+    got = {r["id"]: r["cluster_id"] for r in cluster_near_dups(pairs).collect()}
+    # 1,2,3,5 near-dup each other -> one cluster rooted at 1
+    assert got[1] == got[2] == got[5] == 1
