@@ -391,3 +391,15 @@ def agg_approx_distinct(spark, sf_dir):
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
     )
+
+
+@query("agg_sampling", oracle=None)
+def agg_sampling(spark, sf_dir):
+    """Bernoulli TABLESAMPLE with a pinned seed — deterministic within
+    Spark (self-checked: repeatability + fraction tolerance in tests);
+    no cross-engine oracle because RNG streams differ by engine."""
+    s = t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )

@@ -106,3 +106,13 @@ def test_hash_functions_deterministic(spark, sf_dir):
     a = REGISTRY["fn_hash_spark_native"].fn(spark, sf_dir).collect()
     b = REGISTRY["fn_hash_spark_native"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sampling_deterministic_and_sized(spark, sf_dir):
+    from kafka_stream_aggregator_spark.queries import REGISTRY
+
+    a = REGISTRY["agg_sampling"].fn(spark, sf_dir).first()
+    b = REGISTRY["agg_sampling"].fn(spark, sf_dir).first()
+    assert tuple(a) == tuple(b)  # seed-pinned repeatability
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert abs(a["n_sampled"] / total - 0.1) < 0.05

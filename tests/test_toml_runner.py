@@ -95,3 +95,33 @@ def test_streaming_pipeline_from_config(spark, sf_dir, tmp_path):
     assert set(out.columns) == {
         "event_type", "window_start", "window_end", "n_rows", "ewma",
     }
+
+
+def test_raw_producer_passthrough_config(spark, sf_dir, tmp_path):
+    """The shipped raw-producer config: file-stream passthrough with a
+    marker column into a parquet sink (R1-R4 analogue)."""
+    import os
+
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    src = str(tmp_path / "in")
+    load_table(spark, sf_dir, "events").write.parquet(src)
+    env = {
+        "APP_SOURCE__PATH": src,
+        "APP_SINK__PATH": str(tmp_path / "out"),
+        "APP_SINK__CHECKPOINT": str(tmp_path / "ckpt"),
+    }
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        q = run_pipeline(spark, "configs/raw_producer.toml")
+        q.awaitTermination()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == spark.read.parquet(src).count()
+    assert out.filter("ingest_marker = 'raw-producer'").count() == out.count()
