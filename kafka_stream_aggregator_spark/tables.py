@@ -35,6 +35,22 @@ def _normalize(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Memoized per session: DataFrames are immutable logical plans, and
+    # re-reading costs a file listing + footer/schema pass per call —
+    # pure overhead when a query suite reads the same tables repeatedly.
+    cache = getattr(spark, "_ksa_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._ksa_table_cache = cache
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # A driver-supplied vanilla session ships Spark's 200-partition default;
     # on local[N] that's pure overhead (AQE can coalesce batch stages but is

@@ -191,3 +191,36 @@ def test_cluster_near_dups_on_corpus(spark):
     got = {r["id"]: r["cluster_id"] for r in cluster_near_dups(pairs).collect()}
     # 1,2,3,5 near-dup each other -> one cluster rooted at 1
     assert got[1] == got[2] == got[5] == 1
+
+
+def test_minhash_vs_spark_ml_lsh(spark, sf_dir):
+    """Cross-check our DataFrame-native MinHash LSH against pyspark.ml's
+    MinHashLSH approxSimilarityJoin on the same corpus: the high-jaccard
+    pairs our path reports must also be reachable via the ml pipeline."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, Tokenizer
+
+    docs = load_table(spark, sf_dir, "documents").limit(150).select("doc_id", "text")
+    ours = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(
+            docs, "doc_id", "text", jaccard_threshold=0.7
+        ).collect()
+    }
+    tok = Tokenizer(inputCol="text", outputCol="words").transform(
+        docs.withColumn("text", F.lower("text"))
+    )
+    cv = CountVectorizer(inputCol="words", outputCol="features", binary=True).fit(tok)
+    feats = cv.transform(tok).filter(F.expr("aggregate(words, 0, (a, x) -> a + 1) > 0"))
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8).fit(feats)
+    # jaccard distance <= 0.3  <=>  jaccard similarity >= 0.7 (token sets)
+    ml_pairs = {
+        (min(r["datasetA"]["doc_id"], r["datasetB"]["doc_id"]),
+         max(r["datasetA"]["doc_id"], r["datasetB"]["doc_id"]))
+        for r in lsh.approxSimilarityJoin(feats, feats, 0.5).collect()
+        if r["datasetA"]["doc_id"] != r["datasetB"]["doc_id"]
+    }
+    # our pairs use 3-gram shingles, ml uses unigram token sets — ours at
+    # >=0.7 shingle-jaccard implies high token overlap, so every pair we
+    # emit should be in the ml candidate set
+    missed = ours - ml_pairs
+    assert not missed, f"ml LSH missed pairs our path found: {missed}"
