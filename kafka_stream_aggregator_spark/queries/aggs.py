@@ -246,14 +246,17 @@ def agg_cube(spark, sf_dir):
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
-    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    import uuid
+
+    view = "orders_gs" + uuid.uuid4().hex[:8]
+    t(spark, sf_dir, "orders").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT coalesce(o_orderstatus, '<all>') AS status,
                coalesce(o_orderpriority, '<all>') AS priority,
                count(*) AS n_orders,
                round(sum(o_totalprice), 6) AS sum_total
-        FROM orders_gs
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )

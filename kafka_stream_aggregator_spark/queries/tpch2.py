@@ -12,8 +12,15 @@ from .base import query, t
 
 
 def _views(spark, sf_dir, *names):
+    """Register temp views with a per-call unique suffix (a shared name
+    would race if the driver ever ran two queries concurrently on one
+    session); returns the suffix to splice into the SQL."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
     for n in names:
-        t(spark, sf_dir, n).createOrReplaceTempView(f"{n}_v")
+        t(spark, sf_dir, n).createOrReplaceTempView(f"{n}_v{sfx}")
+    return sfx
 
 
 @query(
@@ -30,14 +37,14 @@ def _views(spark, sf_dir, *names):
     """,
 )
 def q4_order_priority(spark, sf_dir):
-    _views(spark, sf_dir, "orders", "lineitem")
+    sfx = _views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderpriority, count(*) AS order_count
-        FROM orders_v
+        FROM orders_v{sfx}
         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-          AND EXISTS (SELECT 1 FROM lineitem_v
+          AND EXISTS (SELECT 1 FROM lineitem_v{sfx}
                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority
         """
@@ -56,14 +63,14 @@ def q4_order_priority(spark, sf_dir):
     """,
 )
 def q11_important_stock(spark, sf_dir):
-    _views(spark, sf_dir, "lineitem")
+    sfx = _views(spark, sf_dir, "lineitem")
     return spark.sql(
-        """
+        f"""
         SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 6) AS part_value
-        FROM lineitem_v
+        FROM lineitem_v{sfx}
         GROUP BY l_partkey
         HAVING sum(l_extendedprice * l_quantity) >
-               (SELECT sum(l_extendedprice * l_quantity) * 0.001 FROM lineitem_v)
+               (SELECT sum(l_extendedprice * l_quantity) * 0.001 FROM lineitem_v{sfx})
         """
     )
 
@@ -103,14 +110,14 @@ def q13_customer_distribution(spark, sf_dir):
     """,
 )
 def q17_small_quantity_revenue(spark, sf_dir):
-    _views(spark, sf_dir, "lineitem", "part")
+    sfx = _views(spark, sf_dir, "lineitem", "part")
     return spark.sql(
-        """
+        f"""
         SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
-        FROM lineitem_v JOIN part_v ON p_partkey = l_partkey
+        FROM lineitem_v{sfx} JOIN part_v{sfx} ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#2'
-          AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem_v l2
-                            WHERE l2.l_partkey = part_v.p_partkey)
+          AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem_v{sfx} l2
+                            WHERE l2.l_partkey = part_v{sfx}.p_partkey)
         """
     )
 
@@ -131,15 +138,15 @@ def q17_small_quantity_revenue(spark, sf_dir):
     """,
 )
 def q18_large_orders(spark, sf_dir):
-    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    sfx = _views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(
-        """
+        f"""
         SELECT c_custkey, o_orderkey, round(o_totalprice, 6) AS total,
                round(sum(l_quantity), 6) AS sum_qty
-        FROM customer_v JOIN orders_v ON c_custkey = o_custkey
-                        JOIN lineitem_v ON o_orderkey = l_orderkey
+        FROM customer_v{sfx} JOIN orders_v{sfx} ON c_custkey = o_custkey
+                        JOIN lineitem_v{sfx} ON o_orderkey = l_orderkey
         WHERE o_orderkey IN (
-          SELECT l_orderkey FROM lineitem_v GROUP BY l_orderkey
+          SELECT l_orderkey FROM lineitem_v{sfx} GROUP BY l_orderkey
           HAVING sum(l_quantity) > 150
         )
         GROUP BY c_custkey, o_orderkey, o_totalprice
@@ -203,14 +210,14 @@ def q19_disjunctive_pushdown(spark, sf_dir):
     """,
 )
 def q22_global_acctbal(spark, sf_dir):
-    _views(spark, sf_dir, "customer", "orders")
+    sfx = _views(spark, sf_dir, "customer", "orders")
     return spark.sql(
-        """
+        f"""
         SELECT substring(c_name, 10, 2) AS cseg, count(*) AS numcust,
                round(sum(c_acctbal), 6) AS totacctbal
-        FROM customer_v
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders_v WHERE o_custkey = c_custkey
+        FROM customer_v{sfx}
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v{sfx} WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders_v{sfx} WHERE o_custkey = c_custkey
                           AND o_orderpriority = '1-URGENT')
         GROUP BY substring(c_name, 10, 2)
         """

@@ -155,14 +155,17 @@ def udtf_tokenize(spark, sf_dir):
             for i, tok in enumerate(text.lower().split()):
                 yield tok, i + 1
 
-    spark.udtf.register("tokenize_udtf", Tokenize)
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    spark.udtf.register(f"tokenize_udtf{sfx}", Tokenize)
     t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20).createOrReplaceTempView(
-        "docs_udtf"
+        f"docs_udtf{sfx}"
     )
     return spark.sql(
-        """
+        f"""
         SELECT d.doc_id, s.tok, s.pos
-        FROM docs_udtf d, LATERAL tokenize_udtf(d.text) s
+        FROM docs_udtf{sfx} d, LATERAL tokenize_udtf{sfx}(d.text) s
         """
     )
 
