@@ -24,7 +24,7 @@ from .base import query, t
            round(avg(l_quantity), 6) AS avg_qty,
            round(min(l_extendedprice), 6) AS min_price,
            round(max(l_extendedprice), 6) AS max_price,
-           round(sum(l_extendedprice), 6) AS sum_price
+           round(sum(l_extendedprice), 2) AS sum_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -38,7 +38,7 @@ def agg_basic_stats(spark, sf_dir):
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.min("l_extendedprice"), 6).alias("min_price"),
             F.round(F.max("l_extendedprice"), 6).alias("max_price"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
     )
 
@@ -209,7 +209,7 @@ def agg_rollup(spark, sf_dir):
     SELECT coalesce(l_returnflag, '<all>') AS returnflag,
            coalesce(CAST(year(l_shipdate) AS VARCHAR), '<all>') AS shipyear,
            count(*) AS n_rows,
-           round(sum(l_extendedprice), 6) AS sum_price
+           round(sum(l_extendedprice), 2) AS sum_price
     FROM lineitem GROUP BY CUBE (l_returnflag, year(l_shipdate))
     """,
 )
@@ -221,7 +221,7 @@ def agg_cube(spark, sf_dir):
         l.cube("l_returnflag", "shipyear_i")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),

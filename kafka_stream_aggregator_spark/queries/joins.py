@@ -51,7 +51,7 @@ def join_broadcast_dim(spark, sf_dir):
     SELECT o_orderstatus,
            year(o_orderdate) AS order_year,
            count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus, year(o_orderdate)
     """,
@@ -65,7 +65,7 @@ def join_inner_large(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
     )

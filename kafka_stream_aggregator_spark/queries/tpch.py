@@ -1,5 +1,11 @@
 """Core relational queries (TPC-H-shaped) over the synthetic star schema.
 
+Rounding note: whole-table monetary SUMs are rounded to 2 decimals
+(cents), not 6 — at sf0.1 those sums reach ~3e9 where double precision
+is ~1e-6 absolute, so different summation orders across engines
+legitimately disagree in the 6th decimal. Per-group/filtered sums and
+averages keep 6.
+
 These exercise scan → filter → project → join → agg → sort/limit with the
 physical plans we want at 100 TB: filters/projections pushed into the
 parquet scan, dimension joins broadcast, fact-fact joins shuffled on the
@@ -19,9 +25,9 @@ from .base import query, t
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice), 6) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_extendedprice), 6) AS avg_price,
            round(avg(l_discount), 6) AS avg_disc,
@@ -39,9 +45,9 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -96,7 +102,7 @@ def q3_revenue_topk(spark, sf_dir):
     "q5_regional_revenue",
     bench=True,
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -128,7 +134,7 @@ def q5_regional_revenue(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
     )

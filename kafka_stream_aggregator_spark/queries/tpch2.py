@@ -159,7 +159,7 @@ def q18_large_orders(spark, sf_dir):
     # OR-of-ANDs predicate: Catalyst extracts the common l_partkey=p_partkey
     # equi condition so the join stays hash-based, not nested-loop
     oracle="""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
@@ -188,7 +188,7 @@ def q19_disjunctive_pushdown(spark, sf_dir):
         .filter(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )

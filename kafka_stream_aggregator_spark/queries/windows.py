@@ -24,7 +24,8 @@ from .base import query, t
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            row_number() OVER (PARTITION BY l_suppkey
-                              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                       l_quantity, l_extendedprice) AS rn,
            rank()       OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS rk,
            dense_rank() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS drk
     FROM lineitem
@@ -32,8 +33,11 @@ from .base import query, t
 )
 def win_rank_suite(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
+    # duplicate (orderkey, linenumber) rows exist in the synthetic data —
+    # the value columns complete the total order so rn is deterministic
     w_full = W.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice",
     )
     w_qty = W.partitionBy("l_suppkey").orderBy("l_quantity")
     return l.select(
@@ -95,22 +99,30 @@ def win_lag_lead(spark, sf_dir):
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_qty
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                          l_quantity, l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty
     FROM lineitem
     """,
 )
 def win_running_sum(spark, sf_dir):
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem
+    # (duplicate rows exist) — the value columns join the ORDER BY so any
+    # residual ties carry identical quantities and the cumulative is
+    # engine-order-independent.
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice",
+        )
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum("l_quantity").over(w), 6).alias("run_qty"),
+        F.round(F.sum("l_quantity").over(w), 2).alias("run_qty"),
     )
 
 
@@ -119,7 +131,8 @@ def win_running_sum(spark, sf_dir):
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                          l_extendedprice, l_quantity
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma4_price
     FROM lineitem
     """,
@@ -127,7 +140,10 @@ def win_running_sum(spark, sf_dir):
 def win_moving_avg(spark, sf_dir):
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate", "l_orderkey", "l_linenumber",
+            "l_extendedprice", "l_quantity",
+        )
         .rowsBetween(-3, W.currentRow)
     )
     return t(spark, sf_dir, "lineitem").select(
