@@ -432,3 +432,39 @@ def fn_posexplode(spark, sf_dir):
     return e.select(
         "vec_id", F.posexplode("v5").alias("pos", "elem")
     ).select("vec_id", "pos", F.round("elem", 6).alias("elem"))
+
+
+@query(
+    "fn_string_suite2",
+    # printf-style formatting, repeat/reverse, char codes, left/right
+    # (DuckDB lacks initcap — emulated with upper(first)||rest on a
+    # single-word column so the semantic matches Spark's initcap)
+    oracle="""
+    SELECT s_suppkey,
+           printf('%s|%05d|%.3f', s_name, s_suppkey, s_acctbal) AS formatted,
+           repeat('-', CAST(s_suppkey % 5 AS INT)) AS dashes,
+           reverse(s_name) AS rev_name,
+           ascii(s_name) AS first_code,
+           chr(65 + CAST(s_suppkey % 26 AS INT)) AS letter,
+           left(s_name, 8) AS l8,
+           right(s_name, 4) AS r4,
+           upper(substring(lower(s_name), 1, 1))
+             || substring(lower(s_name), 2) AS initcapped
+    FROM supplier
+    """,
+)
+def fn_string_suite2(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.format_string("%s|%05d|%.3f", "s_name", "s_suppkey", "s_acctbal").alias(
+            "formatted"
+        ),
+        F.repeat(F.lit("-"), (F.col("s_suppkey") % 5).cast("int")).alias("dashes"),
+        F.reverse("s_name").alias("rev_name"),
+        F.ascii("s_name").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("s_suppkey") % 26).cast("int")).alias("letter"),
+        F.substring("s_name", 1, 8).alias("l8"),
+        F.col("s_name").substr(F.length("s_name") - 3, F.lit(4)).alias("r4"),
+        F.initcap(F.lower("s_name")).alias("initcapped"),
+    )

@@ -115,3 +115,48 @@ def test_ewma_bounds_and_reference(spark, vals, alpha):
         cur = alpha * float(x) + (1 - alpha) * cur
     assert math.isclose(got, cur, rel_tol=1e-9)
     assert 0.0 <= got <= max(float(v) for v in vals) + 1e-9
+
+
+@given(
+    left_rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50),
+                  st.floats(1.0, 9.0, allow_nan=False)),
+        min_size=0, max_size=15,
+    ),
+)
+@SETTINGS
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    """ops.asof_join (union+window) == brute-force nearest-prior lookup
+    on arbitrary generated event streams, including ts ties."""
+    from kafka_stream_aggregator_spark.ops import asof_join
+
+    left = spark.createDataFrame(
+        [(i, g, ts) for i, (g, ts) in enumerate(left_rows)],
+        "lid long, g long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(i, g, ts, float(v)) for i, (g, ts, v) in enumerate(right_rows)],
+        "rid long, rg long, rts long, val double",
+    )
+    got = {
+        r["lid"]: r["val"]
+        for r in asof_join(
+            left, right, "ts", "rts", "g", "rg",
+            right_tiebreak="rid", value_cols=["val"],
+        ).collect()
+    }
+    # brute force: latest right row (rts <= ts) per group; ties on rts
+    # resolved by largest rid
+    for i, (g, ts) in enumerate(left_rows):
+        cands = [
+            (rts, rid, v)
+            for rid, (rg, rts, v) in enumerate(right_rows)
+            if rg == g and rts <= ts
+        ]
+        want = max(cands)[2] if cands else None
+        assert got[i] == (float(want) if want is not None else None), (
+            f"lid={i} g={g} ts={ts}: got {got[i]} want {want}"
+        )
