@@ -195,3 +195,70 @@ def stream_stream_join(
         & (F.col(right_ts) <= F.col(left_ts))
     )
     return lw.join(rw, cond, "inner")
+
+
+def streaming_windowed_ewma_two_level(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    group_cols: Sequence[str] = (),
+    period_minutes: int = 5,
+    sub_window: str = "30 seconds",
+    watermark: str = "10 minutes",
+    emit_positive_only: bool = True,
+) -> DataFrame:
+    """Streaming EWMA via chained stateful aggregations (Spark >=3.5
+    multiple-stateful-operator support): fold per sub-window first
+    (bounded state per key), then re-window with window_time() and
+    combine partials with the segment-composition rule
+    S(c1++c2) = S(c2) + lam^n2 * S(c1). The streaming twin of
+    indicators.windowed_ewma_two_level — per-reducer state never holds a
+    whole 5-minute window's rows, only its sub-window partials."""
+    alpha = ewma_alpha(period_minutes)
+    lam = 1.0 - alpha
+    partials = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), sub_window).alias("subwin"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            ewma_fold(ordered_values(value_col, list(order_cols)), alpha).alias(
+                "__s"
+            ),
+        )
+    )
+    segs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("substart"), F.col("__n"), F.col("__s"))
+        )
+    )
+    combined = F.aggregate(
+        segs,
+        F.named_struct(F.lit("s"), F.lit(0.0), F.lit("n"), F.lit(0).cast("long")),
+        lambda acc, x: F.named_struct(
+            F.lit("s"),
+            x["__s"] + F.pow(F.lit(lam), x["__n"]) * acc["s"],
+            F.lit("n"),
+            acc["n"] + x["__n"],
+        ),
+    )
+    out = (
+        partials.withColumn("substart", F.col("subwin.start"))
+        .groupBy(
+            F.window(F.window_time("subwin"), f"{period_minutes} minutes").alias(
+                "win"
+            ),
+            *group_cols,
+        )
+        .agg(combined.alias("__c"))
+        .select(
+            *group_cols,
+            F.unix_timestamp("win.start").alias("window_start"),
+            F.unix_timestamp("win.end").alias("window_end"),
+            F.col("__c.n").alias("n_rows"),
+            F.col("__c.s").alias("ewma"),
+        )
+    )
+    if emit_positive_only:
+        out = out.filter(F.col("ewma") > 0.0)
+    return out

@@ -389,3 +389,87 @@ def test_rocksdb_state_store(spark, events_dir):
             assert a == b
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_two_level_ewma_equals_batch(spark, sf_dir, events_dir):
+    """Chained stateful aggregation (sub-window partials re-windowed)
+    produces the same finalized windows as the single-level stream and
+    the batch fold."""
+    from kafka_stream_aggregator_spark.streaming.pipeline import (
+        streaming_windowed_ewma_two_level,
+    )
+
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    sdf = streaming_windowed_ewma_two_level(
+        stream, group_cols=("event_type",), period_minutes=5
+    )
+    got = {
+        (r["event_type"], r["window_start"]): (r["n_rows"], round(r["ewma"], 9))
+        for r in _run(spark, sdf, "s_ewma2l").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = windowed_ewma(ev, group_cols=("event_type",), period_minutes=5)
+    max_ts = ev.agg(F.max(F.unix_timestamp("ts"))).first()[0]
+    # chained stateful ops: the second aggregation's watermark trails the
+    # first by one extra delay, so the finalized horizon is earlier
+    horizon = max_ts - 2 * 600 - 300
+    want = {
+        (r["event_type"], r["window_start"]): (r["n_rows"], round(r["ewma"], 9))
+        for r in batch.collect()
+        if r["window_start"] + 300 <= horizon
+    }
+    got_h = {k: v for k, v in got.items() if k[1] + 300 <= horizon}
+    assert got_h == want and len(want) > 800
+
+
+def test_rollup_maintenance(spark, sf_dir, tmp_path):
+    """Incrementally-maintained rollup == batch aggregate, and stays
+    correct when new data arrives in a second run on the same
+    checkpoint (incremental update, not recompute)."""
+    from kafka_stream_aggregator_spark.streaming.rollup import maintain_rollup
+
+    src = str(tmp_path / "in")
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    first_half = ev.filter("event_id < 500")
+    second_half = ev.filter("event_id >= 500")
+    first_half.write.mode("append").parquet(src)
+
+    def run():
+        q = maintain_rollup(
+            file_stream(spark, src, EVENTS_SCHEMA), rollup, ckpt
+        )
+        q.awaitTermination()
+
+    def batch_expect(df):
+        w = F.window("ts", "5 minutes").alias("win")
+        return {
+            (r["event_type"], r["window_start"]): (
+                r["n_rows"], round(r["sum_value"], 6),
+            )
+            for r in df.groupBy(w, "event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("value").alias("sum_value"))
+            .select(
+                "event_type",
+                F.unix_timestamp("win.start").alias("window_start"),
+                "n_rows", "sum_value",
+            )
+            .collect()
+        }
+
+    run()
+    got1 = {
+        (r["event_type"], r["window_start"]): (r["n_rows"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got1 == batch_expect(first_half)
+
+    # second wave of data -> incremental maintenance on same checkpoint
+    second_half.write.mode("append").parquet(src)
+    run()
+    got2 = {
+        (r["event_type"], r["window_start"]): (r["n_rows"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got2 == batch_expect(ev)
