@@ -106,3 +106,38 @@ def stream_dedup_count(spark, sf_dir):
     deduped = streaming_dedup(s.union(s), keys=["event_id"])
     out = _run_to_df(spark, deduped)
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "rollup_maintained",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           count(*) AS n_rows,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY event_type, 2
+    """,
+)
+def rollup_maintained(spark, sf_dir):
+    """The continuously-maintained rollup table (update mode +
+    idempotent partition overwrite) must equal the batch aggregate
+    over the same events."""
+    import tempfile
+
+    from ..streaming.rollup import maintain_rollup
+
+    root = tempfile.mkdtemp(prefix="rollup_q_")
+    t(spark, sf_dir, "events").write.parquet(root + "/in")
+    q = maintain_rollup(
+        file_stream(spark, root + "/in", EVENTS_SCHEMA),
+        root + "/table",
+        root + "/ckpt",
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(root + "/table")
+    return out.select(
+        "event_type",
+        "window_start",
+        "n_rows",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
