@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     streaming_q,
     tpch,
     tpch2,
+    tpch3,
     udf_io,
     windows,
 )
