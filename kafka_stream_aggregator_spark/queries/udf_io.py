@@ -260,3 +260,30 @@ def fn_map_ops(spark, sf_dir):
             ).alias("vsum"),
         )
     )
+
+
+@query(
+    "io_jdbc_roundtrip",
+    # real JDBC sink + scan against embedded Derby (ships with Spark) —
+    # the R11 relational-sink contract, integration-tested in-process
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey < 4000 GROUP BY o_orderstatus
+    """,
+)
+def io_jdbc_roundtrip(spark, sf_dir):
+    import uuid
+
+    url = f"jdbc:derby:memory:ksa{uuid.uuid4().hex[:10]};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    src = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    src.write.jdbc(url, "orders_rt", mode="overwrite", properties=props)
+    back = spark.read.jdbc(url, "orders_rt", properties=props)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -473,3 +473,30 @@ def test_rollup_maintenance(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(rollup).collect()
     }
     assert got2 == batch_expect(ev)
+
+
+def test_jdbc_sink_streaming_r11(spark, events_dir, tmp_path):
+    """R11 end-to-end with a REAL JDBC database (embedded Derby): the
+    streaming foreachBatch JDBC writer lands every event in the table."""
+    import uuid
+
+    from kafka_stream_aggregator_spark.streaming.sinks import (
+        foreach_batch_jdbc_writer,
+    )
+
+    url = f"jdbc:derby:memory:s{uuid.uuid4().hex[:10]};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA).select(
+        "event_id", "user_id", "value"
+    )
+    writer = foreach_batch_jdbc_writer(url, "raw_events", properties=props)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.jdbc(url, "raw_events", properties=props)
+    assert back.count() == spark.read.parquet(events_dir).count()
+    assert back.agg(F.countDistinct("event_id")).first()[0] == back.count()
