@@ -353,3 +353,22 @@ def trade_pipeline_ewma(spark, sf_dir):
 
     trades = synthetic_trades(spark, n=20_000)
     return aggregate_trades(decode_trades(frame_trades(trades)), per_instrument=True)
+
+
+@query("trade_pipeline_ewma_avro", oracle=None)
+def trade_pipeline_ewma_avro(spark, sf_dir):
+    """The reference chain over the REAL Avro wire format: pure-python
+    spec-conformant binary codec (cross-checked against the Java Avro
+    library in tests) behind Confluent 5-byte frames. Output equals the
+    JSON-framed chain (asserted in tests/test_trade_pipeline.py)."""
+    from ..streaming.trade_pipeline import (
+        aggregate_trades,
+        decode_trades_avro,
+        frame_trades_avro,
+        synthetic_trades,
+    )
+
+    trades = synthetic_trades(spark, n=20_000)
+    return aggregate_trades(
+        decode_trades_avro(frame_trades_avro(trades)), per_instrument=True
+    )

@@ -134,3 +134,51 @@ def aggregate_trades(
             "n_trades",
         )
     )
+
+
+def frame_trades_avro(trades: DataFrame, schema_id: int = 7) -> DataFrame:
+    """raw-producer with the REAL wire format: each trade Avro-binary-
+    encoded (pure-python codec, spec-conformant — cross-checked against
+    the Java Avro library in tests) behind the Confluent 5-byte frame."""
+    import pandas as pd
+
+    from ..schemas import TRADE_SCHEMA
+    from .avro_codec import TRADES_AVRO_SCHEMA, encode
+
+    cols = [f.name for f in TRADE_SCHEMA.fields]
+    prefix = b"\x00" + schema_id.to_bytes(4, "big")
+
+    def enc(batches):
+        for pdf in batches:
+            values = [
+                prefix + encode(TRADES_AVRO_SCHEMA, dict(zip(cols, row)))
+                for row in pdf[cols].itertuples(index=False, name=None)
+            ]
+            yield pd.DataFrame(
+                {"key": pdf["timestamp"].astype(str), "value": values}
+            )
+
+    return trades.mapInPandas(enc, "key string, value binary")
+
+
+def decode_trades_avro(framed: DataFrame) -> DataFrame:
+    """Consumer for Avro-framed messages: strip the frame, binary-decode
+    each record, restore the trade schema + event_time."""
+    import pandas as pd
+
+    from ..schemas import TRADE_SCHEMA
+    from .avro_codec import TRADES_AVRO_SCHEMA, decode
+
+    cols = [f.name for f in TRADE_SCHEMA.fields]
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf["value"]:
+                body = bytes(raw)[5:]
+                rec, _ = decode(TRADES_AVRO_SCHEMA, body)
+                rows.append(tuple(rec[c] for c in cols))
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = framed.mapInPandas(dec, TRADE_SCHEMA)
+    return out.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))

@@ -76,3 +76,67 @@ def test_zero_price_suppression(spark):
     )
     out = aggregate_trades(decode_trades(frame_trades(trades)))
     assert out.count() == 0
+
+
+def test_avro_codec_roundtrip_and_java_crosscheck(spark):
+    """Our pure-python Avro encoding is real Avro: the JAVA Avro library
+    bundled with Spark decodes our bytes to the same record."""
+    import json
+
+    from kafka_stream_aggregator_spark.streaming.avro_codec import (
+        TRADES_AVRO_SCHEMA,
+        decode,
+        encode,
+    )
+
+    rec = {
+        "amount": 1.5,
+        "direction": "sell",
+        "index_price": 42000.25,
+        "instrument_name": "BTC-X",
+        "iv": None,
+        "liquidation": "MT",
+        "price": 41999.75,
+        "tick_direction": 3,
+        "timestamp": 1704067200123,
+        "trade_id": "t-99",
+        "trade_seq": -7,  # negative long exercises zigzag
+    }
+    raw = encode(TRADES_AVRO_SCHEMA, rec)
+    back, n = decode(TRADES_AVRO_SCHEMA, raw)
+    assert back == rec and n == len(raw)
+
+    # cross-check with org.apache.avro (bundled jar) via py4j
+    jvm = spark.sparkContext._jvm
+    parser = jvm.org.apache.avro.Schema.Parser()
+    jschema = parser.parse(json.dumps(TRADES_AVRO_SCHEMA))
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(jschema)
+    dec_factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    jdecoder = dec_factory.binaryDecoder(bytearray(raw), None)
+    jrec = reader.read(None, jdecoder)
+    assert jrec.get("trade_id").toString() == "t-99"
+    assert jrec.get("trade_seq") == -7
+    assert jrec.get("direction").toString() == "sell"
+    assert jrec.get("liquidation").toString() == "MT"
+    assert jrec.get("iv") is None
+    assert abs(jrec.get("price") - 41999.75) < 1e-12
+
+
+def test_avro_framed_chain_equals_json_chain(spark):
+    """The full trade chain over REAL Avro frames produces identical
+    EWMA output to the JSON-framed chain."""
+    from kafka_stream_aggregator_spark.streaming.trade_pipeline import (
+        decode_trades_avro,
+        frame_trades_avro,
+    )
+
+    trades = synthetic_trades(spark, n=2000)
+    via_json = {
+        tuple(r)
+        for r in aggregate_trades(decode_trades(frame_trades(trades))).collect()
+    }
+    via_avro = {
+        tuple(r)
+        for r in aggregate_trades(decode_trades_avro(frame_trades_avro(trades))).collect()
+    }
+    assert via_avro == via_json and len(via_avro) > 0
