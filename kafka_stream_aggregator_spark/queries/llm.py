@@ -357,3 +357,73 @@ def near_dup_clusters(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "doc_pii_scan",
+    # The synthetic corpus carries no PII, so the query plants
+    # deterministic PII into a subset (same construction both sides) —
+    # the detector/redactor run against real positives AND clean docs.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text
+                    || ' contact: user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-123-4567'
+                  WHEN doc_id % 11 = 0 THEN text || ' ssn 123-45-6789 ip 10.0.0.1'
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+           len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+           (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+            OR len(regexp_extract_all(t, '\\+?\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,4}[-. ]?\\d{0,4}')) > 0
+            OR len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) > 0
+            OR len(regexp_extract_all(t, '\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{4}\\b')) > 0
+            OR len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) > 0)
+             AS flagged,
+           NOT contains(regexp_replace(regexp_replace(
+                 t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), '@example.com')
+             AS emails_gone
+    FROM d
+    """,
+)
+def doc_pii_scan(spark, sf_dir):
+    from ..llm.pii import PII_PATTERNS, has_pii
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-123-4567"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.col("text"), F.lit(" ssn 123-45-6789 ip 10.0.0.1")),
+        )
+        .otherwise(F.col("text")),
+    )
+    n = lambda kind: F.size(
+        F.regexp_extract_all(F.col("t"), F.lit(PII_PATTERNS[kind]), 0)
+    )
+    redacted2 = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_PATTERNS["email"], "<EMAIL>"),
+        PII_PATTERNS["ssn"],
+        "<SSN>",
+    )
+    return d.select(
+        "doc_id",
+        n("email").alias("n_email"),
+        n("ssn").alias("n_ssn"),
+        n("ipv4").alias("n_ipv4"),
+        has_pii(F.col("t")).alias("flagged"),
+        (~redacted2.contains("@example.com")).alias("emails_gone"),
+    )
