@@ -67,3 +67,17 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = _plan(REGISTRY["join_asof"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q8_sixway_join_broadcasts_dims(spark, sf_dir):
+    """q8's 6-way join: all four dimension sides broadcast, facts shuffle."""
+    df = REGISTRY["q8_market_share"].fn(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    plan = _plan(REGISTRY["q16_parts_supplier_count"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
