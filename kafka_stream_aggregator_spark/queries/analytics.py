@@ -124,9 +124,9 @@ def cohort_retention(spark, sf_dir):
       SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events
     )
     SELECT a.day,
-           sum(coalesce(new_users, 0))
+           CAST(sum(coalesce(new_users, 0))
              OVER (ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING
-                   AND CURRENT ROW) AS cum_users
+                   AND CURRENT ROW) AS BIGINT) AS cum_users
     FROM all_days a LEFT JOIN per_day p ON a.day = p.day
     """,
 )

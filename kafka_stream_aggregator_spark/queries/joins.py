@@ -97,6 +97,36 @@ def join_left_outer(spark, sf_dir):
 
 
 @query(
+    "join_right_outer",
+    # right-outer: every customer preserved on the build side even with
+    # no 1995 orders (ref SURVEY §2.B "left / right / full"). At scale
+    # this is a shuffle join on o_custkey/c_custkey; the filtered probe
+    # side keeps the shuffled volume small.
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey) AS n_1995_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 6) AS sum_total
+    FROM (SELECT * FROM orders WHERE year(o_orderdate) = 1995) o
+         RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_1995_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 6).alias(
+                "sum_total"
+            ),
+        )
+    )
+
+
+@query(
     "join_full_outer",
     oracle="""
     WITH hc AS (SELECT c_nationkey AS nk, count(*) AS n_cust
@@ -227,7 +257,8 @@ def join_range_theta(spark, sf_dir):
            FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
          )
     SELECT p.event_id,
-           CASE WHEN j.pid IS NOT NULL THEN 1.0 ELSE 0.0 END AS has_click,
+           CAST(CASE WHEN j.pid IS NOT NULL THEN 1.0 ELSE 0.0 END
+                AS DOUBLE) AS has_click,
            round(coalesce(j.cv, -1.0), 6) AS last_click_value
     FROM p LEFT JOIN (SELECT pid, cv FROM j WHERE rn = 1) j
       ON p.event_id = j.pid

@@ -102,7 +102,7 @@ def doc_token_stats(spark, sf_dir):
     )
     SELECT source, count(*) AS n_docs,
            round(avg(score), 6) AS avg_quality,
-           round(min(score), 6) AS min_quality
+           round(CAST(min(score) AS DOUBLE), 6) AS min_quality
     FROM scored GROUP BY source
     """,
 )

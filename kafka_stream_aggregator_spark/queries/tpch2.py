@@ -236,11 +236,13 @@ def q22_global_acctbal(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_users,
-           sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS saw,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS clicked_after,
-           sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                         AND t_buy > t_click THEN 1 ELSE 0 END) AS bought_after
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS saw,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_buy > t_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS bought_after
     FROM u
     """,
 )

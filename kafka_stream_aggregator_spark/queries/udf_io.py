@@ -239,8 +239,9 @@ def io_parquet_roundtrip(spark, sf_dir):
            (MAP {'yr': year(o_orderdate), 'mo': month(o_orderdate)}['yr'])[1] AS yr,
            array_to_string(list_sort(map_keys(
              MAP {'yr': year(o_orderdate), 'mo': month(o_orderdate)})), ',') AS keys,
-           list_aggregate(map_values(
-             MAP {'yr': year(o_orderdate), 'mo': month(o_orderdate)}), 'sum') AS vsum
+           CAST(list_aggregate(map_values(
+             MAP {'yr': year(o_orderdate), 'mo': month(o_orderdate)}),
+             'sum') AS BIGINT) AS vsum
     FROM orders WHERE o_orderkey < 1000
     """,
 )
@@ -257,7 +258,7 @@ def fn_map_ops(spark, sf_dir):
             F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
             F.aggregate(
                 F.map_values(m), F.lit(0), lambda a, x: a + x
-            ).alias("vsum"),
+            ).cast("long").alias("vsum"),
         )
     )
 

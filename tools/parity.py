@@ -71,6 +71,22 @@ def main():
             n_pass += 1
             continue
         try:
+            rel = con.sql(spec.oracle)
+            # The driver fetches oracle results through pandas, where
+            # HUGEINT/DECIMAL become float64 and break value-hash parity
+            # with Spark longs even when values are equal (r01 lesson:
+            # sessionize_gap / cumulative_distinct_users). Fail early.
+            unsafe = [
+                (c, str(ty))
+                for c, ty in zip(rel.columns, rel.types)
+                if str(ty) in ("HUGEINT", "UHUGEINT")
+                or str(ty).startswith("DECIMAL")
+            ]
+            if unsafe:
+                print(f"FAIL {name}: driver-unsafe oracle types {unsafe} "
+                      f"(CAST to BIGINT/DOUBLE in the oracle SQL)")
+                n_fail += 1
+                continue
             cur = con.execute(spec.oracle)
             o_cols = [d[0] for d in cur.description]
             o_rows = cur.fetchall()
