@@ -44,14 +44,23 @@ def brute_force_topk(
     c_vec: str = "c_vec",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the (small) query set against all
-    candidates; rank per query. Deterministic tiebreak on candidate id."""
-    joined = candidates.crossJoin(F.broadcast(queries)).filter(
-        F.col(q_id) != F.col(c_id)
-    )
+    candidates; rank per query. Deterministic tiebreak on candidate id.
+
+    Norms are computed once per vector BEFORE the pairwise join (the
+    hoisted expression is float-identical to dot/(norm*norm) inline), so
+    per-pair work is a single dot product — higher-order-function
+    expressions are interpreted, not codegen'd, so hoisting 2 of the 3
+    array folds out of the O(Q*N) loop is a real constant-factor win."""
+    qn = queries.withColumn("__qnorm", norm(F.col(q_vec)))
+    cn = candidates.withColumn("__cnorm", norm(F.col(c_vec)))
+    joined = cn.crossJoin(F.broadcast(qn)).filter(F.col(q_id) != F.col(c_id))
     scored = joined.select(
         q_id,
         c_id,
-        cosine_sim(F.col(q_vec), F.col(c_vec)).alias("cos_sim"),
+        (
+            dot(F.col(q_vec), F.col(c_vec))
+            / (F.col("__qnorm") * F.col("__cnorm"))
+        ).alias("cos_sim"),
     )
     w = W.partitionBy(q_id).orderBy(F.col("cos_sim").desc(), F.col(c_id))
     return (

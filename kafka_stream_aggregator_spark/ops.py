@@ -129,6 +129,63 @@ def global_top_k(df: DataFrame, order_by: Sequence[Column | str], k: int) -> Dat
     return df.orderBy(*order_by).limit(k)
 
 
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[tuple[float, str]],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Sort-based exact percentiles with quantile_cont interpolation.
+
+    ``qs`` is a list of (quantile, output_name). One shuffle-sort ranks
+    every row (row_number + count over the group), then only the <=2
+    boundary rows per (group, quantile) survive into a tiny final agg.
+
+    Why not F.percentile/F.median: Spark's exact Percentile buffers a
+    per-group counts-map keyed by DISTINCT VALUE — O(distinct) memory
+    per group, which for a continuous column at 100 TB is an OOM risk
+    (and is measurably slow at sf0.1). This rewrite is pure codegen,
+    spills through the sort machinery, and holds O(1) reducer memory
+    regardless of value cardinality. Remaining scale caveat (documented
+    in docs/SCALING.md): each group sorts on one reducer chain, so for
+    few giant groups prefer percentile_approx.
+    """
+    v = F.col(value_col).cast("double")
+    w_rank = W.partitionBy(*group_cols).orderBy(v)
+    w_all = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
+    ranked = df.select(
+        *group_cols,
+        v.alias("__v"),
+        (F.row_number().over(w_rank) - 1).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    keep = F.lit(False)
+    for q, _ in qs:
+        pos = F.lit(float(q)) * (F.col("__n") - 1)
+        keep = keep | (F.col("__rn") == F.floor(pos)) | (F.col("__rn") == F.ceil(pos))
+    boundary = ranked.filter(keep)
+    aggs = [F.max("__n").alias("__n_g")]
+    for i, (q, _) in enumerate(qs):
+        pos = F.lit(float(q)) * (F.col("__n") - 1)
+        aggs.append(
+            F.max(F.when(F.col("__rn") == F.floor(pos), F.col("__v"))).alias(f"__lo{i}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("__rn") == F.ceil(pos), F.col("__v"))).alias(f"__hi{i}")
+        )
+    agged = boundary.groupBy(*group_cols).agg(*aggs)
+    outs = list(group_cols)
+    for i, (q, name) in enumerate(qs):
+        pos = F.lit(float(q)) * (F.col("__n_g") - 1)
+        frac = pos - F.floor(pos)
+        outs.append(
+            (F.col(f"__lo{i}") + frac * (F.col(f"__hi{i}") - F.col(f"__lo{i}"))).alias(
+                name
+            )
+        )
+    return agged.select(*outs)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -145,7 +202,18 @@ def salted_join(
     stalls the stage. Salting bounds any reducer at 1/salt_buckets of a
     key's rows. AQE skew-join handles sort-merge cases adaptively; this
     is the explicit tool for when the skew is known and extreme.
+
+    Only fact-preserving join types are allowed: replicating the dim
+    side across salts would duplicate unmatched dim rows salt_buckets
+    times under right/full outer joins.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins {sorted(allowed)}; "
+            f"got how={how!r} (dim rows are replicated per salt, so "
+            f"right/full outer would emit duplicate unmatched dim rows)"
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )

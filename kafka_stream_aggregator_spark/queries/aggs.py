@@ -138,13 +138,47 @@ def agg_skew_kurt(spark, sf_dir):
     """,
 )
 def agg_percentiles(spark, sf_dir):
+    # Built-in exact percentile for l_quantity (few distinct values ->
+    # tiny per-group counts-map, fast partial agg). For the CONTINUOUS
+    # l_extendedprice the counts-map is O(distinct) per group — slow at
+    # sf0.1 and an OOM risk at 100 TB — so the median goes through the
+    # sort-based exact_percentiles rewrite (ops.py) and joins back on
+    # the 3-row group key.
+    from ..ops import exact_percentiles
+
+    li = t(spark, sf_dir, "lineitem")
+    qty = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+    )
+    med = exact_percentiles(
+        li, "l_extendedprice", [(0.5, "med_raw")], group_cols=("l_returnflag",)
+    ).select("l_returnflag", F.round("med_raw", 6).alias("med_price"))
+    return qty.join(med, "l_returnflag").select(
+        "l_returnflag", "p50_qty", "p90_qty", "med_price"
+    )
+
+
+@query("agg_percentiles_approx", oracle=None)
+def agg_percentiles_approx(spark, sf_dir):
+    """The 100 TB path for agg_percentiles (docs/SCALING.md): GK-sketch
+    percentile_approx mergeable partials — O(1/accuracy) state per group
+    regardless of value cardinality, vs the exact operator's
+    O(distinct-values) counts-map. Accuracy 10000 ≈ 0.01% rank error.
+    Bounds vs the exact result are asserted in tests."""
     return (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
-            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
-            F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+            F.round(
+                F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)), 6
+            ).alias("p50_qty"),
+            F.round(
+                F.percentile_approx("l_quantity", F.lit(0.9), F.lit(10000)), 6
+            ).alias("p90_qty"),
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 6
+            ).alias("med_price"),
         )
     )
 

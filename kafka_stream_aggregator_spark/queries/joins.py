@@ -57,16 +57,25 @@ def join_broadcast_dim(spark, sf_dir):
     """,
 )
 def join_inner_large(spark, sf_dir):
+    # Pre-aggregation rewrite: lineitem collapses to one partial row per
+    # l_orderkey BEFORE the join (~4:1 at any scale factor), so the
+    # shuffle moves (orderkey, count, revenue) triples instead of full
+    # lineitem rows, and the join is orders-cardinality on both sides.
+    # The final regroup on (status, year) is a rollup of partials —
+    # count -> sum, sum -> sum. Same result, strictly less shuffle I/O;
+    # this is the shape that survives 100x data.
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_orderstatus", F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum("__n").alias("n_lines"),
+            F.round(F.sum("__rev"), 2).alias("revenue"),
         )
     )
 

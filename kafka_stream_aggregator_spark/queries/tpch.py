@@ -186,18 +186,29 @@ def q6_forecast_revenue(spark, sf_dir):
     """,
 )
 def q10_returned_items(spark, sf_dir):
+    # Pre-aggregate returned-line revenue per order before touching
+    # orders/customer: the join then moves one row per order instead of
+    # ~4 lineitem rows, and the customer attributes join happens after
+    # the per-customer rollup (15k rows, broadcast). Same result, ~4x
+    # less shuffle I/O — the plan shape that survives 100x data.
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev_per_order = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
+    per_cust = (
+        rev_per_order.join(o, rev_per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("__rev").alias("__rev_c"))
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue"),
-            F.round(F.first("c_acctbal"), 6).alias("acctbal"),
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("__rev_c", 6).alias("revenue"),
+            F.round("c_acctbal", 6).alias("acctbal"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)

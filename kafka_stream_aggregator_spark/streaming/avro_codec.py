@@ -47,17 +47,45 @@ def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
     return (acc >> 1) ^ -(acc & 1), pos
 
 
+def _branch_matches(branch: Any, value: Any) -> bool:
+    """Does `value` belong to this union branch's type? (Needed for
+    multi-branch unions like ["null","string","long"]; the first
+    non-null branch is NOT always the right one.)"""
+    t = branch if isinstance(branch, str) else branch.get("type")
+    if t == "null":
+        return value is None
+    if value is None:
+        return False
+    if t == "boolean":
+        return isinstance(value, bool)
+    if t in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if t in ("float", "double"):
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
+    if t == "string":
+        return isinstance(value, str)
+    if t == "bytes":
+        return isinstance(value, (bytes, bytearray))
+    if t == "enum":
+        return isinstance(value, str) and value in branch["symbols"]
+    if t == "record":
+        return isinstance(value, dict)
+    if t == "array":
+        return isinstance(value, list)
+    if t == "map":
+        return isinstance(value, dict)
+    return False
+
+
 def encode(schema: Any, value: Any) -> bytes:
     """Encode `value` against `schema` (Avro schema as python dict/str)."""
     if isinstance(schema, str):
         t = schema
-    elif isinstance(schema, list):  # union: pick the branch
+    elif isinstance(schema, list):  # union: first branch the value fits
         for i, branch in enumerate(schema):
-            bt = branch if isinstance(branch, str) else branch.get("type")
-            if value is None and branch == "null":
-                return _zigzag_encode(i)
-            if value is not None and branch != "null":
-                return _zigzag_encode(i) + encode(branch, value)
+            if _branch_matches(branch, value):
+                body = b"" if branch == "null" else encode(branch, value)
+                return _zigzag_encode(i) + body
         raise ValueError(f"no union branch for {value!r} in {schema}")
     else:
         t = schema["type"]

@@ -182,3 +182,40 @@ def decode_trades_avro(framed: DataFrame) -> DataFrame:
 
     out = framed.mapInPandas(dec, TRADE_SCHEMA)
     return out.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+
+
+def decode_trades_avro_dispatch(
+    framed: DataFrame,
+    registry_snapshot: dict,
+    reader_schema: dict,
+    out_schema,
+):
+    """Registry-backed consumer (consumer.rs:76-85 parity): each message
+    is decoded by the schema id EMBEDDED IN ITS OWN FRAME, resolving the
+    writer schema from the registry snapshot and projecting onto the
+    reader schema (spec schema resolution — added nullable fields take
+    their defaults, removed fields are dropped). One topic may therefore
+    interleave records from producers on different schema versions, the
+    exact state during a rolling producer upgrade.
+
+    The snapshot is a plain dict riding the closure (one copy per task,
+    like a broadcast dim); malformed/unknown-id records are dropped but
+    the stream advances — the reference's behavior for decode errors."""
+    import pandas as pd
+
+    from .registry import decode_framed_records
+
+    cols = [f.name for f in out_schema.fields]
+
+    def dec(batches):
+        for pdf in batches:
+            recs = decode_framed_records(
+                pdf["value"], registry_snapshot, reader_schema
+            )
+            rows = [tuple(r[c] for c in cols) for r in recs if r is not None]
+            yield pd.DataFrame(rows, columns=cols)
+
+    out = framed.mapInPandas(dec, out_schema)
+    if "timestamp" in cols:
+        out = out.withColumn("event_time", F.timestamp_millis(F.col("timestamp")))
+    return out
