@@ -2,11 +2,15 @@
 
 Images/audio/video travel as opaque BinaryType payloads plus a typed
 metadata struct; decode/feature steps are Arrow-batched mapInPandas
-functions. The actual codecs (PIL/librosa/ffmpeg) are NOT in this
-container, so decode_image is a deterministic fake behind the real Spark
-plumbing (schema, batching, partitioning are production-shaped — swap
-`_fake_decode` for a real decoder and nothing else changes), and
-decode_audio documents the contract with NotImplementedError.
+functions. Codec strategy (capabilities() reports what's active):
+
+* images — PIL is attempted at import; when present, real decode
+  (dimensions + 8x8 average-hash), otherwise a deterministic
+  byte-statistics fake behind the SAME signature and plumbing, so the
+  Spark side (schema, batching, partitioning) is identical either way.
+* audio — WAV/PCM decodes FOR REAL via the stdlib ``wave`` module
+  (sample rate, duration, per-channel RMS; no external dependency);
+  non-WAV payloads yield null fields (or librosa when installed).
 """
 
 from __future__ import annotations
@@ -62,10 +66,33 @@ def attach_meta(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     )
 
 
+try:  # optional dependency: real image decoding when PIL is installed
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
+try:  # optional dependency: non-WAV audio when librosa is installed
+    import librosa as _librosa  # type: ignore
+
+    HAS_LIBROSA = True
+except ImportError:
+    _librosa = None
+    HAS_LIBROSA = False
+
+
+def capabilities() -> dict[str, bool]:
+    """Which decode paths are REAL in this environment. WAV audio is
+    always real (stdlib); images need PIL; non-WAV audio needs librosa."""
+    return {"image_pil": HAS_PIL, "audio_wav": True, "audio_librosa": HAS_LIBROSA}
+
+
 def _fake_decode(payload: bytes) -> tuple[float, float, int]:
     """Deterministic stand-in for image decoding: byte statistics and a
-    64-bit 'perceptual hash' from the byte histogram. Replace with a real
-    decoder (PIL etc.) in production — same signature, same plumbing."""
+    64-bit 'perceptual hash' from the byte histogram. Used when PIL is
+    absent — same signature, same plumbing as the real path."""
     import numpy as np
 
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -82,6 +109,35 @@ def _fake_decode(payload: bytes) -> tuple[float, float, int]:
     return mean, std, phash
 
 
+def _pil_decode(payload: bytes) -> tuple[float, float, int]:
+    """Real image decode (PIL): pixel mean/std + 8x8 average-hash — the
+    standard near-duplicate perceptual hash."""
+    import io
+
+    import numpy as np
+
+    with _PILImage.open(io.BytesIO(payload)) as im:
+        gray = im.convert("L")
+        px = np.asarray(gray, dtype=np.float64)
+        small = np.asarray(gray.resize((8, 8)), dtype=np.float64)
+    bits = (small > small.mean()).flatten().astype(np.uint64)
+    phash = int(np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64)))
+    if phash >= 2**63:
+        phash -= 2**64
+    return float(px.mean()), float(px.std()), phash
+
+
+def decode_image_payload(payload: bytes) -> tuple[float, float, int]:
+    """PIL when available (falling back per payload if PIL can't parse
+    it), byte-statistics fake otherwise."""
+    if HAS_PIL:
+        try:
+            return _pil_decode(payload)
+        except Exception:
+            pass
+    return _fake_decode(payload)
+
+
 def image_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over media batches (Arrow transfer,
     one python worker per partition — the only sanctioned python hot path)."""
@@ -91,7 +147,7 @@ def image_features(df: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                mean, std, phash = _fake_decode(b)
+                mean, std, phash = decode_image_payload(b)
                 rows.append((mid, len(b), mean, std, phash))
             yield pd.DataFrame(
                 rows,
@@ -103,10 +159,81 @@ def image_features(df: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+_WAV_WIDTH_DTYPE = {1: "uint8", 2: "<i2", 4: "<i4"}
+
+
+def decode_wav_payload(payload: bytes):
+    """Real WAV/PCM decode with the stdlib ``wave`` module: returns
+    (sample_rate, n_channels, duration_s, rms) or None if not WAV."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    try:
+        with _wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            nframes = w.getnframes()
+            width = w.getsampwidth()
+            raw = w.readframes(nframes)
+    except Exception:
+        return None
+    dtype = _WAV_WIDTH_DTYPE.get(width)
+    if dtype is None or sr <= 0:
+        return None
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if width == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples = samples - 128.0
+    scale = float(2 ** (8 * width - 1)) if width > 1 else 128.0
+    norm = samples / scale
+    rms = float(np.sqrt(np.mean(norm * norm))) if norm.size else 0.0
+    return sr, nch, nframes / float(sr), rms
+
+
 def decode_audio(df: DataFrame) -> DataFrame:
-    """Audio decode contract (sample rate, duration, loudness). Requires
-    an audio codec library not present in this container."""
-    raise NotImplementedError(
-        "audio decoding requires librosa/ffmpeg; plumbing contract: "
-        "mapInPandas over (media_id, payload) -> (media_id, sr, duration_s, rms)"
+    """Audio feature extraction (sample rate, channels, duration, RMS
+    loudness), mapInPandas like the image path. WAV/PCM payloads decode
+    with zero external dependencies; other containers decode via
+    librosa when installed, else yield null features (capability
+    surfaced by capabilities())."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "sample_rate", "n_channels", "duration_s", "rms"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                got = decode_wav_payload(b)
+                if got is None and HAS_LIBROSA:
+                    try:
+                        import io
+
+                        import numpy as np
+
+                        y, sr = _librosa.load(io.BytesIO(b), sr=None, mono=False)
+                        nch = 1 if y.ndim == 1 else y.shape[0]
+                        dur = y.shape[-1] / float(sr)
+                        rms = float(np.sqrt(np.mean(np.square(y))))
+                        got = (int(sr), nch, dur, rms)
+                    except Exception:
+                        got = None
+                if got is None:
+                    rows.append((mid, None, None, None, None))
+                else:
+                    rows.append((mid, *got))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        extract, schema=AUDIO_FEATURES_SCHEMA
     )

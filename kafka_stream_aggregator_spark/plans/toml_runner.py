@@ -27,11 +27,35 @@ from ..streaming.sources import file_stream, kafka_stream, rate_stream
 SCHEMAS = {"events": EVENTS_SCHEMA, "trades": TRADE_SCHEMA}
 
 
+def _deep_merge(base: dict[str, Any], overlay: dict[str, Any]) -> dict[str, Any]:
+    out = dict(base)
+    for k, v in overlay.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_spec(path: str, env: dict[str, str] | None = None) -> dict[str, Any]:
-    """TOML + APP_SECTION__KEY env overlay (config.rs:62 parity)."""
+    """Layered config, full R13 parity (config.rs:54-68):
+
+    1. the named TOML file (``config/default.toml`` analogue),
+    2. an OPTIONAL ``{RUN_MODE}.toml`` overlay in the same directory —
+       RUN_MODE defaults to "development" (config.rs:56); a missing
+       overlay file is fine (``required(false)``, config.rs:60),
+    3. ``APP_SECTION__KEY`` environment overrides (config.rs:62).
+    """
     with open(path, "rb") as f:
         spec = tomllib.load(f)
     env = dict(os.environ if env is None else env)
+    run_mode = env.get("RUN_MODE", "development")
+    overlay_path = os.path.join(os.path.dirname(path), f"{run_mode}.toml")
+    if os.path.abspath(overlay_path) != os.path.abspath(path) and os.path.exists(
+        overlay_path
+    ):
+        with open(overlay_path, "rb") as f:
+            spec = _deep_merge(spec, tomllib.load(f))
     for key, val in env.items():
         if not key.startswith("APP_"):
             continue

@@ -47,12 +47,23 @@ def join_broadcast_dim(spark, sf_dir):
 @query(
     "join_inner_large",
     bench=True,
+    # Both sides aggregate per order first, round that partial to 6dp,
+    # and carry it as DECIMAL(18,6) into the outer sum: the outer sum is
+    # exact integer arithmetic, so the result is independent of
+    # summation order on BOTH engines (plain double re-association
+    # flipped a .005 rounding boundary here — r02 lesson).
     oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, count(*) AS n,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 6)
+                  AS DECIMAL(18,6)) AS rev
+      FROM lineitem GROUP BY l_orderkey
+    )
     SELECT o_orderstatus,
            year(o_orderdate) AS order_year,
-           count(*) AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           CAST(sum(n) AS BIGINT) AS n_lines,
+           round(CAST(sum(rev) AS DOUBLE), 2) AS revenue
+    FROM per_order JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus, year(o_orderdate)
     """,
 )
@@ -68,14 +79,16 @@ def join_inner_large(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     per_order = l.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+        .cast("decimal(18,6)")
+        .alias("__rev"),
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_orderstatus", F.year("o_orderdate").alias("order_year"))
         .agg(
             F.sum("__n").alias("n_lines"),
-            F.round(F.sum("__rev"), 2).alias("revenue"),
+            F.round(F.sum("__rev").cast("double"), 2).alias("revenue"),
         )
     )
 

@@ -342,6 +342,57 @@ def multimodal_features(spark, sf_dir):
     return image_features(media)
 
 
+@query("audio_wav_features", oracle=None)
+def audio_wav_features(spark, sf_dir):
+    """REAL audio decoding, zero external deps: deterministic sine-tone
+    WAV payloads are synthesized per doc_id (stdlib wave writer inside
+    mapInPandas), then decoded by the engine's WAV path (stdlib wave
+    reader) — sample rate, channels, duration, RMS. Exact RMS/duration
+    values are asserted in tests/test_llm.py; driver check is rows-only
+    (binary payloads have no DuckDB analogue)."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+    import pandas as pd
+
+    from ..llm.multimodal import decode_audio
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                sr = 8000
+                freq = 200.0 + float(did % 10) * 50.0
+                n = sr // 4  # 0.25 s
+                ts = np.arange(n) / sr
+                pcm = (np.sin(2 * np.pi * freq * ts) * 12000).astype("<i2")
+                buf = io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(pcm.tobytes())
+                rows.append((did, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .repartition(8)
+        .mapInPandas(synth, "media_id long, payload binary")
+    )
+    out = decode_audio(d)
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_channels",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 @query("near_dup_clusters", oracle=None)
 def near_dup_clusters(spark, sf_dir):
     """MinHash pairs -> connected-component clusters -> cluster sizes

@@ -173,14 +173,24 @@ def q6_forecast_revenue(spark, sf_dir):
 @query(
     "q10_returned_items",
     bench=True,
+    # per-order partials rounded to 6dp ride as DECIMAL(18,6) so the
+    # outer per-customer sum is exact and order-independent on both
+    # engines (see join_inner_large note).
     oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 6)
+                  AS DECIMAL(18,6)) AS rev
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+    ), per_cust AS (
+      SELECT o_custkey, sum(rev) AS rev_c
+      FROM per_order JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey
+    )
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
-           round(any_value(c_acctbal), 6) AS acctbal
-    FROM customer JOIN orders ON c_custkey = o_custkey
-                  JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE l_returnflag = 'R'
-    GROUP BY c_custkey, c_name
+           round(CAST(rev_c AS DOUBLE), 6) AS revenue,
+           round(c_acctbal, 6) AS acctbal
+    FROM per_cust JOIN customer ON o_custkey = c_custkey
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
     """,
@@ -195,7 +205,9 @@ def q10_returned_items(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     rev_per_order = l.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+        .cast("decimal(18,6)")
+        .alias("__rev")
     )
     per_cust = (
         rev_per_order.join(o, rev_per_order.l_orderkey == o.o_orderkey)
@@ -207,7 +219,7 @@ def q10_returned_items(spark, sf_dir):
         .select(
             "c_custkey",
             "c_name",
-            F.round("__rev_c", 6).alias("revenue"),
+            F.round(F.col("__rev_c").cast("double"), 6).alias("revenue"),
             F.round("c_acctbal", 6).alias("acctbal"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))

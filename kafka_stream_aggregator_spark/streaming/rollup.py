@@ -53,15 +53,27 @@ def maintain_rollup(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # No driver round-trip: the touched-day set stays distributed as
+        # a broadcast semi-join key (dynamic partition overwrite only
+        # rewrites day partitions that receive rows, and the broadcast
+        # join lets Spark runtime-prune the untouched day partitions of
+        # the existing table scan). Write happens only after `updated`
+        # is materialized via localCheckpoint — the lineage to the files
+        # being overwritten is cut BEFORE the overwrite starts, so this
+        # never reads and replaces the same path in one action.
+        # Caveat (documented, single-writer design): the per-partition
+        # commit itself is not atomic; a crash mid-commit can leave a
+        # touched day partially rewritten until the checkpoint replays
+        # the batch (same data, idempotent) on restart.
         spark = batch_df.sparkSession
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            days = [r["day"] for r in batch_df.select("day").distinct().collect()]
-            if not days:
-                return
+            batch_days = F.broadcast(batch_df.select("day").distinct())
             try:
-                current = spark.read.parquet(path).filter(F.col("day").isin(days))
+                current = spark.read.parquet(path).join(
+                    batch_days, "day", "left_semi"
+                )
             except Exception:  # first batch: table does not exist yet
                 current = None
             updated = batch_df
@@ -73,6 +85,9 @@ def maintain_rollup(
                     "left_anti",
                 )
                 updated = untouched.unionByName(batch_df)
+            updated = updated.localCheckpoint(eager=True)
+            if updated.isEmpty():
+                return
             updated.write.mode("overwrite").partitionBy("day").parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

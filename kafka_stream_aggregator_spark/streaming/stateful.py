@@ -35,9 +35,12 @@ def continuous_ewma(
     the stream shuffles once on the key, each partition owns its keys'
     state in the state store (RocksDB provider at scale).
     """
+    # key fields keep their INPUT types (string/timestamp keys were
+    # silently widened to long before — ADVICE fix)
+    in_types = {f.name: f.dataType for f in stream.schema.fields}
     out_schema = T.StructType(
         [
-            *[T.StructField(k, T.LongType()) for k in key_cols],
+            *[T.StructField(k, in_types[k]) for k in key_cols],
             T.StructField("ewma", T.DoubleType()),
             T.StructField("n_seen", T.LongType()),
         ]

@@ -161,8 +161,81 @@ def test_multimodal_plumbing(spark):
     feats = {r["media_id"]: r for r in image_features(media).collect()}
     assert feats[1]["n_bytes"] == 400
     assert feats[2]["byte_mean"] == 255.0 and feats[2]["byte_std"] == 0.0
-    with pytest.raises(NotImplementedError):
-        decode_audio(media)
+    # non-audio payloads: null features, no crash (WAV path is real)
+    audio = {r["media_id"]: r for r in decode_audio(media).collect()}
+    assert audio[1]["sample_rate"] is None and audio[1]["rms"] is None
+
+
+def _wav_bytes(freq: float, sr: int = 8000, seconds: float = 0.5, amp: float = 0.5):
+    import io
+    import wave
+
+    import numpy as np
+
+    n = int(sr * seconds)
+    ts = np.arange(n) / sr
+    pcm = (np.sin(2 * np.pi * freq * ts) * amp * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_wav_decode_real(spark):
+    """The WAV path decodes for real (stdlib): exact sample rate,
+    channels, duration; RMS of a sine at amplitude a is a/sqrt(2)."""
+    from kafka_stream_aggregator_spark.llm.multimodal import (
+        attach_meta,
+        capabilities,
+        decode_audio,
+    )
+
+    assert capabilities()["audio_wav"] is True
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(220.0, seconds=0.5, amp=0.5))),
+            (2, bytearray(_wav_bytes(440.0, seconds=2.0, amp=0.25))),
+            (3, bytearray(b"not a wav")),
+        ],
+        "id long, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in decode_audio(attach_meta(df, "id", "payload")).collect()
+    }
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_channels"] == 1
+    assert abs(out[1]["duration_s"] - 0.5) < 1e-9
+    assert abs(out[1]["rms"] - 0.5 / 2**0.5) < 0.01
+    assert abs(out[2]["duration_s"] - 2.0) < 1e-9
+    assert abs(out[2]["rms"] - 0.25 / 2**0.5) < 0.01
+    assert out[3]["sample_rate"] is None
+
+
+def test_image_decode_capability_paths():
+    """decode_image_payload: fake path is deterministic when PIL is
+    absent; when PIL is installed the real path must parse a real PNG."""
+    from kafka_stream_aggregator_spark.llm import multimodal as mm
+
+    b = bytes(range(256)) * 4
+    m1 = mm.decode_image_payload(b)
+    m2 = mm.decode_image_payload(b)
+    assert m1 == m2
+    if mm.HAS_PIL:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.fromarray(
+            (np.arange(64 * 64).reshape(64, 64) % 256).astype("uint8")
+        )
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        mean, std, phash = mm.decode_image_payload(buf.getvalue())
+        assert 0 <= mean <= 255 and std > 0
 
 
 def test_cluster_near_dups(spark):

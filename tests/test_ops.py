@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_stream_aggregator_spark.ops import (
@@ -87,3 +88,89 @@ def test_topk_plan_uses_take_ordered(spark):
     df = spark.createDataFrame([(i, float(i)) for i in range(100)], "i long, v double")
     plan = global_top_k(df, [F.col("v").desc()], 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_percentiles_matches_builtin(spark):
+    """Sort-based exact_percentiles == Spark's built-in exact percentile
+    on randomized data (ties + duplicates + negative values included)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafka_stream_aggregator_spark.ops import exact_percentiles
+
+    rng = random.Random(7)
+    rows = [
+        (rng.choice(["a", "b", "c"]), round(rng.uniform(-100, 100), 2))
+        for _ in range(5000)
+    ] + [("a", 5.0)] * 25  # ties
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["p50"], r["p90"], r["p05"])
+        for r in exact_percentiles(
+            df, "v", [(0.5, "p50"), (0.9, "p90"), (0.05, "p05")], group_cols=("g",)
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["p50"], r["p90"], r["p05"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(0.5)).alias("p50"),
+            F.percentile("v", F.lit(0.9)).alias("p90"),
+            F.percentile("v", F.lit(0.05)).alias("p05"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert abs(a - b) < 1e-9, (g, got[g], want[g])
+
+
+def test_exact_percentiles_edge_groups(spark):
+    """Single-row and two-row groups: interpolation endpoints."""
+    from kafka_stream_aggregator_spark.ops import exact_percentiles
+
+    df = spark.createDataFrame(
+        [("one", 42.0), ("two", 10.0), ("two", 20.0)], "g string, v double"
+    )
+    got = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in exact_percentiles(
+            df, "v", [(0.5, "p50"), (0.9, "p90")], group_cols=("g",)
+        ).collect()
+    }
+    assert got["one"] == (42.0, 42.0)
+    assert got["two"] == (15.0, pytest.approx(19.0))
+
+
+def test_percentile_approx_within_bounds_of_exact(spark, sf_dir):
+    """agg_percentiles_approx (the 100 TB tier) stays within tight rank
+    error of the exact result at accuracy=10000."""
+    from kafka_stream_aggregator_spark.queries import REGISTRY
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["agg_percentiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["agg_percentiles_approx"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for g in exact:
+        # quantity percentiles: discrete domain, sketch should be spot-on
+        assert abs(exact[g]["p50_qty"] - approx[g]["p50_qty"]) <= 1.0
+        assert abs(exact[g]["p90_qty"] - approx[g]["p90_qty"]) <= 1.0
+        # continuous price median: within 1% relative
+        rel = abs(exact[g]["med_price"] - approx[g]["med_price"]) / exact[g]["med_price"]
+        assert rel < 0.01, (g, exact[g]["med_price"], approx[g]["med_price"])
+
+
+def test_salted_join_rejects_dim_duplicating_how(spark):
+    from kafka_stream_aggregator_spark.ops import salted_join
+
+    fact = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(5).withColumnRenamed("id", "dk")
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(fact, dim, "k", "dk", how="full")

@@ -81,3 +81,52 @@ def test_q8_sixway_join_broadcasts_dims(spark, sf_dir):
 def test_q16_not_in_is_anti_join(spark, sf_dir):
     plan = _plan(REGISTRY["q16_parts_supplier_count"].fn(spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_join_inner_large_preaggregates_before_join(spark, sf_dir):
+    """The pre-aggregation rewrite: lineitem must collapse per orderkey
+    BEFORE the join (a HashAggregate below the join on the lineitem
+    side), so the shuffle carries per-order partials, not raw lines."""
+    df = REGISTRY["join_inner_large"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # the plan prints top-down: everything after the join line is its
+    # subtree. Whatever join AQE picked (SMJ/SHJ/broadcast), a
+    # HashAggregate keyed on l_orderkey must live BELOW it.
+    join_idx = min(
+        (plan.index(op) for op in
+         ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+         if op in plan),
+        default=-1,
+    )
+    assert join_idx >= 0
+    subtree = plan[join_idx:]
+    agg_idx = subtree.find("HashAggregate")
+    assert agg_idx >= 0 and "l_orderkey" in subtree[agg_idx:agg_idx + 400]
+
+
+def test_exact_percentiles_no_python_and_single_sort(spark, sf_dir):
+    """Sort-based percentile: pure JVM (no python), one shuffle for the
+    rank window, and no Percentile counts-map aggregate anywhere."""
+    from kafka_stream_aggregator_spark.ops import exact_percentiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = exact_percentiles(
+        li, "l_extendedprice", [(0.5, "med")], group_cols=("l_returnflag",)
+    )
+    plan = _plan(df)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
+
+
+def test_cos_topk_hoists_norms_out_of_join(spark, sf_dir):
+    """Norms are computed per vector before the broadcast join — the
+    join-side projection must not recompute norm(q_vec)/norm(c_vec)
+    (their aggregate() folds appear below the join, not above it)."""
+    df = REGISTRY["cos_topk_bruteforce"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    above_join = plan.split("Join")[0]
+    # post-join projection does a single dot-product fold, not 3:
+    # norms ride the rows as __qnorm/__cnorm columns
+    assert "__qnorm" in plan and "__cnorm" in plan

@@ -500,3 +500,40 @@ def test_jdbc_sink_streaming_r11(spark, events_dir, tmp_path):
     back = spark.read.jdbc(url, "raw_events", properties=props)
     assert back.count() == spark.read.parquet(events_dir).count()
     assert back.agg(F.countDistinct("event_id")).first()[0] == back.count()
+
+
+def test_jdbc_upsert_sink_idempotent_replay(spark, events_dir, tmp_path):
+    """Effectively-once JDBC sink: stage + MERGE on the key. Running the
+    SAME stream twice (fresh checkpoint = full replay, the worst case)
+    leaves exactly one row per key — where the plain append writer would
+    double-insert."""
+    import uuid
+
+    from kafka_stream_aggregator_spark.streaming.sinks import (
+        foreach_batch_jdbc_upsert_writer,
+    )
+
+    url = f"jdbc:derby:memory:u{uuid.uuid4().hex[:10]};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    writer = foreach_batch_jdbc_upsert_writer(
+        url, "events_upsert", key_cols=["event_id"], properties=props
+    )
+
+    def run(ck: str) -> None:
+        stream = file_stream(spark, events_dir, EVENTS_SCHEMA).select(
+            "event_id", "user_id", "value"
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run("ck1")
+    run("ck2")  # full replay
+    back = spark.read.jdbc(url, "events_upsert", properties=props)
+    n_src = spark.read.parquet(events_dir).count()
+    assert back.count() == n_src
+    assert back.agg(F.countDistinct("event_id")).first()[0] == n_src

@@ -25,6 +25,51 @@ def test_env_overlay(tmp_path):
     assert spec["source"]["rows_per_second"] == 99
 
 
+def test_run_mode_overlay(tmp_path):
+    """config.rs:54-68 layering: default.toml < {RUN_MODE}.toml < APP_*
+    env — overlay file optional, later layers win, deep-merged."""
+    (tmp_path / "default.toml").write_text(
+        textwrap.dedent(
+            """
+            debug = true
+            [source]
+            kind = "rate"
+            rows_per_second = 10
+            [sink]
+            kind = "console"
+            """
+        )
+    )
+    (tmp_path / "production.toml").write_text(
+        textwrap.dedent(
+            """
+            debug = false
+            [source]
+            rows_per_second = 500
+            """
+        )
+    )
+    base = str(tmp_path / "default.toml")
+    # default RUN_MODE=development: overlay file absent -> base only
+    spec = load_spec(base, env={})
+    assert spec["debug"] is True and spec["source"]["rows_per_second"] == 10
+    # RUN_MODE=production: overlay wins where set, base preserved elsewhere
+    spec = load_spec(base, env={"RUN_MODE": "production"})
+    assert spec["debug"] is False
+    assert spec["source"]["rows_per_second"] == 500
+    assert spec["source"]["kind"] == "rate"
+    assert spec["sink"]["kind"] == "console"
+    # env layer beats the overlay (config.rs:62)
+    spec = load_spec(
+        base,
+        env={"RUN_MODE": "production", "APP_SOURCE__ROWS_PER_SECOND": "77"},
+    )
+    assert spec["source"]["rows_per_second"] == 77
+    # a RUN_MODE with no overlay file is fine (required(false), config.rs:60)
+    spec = load_spec(base, env={"RUN_MODE": "staging"})
+    assert spec["source"]["rows_per_second"] == 10
+
+
 def test_batch_pipeline_ewma(spark, sf_dir, tmp_path):
     p = tmp_path / "batch.toml"
     p.write_text(
