@@ -74,15 +74,19 @@ def assign_cells(
 ) -> DataFrame:
     """Attach the ids of the n_probe nearest centroids (by cosine).
 
-    centroids: (cell_id, c_vec) — small, broadcast. One narrow pass."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine_sim(F.col(vec), F.col("c_vec"))
+    centroids: (cell_id, c_vec) — small, broadcast. One narrow pass.
+    The row-vector norm is hoisted out of the per-centroid loop (it
+    divides every candidate's score equally, so cell ranking only needs
+    dot/centroid_norm — same argmax, one fold less per pair)."""
+    cents = centroids.withColumn("__cnorm", norm(F.col("c_vec")))
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", dot(F.col(vec), F.col("c_vec")) / F.col("__cnorm")
     )
     w = W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell_id"))
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n_probe)
-        .drop("c_vec", "__sim", "__rk")
+        .drop("c_vec", "__cnorm", "__sim", "__rk")
     )
 
 
@@ -103,14 +107,30 @@ def ivf_topk(
     Recall is checked against brute_force_topk in tests."""
     cand_cells = assign_cells(
         candidates.select(c_id, F.col(c_vec).alias("vec")), centroids, c_id, n_probe=1
-    ).select(c_id, F.col("vec").alias(c_vec), "cell_id")
+    ).select(
+        c_id,
+        F.col("vec").alias(c_vec),
+        "cell_id",
+        norm(F.col("vec")).alias("__cn"),  # per-vector norm, computed once
+    )
     q_cells = assign_cells(
         queries.select(q_id, F.col(q_vec).alias("vec")), centroids, q_id, n_probe=n_probe
-    ).select(q_id, F.col("vec").alias(q_vec), "cell_id")
+    ).select(
+        q_id,
+        F.col("vec").alias(q_vec),
+        "cell_id",
+        norm(F.col("vec")).alias("__qn"),
+    )
     scored = (
         q_cells.join(cand_cells, "cell_id")
         .filter(F.col(q_id) != F.col(c_id))
-        .select(q_id, c_id, cosine_sim(F.col(q_vec), F.col(c_vec)).alias("cos_sim"))
+        .select(
+            q_id,
+            c_id,
+            (
+                dot(F.col(q_vec), F.col(c_vec)) / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos_sim"),
+        )
         .groupBy(q_id, c_id)
         .agg(F.max("cos_sim").alias("cos_sim"))  # dedup multi-probe hits
     )

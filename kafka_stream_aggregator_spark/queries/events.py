@@ -373,3 +373,55 @@ def trade_pipeline_ewma_avro(spark, sf_dir):
     return aggregate_trades(
         decode_trades_avro(frame_trades_avro(trades)), per_instrument=True
     )
+
+
+@query("trade_pipeline_schema_evolution", oracle=None)
+def trade_pipeline_schema_evolution(spark, sf_dir):
+    """Registry-dispatch decode over a MIXED-schema-version topic
+    (consumer.rs:76-85 + readme.md:27-28 evolution claim): half the
+    trades are framed under schema v1, half under v2 (added nullable
+    'venue'), each message decoded by its own embedded schema id with
+    writer->reader resolution — then the standard EWMA chain. Equals the
+    single-schema chain (asserted in tests/test_schema_registry.py)."""
+    import copy
+
+    import pandas as pd
+
+    from ..schemas import TRADE_SCHEMA
+    from ..streaming.avro_codec import TRADES_AVRO_SCHEMA, encode
+    from ..streaming.registry import SchemaRegistry
+    from ..streaming.trade_pipeline import (
+        aggregate_trades,
+        decode_trades_avro_dispatch,
+        synthetic_trades,
+    )
+
+    v1 = TRADES_AVRO_SCHEMA
+    v2 = copy.deepcopy(TRADES_AVRO_SCHEMA)
+    v2["fields"] = v2["fields"] + [
+        {"name": "venue", "type": ["null", "string"], "default": None}
+    ]
+    reg = SchemaRegistry()
+    subject = SchemaRegistry.subject_for_topic("trades-option-btc")
+    id1 = reg.register(subject, v1)
+    id2 = reg.register(subject, v2)
+    cols = [f.name for f in TRADE_SCHEMA.fields]
+
+    def enc(batches):
+        for pdf in batches:
+            values = []
+            for row in pdf[cols].itertuples(index=False, name=None):
+                rec = dict(zip(cols, row))
+                if rec["trade_seq"] % 2:
+                    rec["venue"] = "deribit"
+                    values.append(b"\x00" + id2.to_bytes(4, "big") + encode(v2, rec))
+                else:
+                    values.append(b"\x00" + id1.to_bytes(4, "big") + encode(v1, rec))
+            yield pd.DataFrame(
+                {"key": pdf["timestamp"].astype(str), "value": values}
+            )
+
+    trades = synthetic_trades(spark, n=20_000)
+    framed = trades.mapInPandas(enc, "key string, value binary")
+    decoded = decode_trades_avro_dispatch(framed, reg.snapshot(), v1, TRADE_SCHEMA)
+    return aggregate_trades(decoded, per_instrument=True)
