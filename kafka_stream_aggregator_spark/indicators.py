@@ -99,6 +99,55 @@ def windowed_ewma(
     return out
 
 
+def windowed_ewma_closed_form(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    group_cols: Sequence[str] = (),
+    period_minutes: int = 5,
+    emit_positive_only: bool = True,
+) -> DataFrame:
+    """windowed_ewma as a rank-indexed SUM instead of an array fold.
+
+    The zero-seeded fold expands to
+        ewma = sum_i alpha * (1-alpha)^(n-i) * x_i      (i = 1..n in order)
+    so ranking each row inside its (group, window) partition turns the
+    whole aggregate into window-rank + one codegen'd sum — no
+    collect_list arrays, no interpreted higher-order fold. Same single
+    shuffle (the rank window and the groupBy share the partitioning, so
+    Catalyst plans ONE Exchange). (1-alpha)^(n-i) stays in [0,1] — no
+    overflow at any n, unlike the cumulative closed form's lam^-i.
+
+    Numerically this matches the fold to well past 6 decimals (the
+    DuckDB oracle for ewma_5min IS this closed form and hash-matches the
+    fold), but it is not bit-identical; windowed_ewma remains the
+    reference-semantics canonical. Use this variant for batch throughput
+    on wide windows.
+    """
+    alpha = ewma_alpha(period_minutes)
+    lam = 1.0 - alpha
+    secs = period_minutes * 60
+    from pyspark.sql import Window as W
+
+    wstart = (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs).cast("long")
+    base = df.withColumn("window_start", wstart)
+    part = W.partitionBy(*group_cols, "window_start")
+    rn = F.row_number().over(part.orderBy(*order_cols))
+    n = F.count(F.lit(1)).over(part)
+    term = F.lit(alpha) * F.pow(F.lit(lam), (n - rn).cast("double")) * F.col(value_col)
+    out = (
+        base.withColumn("__term", term)
+        .groupBy(*group_cols, "window_start")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__term").alias("ewma"))
+        .withColumn("window_end", (F.col("window_start") + secs).cast("long"))
+        .select(*group_cols, "window_start", "n_rows", "ewma", "window_end")
+    )
+    if emit_positive_only:
+        out = out.filter(F.col("ewma") > 0.0)
+    return out
+
+
 def cumulative_ewma_col(
     value_col: str,
     alpha: float,

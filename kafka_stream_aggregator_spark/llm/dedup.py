@@ -102,8 +102,30 @@ def minhash_near_dup(
     and jaccard >= threshold.
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_len)
+    # Tokenize/shingle the corpus exactly ONCE: the cached (id, shingle
+    # hash) pairs feed BOTH the signature computation and the exact-
+    # Jaccard verification below (shingling is the CPU-dominant stage;
+    # computing it twice doubled the whole operator's cost).
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
+        )
+        .select("__id", F.xxhash64("__s").alias("__sh"))
+        .cache()
+    )
+    # identical hash construction to minhash_signatures: k long re-hashes
+    # of the single 8-byte shingle hash, map-side partial min
+    sig = sh.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64("__sh", F.lit(k))).alias(f"h{k}")
+            for k in range(n_hashes)
+        ]
+    ).select(
+        F.col("__id").alias(id_col),
+        F.array(*[f"h{k}" for k in range(n_hashes)]).alias("signature"),
+    )
     banded = sig.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -144,18 +166,9 @@ def minhash_near_dup(
         .distinct()
     )
 
-    # verification joins on 8-byte shingle hashes, not strings — ~10x less
-    # shuffle volume and a long-key hash join (collision odds ~n^2/2^64).
-    # cached: the self-join reads this subtree twice (sh_a and sh_b), and
-    # without the cache Spark re-runs the tokenize+explode for each side.
-    sh = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
-        )
-        .select("__id", F.xxhash64("__s").alias("__sh"))
-        .cache()
-    )
+    # verification joins on the same cached 8-byte shingle hashes — ~10x
+    # less shuffle than strings, long-key hash join (collisions
+    # ~n^2/2^64), and zero re-tokenization.
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = sh.select(F.col("__id").alias("rid_b"), F.col("__sh").alias("sh_b"))

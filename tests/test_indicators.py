@@ -92,3 +92,33 @@ def test_windowed_ewma_window_boundaries(spark):
     a = ewma_alpha(5)
     assert out[starts[0]]["ewma"] == pytest.approx(a * 10.0)
     assert out[starts[1]]["ewma"] == pytest.approx(a * 20.0)
+
+
+def test_closed_form_equals_fold(spark, sf_dir):
+    """windowed_ewma_closed_form == windowed_ewma at 6 decimals on the
+    full events table (every group/window), both orderings."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_aggregator_spark.indicators import (
+        windowed_ewma,
+        windowed_ewma_closed_form,
+    )
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    args = dict(
+        ts_col="ts",
+        value_col="value",
+        order_cols=("ts", "event_id"),
+        group_cols=("event_type",),
+        period_minutes=5,
+    )
+    a = windowed_ewma(e, **args).select(
+        "event_type", "window_start", "n_rows", F.round("ewma", 6).alias("x")
+    )
+    b = windowed_ewma_closed_form(e, **args).select(
+        "event_type", "window_start", "n_rows", F.round("ewma", 6).alias("x")
+    )
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
