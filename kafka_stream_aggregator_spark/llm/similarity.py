@@ -140,6 +140,73 @@ def ivf_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    centroids: DataFrame | None = None,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim >= threshold.
+
+    With ``centroids`` (the scale path): every vector is assigned to its
+    ``n_probe`` nearest cells and only pairs SHARING a cell are scored —
+    an equi join on cell_id, never all-pairs, the IVF analogue of
+    MinHash banding. Multi-probe matters: near-threshold pairs often
+    straddle a cell boundary, so single-probe recall collapses (measured
+    0.23 at 1 probe vs >0.5 at 3 on the test corpus). Pairs found in
+    multiple shared cells are deduped with a groupBy. Scores are exact —
+    blocking only affects candidate generation (subset guarantee tested).
+
+    Without centroids: exact all-pairs scoring via a self cross join —
+    O(N^2), intended ONLY for bounded/sampled inputs (oracle baselines);
+    norms are still computed once per vector, not per pair."""
+    base = df.select(
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    if centroids is not None:
+        base = assign_cells(
+            base.select(F.col("__nid"), F.col("__v").alias("vec"), "__n"),
+            centroids,
+            "__nid",
+            vec="vec",
+            n_probe=n_probe,
+        ).select("__nid", F.col("vec").alias("__v"), "__n", "cell_id")
+    a = base.select(
+        *(["cell_id"] if centroids is not None else []),
+        F.col("__nid").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        *([F.col("cell_id").alias("cell_b")] if centroids is not None else []),
+        F.col("__nid").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    if centroids is not None:
+        joined = a.join(b, (a.cell_id == b.cell_b) & (a.id_a < b.id_b))
+    else:
+        joined = a.join(b, a.id_a < b.id_b)
+    scored = joined.select(
+        "id_a",
+        "id_b",
+        (dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))).alias(
+            "cos_sim"
+        ),
+    ).filter(F.col("cos_sim") >= threshold)
+    if centroids is not None:
+        # a pair sharing k probed cells appears k times — dedup
+        scored = scored.groupBy("id_a", "id_b").agg(
+            F.max("cos_sim").alias("cos_sim")
+        )
+    return scored
+
+
 def pseudo_centroids(df: DataFrame, vec: str, id_col: str, n_cells: int) -> DataFrame:
     """Deterministic centroid seed: the first n_cells vectors by id.
     (A k-means refinement would slot in here; for engine plumbing the

@@ -281,6 +281,53 @@ def emb_label_stats(spark, sf_dir):
     )
 
 
+@query(
+    "emb_cosine_near_dup",
+    # exact embedding-cosine near-dup pairs over a bounded id range
+    # (the oracle-able baseline; the IVF-blocked scale path is
+    # emb_cosine_near_dup_ivf below).
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def emb_cosine_near_dup(spark, sf_dir):
+    from ..llm.similarity import cosine_near_dup_pairs
+
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+    )
+    pairs = cosine_near_dup_pairs(e, "vec_id", "v", threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@query("emb_cosine_near_dup_ivf", oracle=None)
+def emb_cosine_near_dup_ivf(spark, sf_dir):
+    """The scale path: same pairs search blocked by IVF cells (equi join
+    on cell_id, never all-pairs). Recall vs the exact variant is
+    measured in tests/test_llm.py."""
+    from ..llm.similarity import cosine_near_dup_pairs, pseudo_centroids
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = pseudo_centroids(e, "v", "vec_id", n_cells=8)
+    pairs = cosine_near_dup_pairs(e, "vec_id", "v", threshold=0.4, centroids=cents)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 @query("minhash_near_dup", oracle=None, bench=True)
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash-LSH near-dup pairs (recall vs exact Jaccard checked in tests)."""

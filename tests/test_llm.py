@@ -356,3 +356,42 @@ def test_simhash_recall_vs_exact(spark, sf_dir):
         # with distance (measured ~0.14 at h<=12 on this corpus) — the
         # assertion pins the floor, the guarantee above pins correctness
         assert recall >= 0.1
+
+
+def test_cosine_near_dup_ivf_recall(spark, sf_dir):
+    """IVF-blocked near-dup pairs vs exact all-pairs on the same input:
+    the blocked search must be a SUBSET (no false positives — scores are
+    exact, only candidate generation is approximate) with recall >= 0.5
+    at 8 cells on this corpus, and every returned score must equal the
+    exact score."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_aggregator_spark.llm.similarity import (
+        as_double,
+        cosine_near_dup_pairs,
+        pseudo_centroids,
+    )
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 400)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cos_sim"], 6)
+        for r in cosine_near_dup_pairs(e, "vec_id", "v", 0.35).collect()
+    }
+    cents = pseudo_centroids(e, "v", "vec_id", n_cells=8)
+    blocked = {
+        (r["id_a"], r["id_b"]): round(r["cos_sim"], 6)
+        for r in cosine_near_dup_pairs(
+            e, "vec_id", "v", 0.35, centroids=cents
+        ).collect()
+    }
+    assert exact, "corpus must contain pairs above threshold"
+    assert set(blocked) <= set(exact)  # no false positives
+    for k, v in blocked.items():
+        assert abs(v - exact[k]) < 1e-6
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.5, f"recall {recall} ({len(blocked)}/{len(exact)})"
