@@ -26,6 +26,16 @@ from .base import REGISTRY, QuerySpec
 # set ops, UDF/IO surface, streaming, and the advanced LLM-pipeline ops
 # (MinHash/SimHash/IVF/PII/multimodal), plus the two queries whose
 # oracles were re-typed this round (HUGEINT -> BIGINT casts).
+#
+# ROUND-3 ROTATION PLAN: put the remaining never-driver-checked queries
+# first — as of end of round 2 that set is (29): agg_percentiles_approx,
+# trade_pipeline_schema_evolution, emb_label_stats, emb_cosine_near_dup,
+# emb_cosine_near_dup_ivf, audio_wav_features, fn_distinct_limit,
+# fn_array_suite2, fn_json_from_json, fn_hash_spark_native,
+# fn_json_tuple, fn_posexplode, fn_string_suite2, set_intersect,
+# set_except, q5, q6, q10, q4, q11, q13, q17, q22, events_funnel, q7,
+# q9, q14, q16, io_parquet_roundtrip — then backfill the window with any
+# query that failed in CORRECTNESS_r02.
 _WINDOW_PRIORITY = [
     # re-typed oracles (hash-failed in r01, value-level correct)
     "cumulative_distinct_users",

@@ -76,6 +76,19 @@ def main() -> None:
     tt("topk_per_user", ev.groupBy("user_id").agg(
         F.max("value"), F.percentile_approx("value", 0.5)))
 
+    from kafka_stream_aggregator_spark.indicators import (
+        windowed_ewma_closed_form,
+    )
+    from kafka_stream_aggregator_spark.ops import exact_percentiles
+
+    tt("windowed_ewma_closed_form", windowed_ewma_closed_form(
+        ev, group_cols=("event_type",), period_minutes=5))
+    # continuous column, 5 groups, 10M rows: the built-in exact
+    # Percentile would buffer ~2M-entry counts-maps per group; the
+    # sort-based rewrite holds O(1) reducer memory (spills via sort)
+    tt("exact_percentiles(value by type)", exact_percentiles(
+        ev, "value", [(0.5, "p50"), (0.99, "p99")], group_cols=("event_type",)))
+
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
