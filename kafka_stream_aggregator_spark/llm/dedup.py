@@ -85,12 +85,48 @@ def minhash_signatures(
     )
 
 
+def lsh_candidate_probability(jaccard: float, bands: int, rows: int) -> float:
+    """P(>=1 shared band bucket) for a pair with the given true Jaccard
+    under (bands x rows) MinHash banding: 1 - (1 - j^rows)^bands — the
+    standard LSH S-curve."""
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def choose_bands(
+    n_hashes: int,
+    jaccard_threshold: float,
+    min_recall_at_threshold: float = 0.9,
+) -> int:
+    """Pick the band count for a target threshold from the S-curve.
+
+    Among divisors b of n_hashes (rows = n_hashes/b), take the SMALLEST
+    b (steepest curve, fewest false candidates) whose recall at the
+    threshold reaches ``min_recall_at_threshold``; if none does, the
+    largest-recall b. More bands -> higher recall but more candidate
+    pairs to verify; this makes the tradeoff explicit instead of a
+    hand-tuned constant."""
+    divisors = [b for b in range(1, n_hashes + 1) if n_hashes % b == 0]
+    best = max(
+        divisors,
+        key=lambda b: lsh_candidate_probability(
+            jaccard_threshold, b, n_hashes // b
+        ),
+    )
+    for b in divisors:  # ascending: fewest bands first
+        if (
+            lsh_candidate_probability(jaccard_threshold, b, n_hashes // b)
+            >= min_recall_at_threshold
+        ):
+            return b
+    return best
+
+
 def minhash_near_dup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 32,
-    bands: int = 8,
+    bands: int | None = 8,
     shingle_len: int = 3,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
@@ -99,8 +135,11 @@ def minhash_near_dup(
     Pairs sharing >=1 of `bands` band-buckets become candidates (only
     same-bucket docs are ever joined); candidates are then verified with
     exact shingle Jaccard. Output: (id_a, id_b, jaccard) with id_a < id_b
-    and jaccard >= threshold.
+    and jaccard >= threshold. ``bands=None`` auto-selects from the LSH
+    S-curve for the threshold (choose_bands).
     """
+    if bands is None:
+        bands = choose_bands(n_hashes, jaccard_threshold)
     rows = n_hashes // bands
     # Tokenize/shingle the corpus exactly ONCE: the cached (id, shingle
     # hash) pairs feed BOTH the signature computation and the exact-

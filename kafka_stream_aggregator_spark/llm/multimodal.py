@@ -159,6 +159,53 @@ def image_features(df: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame, frame_size: int, stride: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """Frame sampling over raw-frame video payloads (one binary blob =
+    n fixed-size frames back to back, the uncompressed/YUV-style
+    layout): emit every ``stride``-th frame as its own row, capped at
+    ``max_frames`` per payload. The fan-out happens INSIDE mapInPandas
+    (Arrow-batched), so a 1-row-per-video input becomes
+    frames-per-video rows without any driver involvement — downstream
+    per-frame feature extraction (image_features on the frame column)
+    parallelizes across the exploded rows after a repartition.
+    Container formats (mp4 etc.) need an ffmpeg/av binding — absent
+    here, same capability gating as audio; the sampling/fan-out
+    plumbing is identical either way."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "n_frames", "frame"]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = len(b) // frame_size
+                taken = 0
+                for i in range(0, n, stride):
+                    if max_frames is not None and taken >= max_frames:
+                        break
+                    rows.append(
+                        (mid, i, n, b[i * frame_size : (i + 1) * frame_size])
+                    )
+                    taken += 1
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "payload").mapInPandas(
+        sample, schema=VIDEO_FRAMES_SCHEMA
+    )
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -209,8 +209,8 @@ def cosine_near_dup_pairs(
 
 def pseudo_centroids(df: DataFrame, vec: str, id_col: str, n_cells: int) -> DataFrame:
     """Deterministic centroid seed: the first n_cells vectors by id.
-    (A k-means refinement would slot in here; for engine plumbing the
-    seed choice is orthogonal.)"""
+    (kmeans_centroids below refines these; for engine plumbing the seed
+    choice is orthogonal.)"""
     return (
         df.orderBy(id_col)
         .limit(n_cells)
@@ -218,3 +218,56 @@ def pseudo_centroids(df: DataFrame, vec: str, id_col: str, n_cells: int) -> Data
             F.col(id_col).alias("cell_id"), F.col(vec).alias("c_vec")
         )
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    vec: str,
+    id_col: str,
+    n_cells: int,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means refinement of the deterministic seeds (cosine
+    assignment, mean update), for sharper IVF cells.
+
+    Each iteration is one distributed pass: assign every vector to its
+    nearest current centroid (centroids broadcast — k x dim doubles),
+    then average per cell with zip_with/transform aggregates (map-side
+    partial sums; the shuffle carries k x dim doubles per partition).
+    Only the k centroids themselves ever reach the driver (k x dim
+    values per iteration — bounded, documented driver traffic; the DATA
+    never leaves executors). Empty cells keep their previous centroid.
+    Deterministic: seeds are id-ordered, assignment ties break on
+    cell_id."""
+    cents = pseudo_centroids(df, vec, id_col, n_cells)
+    for _ in range(n_iter):
+        assigned = assign_cells(
+            df.select(F.col(id_col).alias("__kid"), F.col(vec).alias("vec")),
+            cents,
+            "__kid",
+            n_probe=1,
+        )
+        # mean per (cell, dimension): posexplode -> partial avg — the
+        # shuffle carries k x dim partials per partition, never whole
+        # vector lists (a collect_list of member vectors would be
+        # O(cell_size x dim) reducer memory, the exact blowup this
+        # module avoids everywhere else)
+        sums = (
+            assigned.select("cell_id", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_vec_new")
+            )
+        )
+        # keep previous centroid for empty cells; only k rows collected
+        updated = cents.join(sums, "cell_id", "left").select(
+            "cell_id", F.coalesce("c_vec_new", "c_vec").alias("c_vec")
+        )
+        rows = updated.collect()
+        cents = df.sparkSession.createDataFrame(rows, updated.schema)
+    return cents

@@ -395,3 +395,98 @@ def test_cosine_near_dup_ivf_recall(spark, sf_dir):
         assert abs(v - exact[k]) < 1e-6
     recall = len(blocked) / len(exact)
     assert recall >= 0.5, f"recall {recall} ({len(blocked)}/{len(exact)})"
+
+
+def test_kmeans_centroids_improve_ivf_recall(spark, sf_dir):
+    """Refined centroids: valid shape (k cells, finite vectors), and
+    IVF recall@5 with refined cells >= recall with raw id-seeds on the
+    same query set (k-means can only sharpen the partition here)."""
+    from kafka_stream_aggregator_spark.llm.similarity import (
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
+    exact = {
+        (r["q_id"], r["c_id"]) for r in brute_force_topk(q, c, k=5).collect()
+    }
+
+    def recall(cents):
+        approx = {
+            (r["q_id"], r["c_id"])
+            for r in ivf_topk(q, c, cents, k=5, n_probe=4).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    seeds = pseudo_centroids(e, "v", "vec_id", n_cells=8)
+    refined = kmeans_centroids(e, "v", "vec_id", n_cells=8, n_iter=3)
+    rows = refined.collect()
+    assert len(rows) == 8
+    assert all(len(r["c_vec"]) == len(rows[0]["c_vec"]) for r in rows)
+    assert all(all(x == x for x in r["c_vec"]) for r in rows)  # no NaN
+    r_seed, r_ref = recall(seeds), recall(refined)
+    assert r_ref >= r_seed - 0.05, f"refined {r_ref} << seed {r_seed}"
+
+
+def test_lsh_s_curve_band_selection():
+    """choose_bands follows the S-curve: recall target met at the
+    threshold; fewer bands for high thresholds (steep curve), more for
+    low ones; probability function matches hand-computed values."""
+    from kafka_stream_aggregator_spark.llm.dedup import (
+        choose_bands,
+        lsh_candidate_probability,
+    )
+
+    # hand-check: j=0.5, b=8, r=4 -> 1-(1-0.0625)^8
+    assert abs(
+        lsh_candidate_probability(0.5, 8, 4) - (1 - (1 - 0.5**4) ** 8)
+    ) < 1e-12
+    b_low = choose_bands(32, 0.3)
+    b_high = choose_bands(32, 0.9)
+    assert b_low >= b_high  # low threshold needs more/shorter bands
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        b = choose_bands(32, thr)
+        assert 32 % b == 0
+        assert lsh_candidate_probability(thr, b, 32 // b) >= 0.9, thr
+
+
+def test_minhash_auto_bands_finds_near_dups(spark):
+    from kafka_stream_aggregator_spark.llm.dedup import minhash_near_dup
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(
+            _docs_with_dups(spark), "doc_id", "text",
+            bands=None, jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_video_frame_sampling(spark):
+    """Raw-frame sampling: exact frame bytes, stride + cap honored,
+    fan-out happens executor-side (one input row -> many output rows)."""
+    from kafka_stream_aggregator_spark.llm.multimodal import (
+        attach_meta,
+        sample_video_frames,
+    )
+
+    fs = 16
+    payload = b"".join(bytes([i]) * fs for i in range(10))  # 10 frames
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"short"))],
+        "id long, payload binary",
+    )
+    media = attach_meta(df, "id", "payload")
+    out = sample_video_frames(media, frame_size=fs, stride=3).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in out}
+    assert set(got) == {(1, 0), (1, 3), (1, 6), (1, 9)}
+    assert all(r["n_frames"] == 10 for r in out)
+    assert bytes(got[(1, 3)]["frame"]) == bytes([3]) * fs
+    capped = sample_video_frames(media, frame_size=fs, stride=3, max_frames=2)
+    assert capped.count() == 2
