@@ -27,14 +27,22 @@ def continuous_ewma(
     ts_col: str = "ts",
     value_col: str = "value",
     tiebreak_col: str = "event_id",
+    inactivity_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key EWMA carried across micro-batches.
 
-    Output one row per key per micro-batch: (key..., ewma, n_seen).
-    State is O(1) per key — this is the shape that holds at 100 TB:
-    the stream shuffles once on the key, each partition owns its keys'
-    state in the state store (RocksDB provider at scale).
-    """
+    Output one row per key per micro-batch: (key..., ewma, n_seen,
+    finalized). State is O(1) per key — this is the shape that holds at
+    100 TB: the stream shuffles once on the key, each partition owns its
+    keys' state in the state store (RocksDB provider at scale).
+
+    ``inactivity_timeout_ms`` bounds state CARDINALITY as well: a key
+    idle that long emits one last row (finalized=true) and its state is
+    removed — without it, one state entry per ever-seen key lives
+    forever, which is the real 100 TB risk for unbounded key domains
+    (user ids, trade ids). A key that reappears later restarts from the
+    zero seed, matching the reference's own buffer-clear semantics
+    (SURVEY S2)."""
     # key fields keep their INPUT types (string/timestamp keys were
     # silently widened to long before — ADVICE fix)
     in_types = {f.name: f.dataType for f in stream.schema.fields}
@@ -43,14 +51,21 @@ def continuous_ewma(
             *[T.StructField(k, in_types[k]) for k in key_cols],
             T.StructField("ewma", T.DoubleType()),
             T.StructField("n_seen", T.LongType()),
+            T.StructField("finalized", T.BooleanType()),
         ]
     )
+    cols = [*key_cols, "ewma", "n_seen", "finalized"]
 
     def update(
         key: tuple,
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        if inactivity_timeout_ms is not None and state.hasTimedOut:
+            ewma, n = state.get if state.exists else (0.0, 0)
+            state.remove()
+            yield pd.DataFrame([[*key, ewma, n, True]], columns=cols)
+            return
         ewma, n = state.get if state.exists else (0.0, 0)
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values([ts_col, tiebreak_col])
@@ -58,12 +73,19 @@ def continuous_ewma(
             ewma = alpha * float(x) + (1.0 - alpha) * ewma
         n += len(rows)
         state.update((float(ewma), int(n)))
-        yield pd.DataFrame([[*key, ewma, n]], columns=[*key_cols, "ewma", "n_seen"])
+        if inactivity_timeout_ms is not None:
+            state.setTimeoutDuration(inactivity_timeout_ms)
+        yield pd.DataFrame([[*key, ewma, n, False]], columns=cols)
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if inactivity_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return stream.groupBy(*key_cols).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

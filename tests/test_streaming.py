@@ -537,3 +537,83 @@ def test_jdbc_upsert_sink_idempotent_replay(spark, events_dir, tmp_path):
     n_src = spark.read.parquet(events_dir).count()
     assert back.count() == n_src
     assert back.agg(F.countDistinct("event_id")).first()[0] == n_src
+
+
+def test_continuous_ewma_inactivity_timeout(spark, tmp_path):
+    """State expiry: a key idle past the timeout emits one finalized row
+    and its state is REMOVED (restart-from-zero on reappearance) — the
+    state-cardinality bound for unbounded key domains.
+
+    NOTE: ProcessingTimeTimeout keeps a query alive past availableNow
+    (empty batches run until timeouts fire), so this test drives ONE
+    continuous query and polls the memory sink with deadlines."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import types as T
+
+    from kafka_stream_aggregator_spark.streaming.stateful import continuous_ewma
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    a = 0.5
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def poll(pred, deadline_s=60):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            rows = spark.table("ct_timeout").collect()
+            if pred(rows):
+                return rows
+            time.sleep(0.3)
+        raise AssertionError(
+            f"condition not reached; sink: {spark.table('ct_timeout').collect()}"
+        )
+
+    write_batch([(1, t0, 1, 10.0), (2, t0, 2, 20.0)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    sdf = continuous_ewma(
+        stream, a, key_cols=("user_id",), inactivity_timeout_ms=500
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ct_timeout")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        # both keys emit a live update
+        poll(lambda rs: {r["user_id"] for r in rs if not r["finalized"]} == {1, 2})
+        # with no further data, both time out and finalize; state removed
+        fins = poll(
+            lambda rs: {r["user_id"] for r in rs if r["finalized"]} == {1, 2}
+        )
+        fin2 = [r for r in fins if r["user_id"] == 2 and r["finalized"]][0]
+        assert fin2["n_seen"] == 1 and abs(fin2["ewma"] - a * 20.0) < 1e-12
+        # key 2 reappears -> restarted from the zero seed (fresh n_seen)
+        write_batch([(2, t0, 4, 40.0)])
+        poll(
+            lambda rs: any(
+                r["user_id"] == 2
+                and not r["finalized"]
+                and r["n_seen"] == 1
+                and abs(r["ewma"] - a * 40.0) < 1e-12
+                for r in rs
+            )
+        )
+    finally:
+        q.stop()
