@@ -122,6 +122,50 @@ def doc_quality_by_source(spark, sf_dir):
 
 
 @query(
+    "doc_token_heavy_hitters",
+    # vocabulary heavy hitters: top 10 tokens per language by count
+    # (deterministic tiebreak on token). Scale shape: explode ->
+    # map-side partial count -> one shuffle on (lang, token) -> rank
+    # with per-partition rank-limit pushdown. The classic corpus-stats
+    # pass a training pipeline runs before building tokenizers/filters.
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, token, n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n DESC, token) AS rnk
+      FROM counts
+    )
+    SELECT lang, token, n, rnk FROM ranked WHERE rnk <= 10
+    """,
+)
+def doc_token_heavy_hitters(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    counts = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 10).select("lang", "token", "n", "rnk")
+
+
+@query(
     "doc_fingerprint_groups",
     oracle="""
     SELECT md5(array_to_string(list_sort(list_distinct(
