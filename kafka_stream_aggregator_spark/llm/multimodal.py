@@ -206,6 +206,59 @@ def sample_video_frames(
     )
 
 
+RESIZED_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_frames(
+    df: DataFrame,
+    src_w: int,
+    src_h: int,
+    dst_w: int,
+    dst_h: int,
+    frame_col: str = "frame",
+) -> DataFrame:
+    """REAL nearest-neighbor resize of raw 8-bit grayscale frames
+    (numpy index sampling — no codec library involved). Input rows are
+    (media_id, frame_idx, <frame binary of src_w*src_h bytes>), e.g.
+    sample_video_frames output; frames with the wrong byte count yield
+    null (corrupt-frame tolerance, same drop semantics as the other
+    decoders). For JPEG/PNG payloads the PIL path in
+    decode_image_payload applies instead — this operator is the
+    post-decode tensor-prep step a training pipeline runs at scale."""
+    import numpy as np
+
+    ys = (np.arange(dst_h) * src_h // dst_h).astype(np.int64)
+    xs = (np.arange(dst_w) * src_w // dst_w).astype(np.int64)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "width", "height", "frame"]
+        for pdf in batches:
+            rows = []
+            for mid, idx, frame in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf[frame_col]
+            ):
+                b = bytes(frame) if frame is not None else b""
+                if len(b) != src_w * src_h:
+                    rows.append((mid, idx, dst_w, dst_h, None))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8).reshape(src_h, src_w)
+                out = arr[ys][:, xs]
+                rows.append((mid, idx, dst_w, dst_h, out.tobytes()))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("media_id", "frame_idx", frame_col).mapInPandas(
+        resize, schema=RESIZED_FRAMES_SCHEMA
+    )
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -490,3 +490,38 @@ def test_video_frame_sampling(spark):
     assert bytes(got[(1, 3)]["frame"]) == bytes([3]) * fs
     capped = sample_video_frames(media, frame_size=fs, stride=3, max_frames=2)
     assert capped.count() == 2
+
+
+def test_resize_frames_nearest_neighbor_exact(spark):
+    """Real resize on raw grayscale frames: exact nearest-neighbor
+    values (checkerboard 4x4 -> 2x2 picks the sampled pixels), wrong-
+    size frames -> null, end-to-end from sample_video_frames."""
+    import numpy as np
+
+    from kafka_stream_aggregator_spark.llm.multimodal import (
+        attach_meta,
+        resize_frames,
+        sample_video_frames,
+    )
+
+    # two 4x4 frames: a ramp 0..15 and a constant 7
+    f0 = bytes(range(16))
+    f1 = bytes([7] * 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(f0 + f1)), (2, bytearray(b"xy"))],
+        "id long, payload binary",
+    )
+    media = attach_meta(df, "id", "payload")
+    frames = sample_video_frames(media, frame_size=16, stride=1)
+    out = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in resize_frames(frames, 4, 4, 2, 2).collect()
+    }
+    # nearest-neighbor indices for 4->2: rows/cols 0 and 2
+    want = np.frombuffer(f0, dtype=np.uint8).reshape(4, 4)[[0, 2]][:, [0, 2]]
+    got = np.frombuffer(bytes(out[(1, 0)]["frame"]), dtype=np.uint8).reshape(2, 2)
+    assert (got == want).all()
+    assert bytes(out[(1, 1)]["frame"]) == bytes([7] * 4)
+    assert all(r["width"] == 2 and r["height"] == 2 for r in out.values())
+    # media 2's payload yields 0 frames of size 16 -> no rows at all
+    assert not any(mid == 2 for (mid, _) in out)
