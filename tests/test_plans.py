@@ -130,3 +130,16 @@ def test_cos_topk_hoists_norms_out_of_join(spark, sf_dir):
     # post-join projection does a single dot-product fold, not 3:
     # norms ride the rows as __qnorm/__cnorm columns
     assert "__qnorm" in plan and "__cnorm" in plan
+
+
+def test_heavy_hitters_rank_limit_pushdown(spark, sf_dir):
+    """Top-k per group must push a partial WindowGroupLimit BELOW the
+    shuffle (each map task keeps <=k candidate rows per group before
+    exchanging), and the token count must be a partial+final aggregate."""
+    df = REGISTRY["doc_token_heavy_hitters"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # two WindowGroupLimit operators: Partial (map-side, below the
+    # shuffle) and Final — plus a partial+final count aggregate
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "row_number(), 10, Partial" in plan
+    assert "partial_count" in plan
