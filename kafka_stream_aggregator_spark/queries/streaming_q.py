@@ -109,6 +109,32 @@ def stream_dedup_count(spark, sf_dir):
 
 
 @query(
+    "stream_dedup_within_wm_count",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_within_wm_count(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over a stream doubled with
+    TIMESTAMP-PERTURBED re-deliveries (producer-retry shape, the
+    reference's at-least-once failure mode S6): dedup on the business
+    key alone still reproduces exact per-type counts, with state
+    bounded by the watermark."""
+    from ..streaming.pipeline import streaming_dedup_within_watermark
+
+    s = _events_stream(spark, sf_dir)
+    retried = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 SECONDS")
+    )
+    deduped = streaming_dedup_within_watermark(
+        s.union(retried), keys=["event_id"], watermark="10 minutes"
+    )
+    out = _run_to_df(spark, deduped)
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
     "rollup_maintained",
     oracle="""
     SELECT event_type,

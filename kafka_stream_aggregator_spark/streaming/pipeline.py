@@ -76,6 +76,27 @@ def streaming_dedup(
     )
 
 
+def streaming_dedup_within_watermark(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Dedup on the BUSINESS key only, state bounded by the watermark
+    (dropDuplicatesWithinWatermark, Spark 3.5+).
+
+    Difference from streaming_dedup: the event timestamp is NOT part of
+    the key, so re-deliveries with a *different* timestamp (producer
+    retries after a reconnect — the reference's at-least-once failure
+    mode, SURVEY S6) still collapse, as long as they arrive within the
+    watermark delay of the first copy. State per key expires at the
+    watermark — the variant to run against at-least-once sources at
+    100 TB."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def sliding_window_stats(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -617,3 +617,24 @@ def test_continuous_ewma_inactivity_timeout(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    """dropDuplicatesWithinWatermark: duplicates re-delivered with a
+    PERTURBED timestamp (producer-retry shape — same event_id, ts a few
+    seconds later) still collapse to one row per key; plain
+    dropDuplicates on (key, ts) would keep both."""
+    from kafka_stream_aggregator_spark.streaming.pipeline import (
+        streaming_dedup_within_watermark,
+    )
+
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA)
+    retried = stream.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 SECONDS")
+    )
+    sdf = streaming_dedup_within_watermark(
+        stream.union(retried), keys=["event_id"], watermark="10 minutes"
+    )
+    n = _run(spark, sdf, "s_dedup_wm").count()
+    batch_n = spark.read.parquet(events_dir).count()
+    assert n == batch_n
