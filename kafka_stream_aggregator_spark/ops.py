@@ -186,6 +186,101 @@ def exact_percentiles(
     return agged.select(*outs)
 
 
+def exact_percentiles_bucketed(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[tuple[float, str]],
+    group_cols: Sequence[str] = (),
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """Exact percentiles without a per-group sort: histogram bucketing
+    locates each target rank's bucket, and only the rows of those
+    buckets (~n/n_buckets per group) are ever ranked.
+
+    Three fully-parallel passes over the data, all map-side-partial
+    aggregates — no stage is serialized per group, unlike
+    exact_percentiles' rank window whose sort runs on one reducer chain
+    per group. The final within-bucket rank window partitions by
+    (group, bucket): thousands of tiny partitions, embarrassingly
+    parallel. Same quantile_cont interpolation, exact at any value
+    cardinality; the scale-preferred exact tier (docs/SCALING.md).
+    """
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    df0 = df.select(*g, v.alias("__v")).filter(F.col("__v").isNotNull())
+
+    # pass 1: per-group range + count (drives bucket width and ranks)
+    stats = df0.groupBy(*g).agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+    def bucket_of(val):
+        span = F.col("__hi") - F.col("__lo")
+        raw = F.floor((val - F.col("__lo")) / span * n_buckets)
+        return F.when(span == 0.0, F.lit(0)).otherwise(
+            F.least(raw, F.lit(n_buckets - 1))
+        ).cast("long")
+
+    withb = df0.join(F.broadcast(stats), g) if g else df0.crossJoin(
+        F.broadcast(stats)
+    )
+    withb = withb.withColumn("__b", bucket_of(F.col("__v")))
+
+    # pass 2: per-(group, bucket) counts -> cumulative rows below bucket
+    bcounts = withb.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__bn"))
+    w = (W.partitionBy(*g) if g else W.partitionBy(F.lit(1))).orderBy("__b")
+    cum = bcounts.withColumn(
+        "__below",
+        F.sum("__bn").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        - F.col("__bn"),
+    )
+    # a bucket is hot if it contains floor/ceil of any target rank
+    cum = cum.join(F.broadcast(stats.select(*g, "__n")), g) if g else (
+        cum.crossJoin(F.broadcast(stats.select("__n")))
+    )
+    hot_pred = F.lit(False)
+    for q, _ in qs:
+        pos = F.lit(float(q)) * (F.col("__n") - 1)
+        for r in (F.floor(pos), F.ceil(pos)):
+            hot_pred = hot_pred | (
+                (F.col("__below") <= r) & (r < F.col("__below") + F.col("__bn"))
+            )
+    hot_buckets = cum.filter(hot_pred).select(*g, "__b", "__below")
+
+    # pass 3: rank ONLY the hot buckets' rows (tiny, parallel
+    # partitions); __n already rides along from the stats join above
+    hot = withb.join(F.broadcast(hot_buckets), [*g, "__b"])
+    w_local = (
+        W.partitionBy(*g, "__b") if g else W.partitionBy("__b")
+    ).orderBy("__v")
+    ranked = hot.withColumn(
+        "__rn", F.col("__below") + F.row_number().over(w_local) - 1
+    )
+
+    aggs = [F.max("__n").alias("__n_g")]
+    for i, (q, _) in enumerate(qs):
+        pos = F.lit(float(q)) * (F.col("__n") - 1)
+        aggs.append(
+            F.max(F.when(F.col("__rn") == F.floor(pos), F.col("__v"))).alias(f"__lo{i}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("__rn") == F.ceil(pos), F.col("__v"))).alias(f"__hi{i}")
+        )
+    agged = ranked.groupBy(*g).agg(*aggs)
+    outs = list(g)
+    for i, (q, name) in enumerate(qs):
+        pos = F.lit(float(q)) * (F.col("__n_g") - 1)
+        frac = pos - F.floor(pos)
+        outs.append(
+            (F.col(f"__lo{i}") + frac * (F.col(f"__hi{i}") - F.col(f"__lo{i}"))).alias(
+                name
+            )
+        )
+    return agged.select(*outs)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -142,16 +142,18 @@ def agg_percentiles(spark, sf_dir):
     # tiny per-group counts-map, fast partial agg). For the CONTINUOUS
     # l_extendedprice the counts-map is O(distinct) per group — slow at
     # sf0.1 and an OOM risk at 100 TB — so the median goes through the
-    # sort-based exact_percentiles rewrite (ops.py) and joins back on
-    # the 3-row group key.
-    from ..ops import exact_percentiles
+    # bucketed exact-percentile rewrite (ops.exact_percentiles_bucketed:
+    # histogram locates the target rank's bucket, only that bucket's
+    # rows get ranked — fully parallel, no per-group sort chain) and
+    # joins back on the 3-row group key.
+    from ..ops import exact_percentiles_bucketed
 
     li = t(spark, sf_dir, "lineitem")
     qty = li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
     )
-    med = exact_percentiles(
+    med = exact_percentiles_bucketed(
         li, "l_extendedprice", [(0.5, "med_raw")], group_cols=("l_returnflag",)
     ).select("l_returnflag", F.round("med_raw", 6).alias("med_price"))
     return qty.join(med, "l_returnflag").select(

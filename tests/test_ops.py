@@ -174,3 +174,37 @@ def test_salted_join_rejects_dim_duplicating_how(spark):
     dim = spark.range(5).withColumnRenamed("id", "dk")
     with pytest.raises(ValueError, match="fact-preserving"):
         salted_join(fact, dim, "k", "dk", how="full")
+
+
+def test_exact_percentiles_bucketed_matches_builtin(spark):
+    """Histogram-bucketed exact percentiles == built-in on randomized
+    data with ties, duplicates, negatives, single-row groups."""
+    import random
+
+    from kafka_stream_aggregator_spark.ops import exact_percentiles_bucketed
+
+    rng = random.Random(11)
+    rows = (
+        [("a", 5.0)] * 40
+        + [("one", 42.0)]
+        + [
+            (rng.choice(["a", "b", "c"]), round(rng.uniform(-100, 100), 2))
+            for _ in range(4000)
+        ]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [(0.05, "p05"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    got = {
+        r["g"]: tuple(r[n] for _, n in qs)
+        for r in exact_percentiles_bucketed(df, "v", qs, group_cols=("g",)).collect()
+    }
+    want = {
+        r["g"]: tuple(r[n] for _, n in qs)
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("v", F.lit(q)).alias(n) for q, n in qs])
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert abs(a - b) < 1e-9, (g, got[g], want[g])
