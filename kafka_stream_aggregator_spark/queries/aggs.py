@@ -142,18 +142,18 @@ def agg_percentiles(spark, sf_dir):
     # tiny per-group counts-map, fast partial agg). For the CONTINUOUS
     # l_extendedprice the counts-map is O(distinct) per group — slow at
     # sf0.1 and an OOM risk at 100 TB — so the median goes through the
-    # bucketed exact-percentile rewrite (ops.exact_percentiles_bucketed:
-    # histogram locates the target rank's bucket, only that bucket's
-    # rows get ranked — fully parallel, no per-group sort chain) and
-    # joins back on the 3-row group key.
-    from ..ops import exact_percentiles_bucketed
+    # sort-based exact_percentiles rewrite. The histogram-bucketed tier
+    # (ops.exact_percentiles_bucketed) overtakes it past ~1M rows/group
+    # (measured: 7.2s vs 6.2s at 10M rows) but pays more fixed stage
+    # overhead, so at bench scale the sort tier is the right pick.
+    from ..ops import exact_percentiles
 
     li = t(spark, sf_dir, "lineitem")
     qty = li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
     )
-    med = exact_percentiles_bucketed(
+    med = exact_percentiles(
         li, "l_extendedprice", [(0.5, "med_raw")], group_cols=("l_returnflag",)
     ).select("l_returnflag", F.round("med_raw", 6).alias("med_price"))
     return qty.join(med, "l_returnflag").select(

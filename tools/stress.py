@@ -79,14 +79,20 @@ def main() -> None:
     from kafka_stream_aggregator_spark.indicators import (
         windowed_ewma_closed_form,
     )
-    from kafka_stream_aggregator_spark.ops import exact_percentiles
+    from kafka_stream_aggregator_spark.ops import (
+        exact_percentiles,
+        exact_percentiles_bucketed,
+    )
 
     tt("windowed_ewma_closed_form", windowed_ewma_closed_form(
         ev, group_cols=("event_type",), period_minutes=5))
     # continuous column, 5 groups, 10M rows: the built-in exact
     # Percentile would buffer ~2M-entry counts-maps per group; the
-    # sort-based rewrite holds O(1) reducer memory (spills via sort)
-    tt("exact_percentiles(value by type)", exact_percentiles(
+    # sort tier holds O(1) reducer memory, the bucketed tier adds full
+    # parallelism — it overtakes sort at this scale (SCALING.md tiers)
+    tt("exact_percentiles sort tier", exact_percentiles(
+        ev, "value", [(0.5, "p50"), (0.99, "p99")], group_cols=("event_type",)))
+    tt("exact_percentiles bucketed tier", exact_percentiles_bucketed(
         ev, "value", [(0.5, "p50"), (0.99, "p99")], group_cols=("event_type",)))
 
     import shutil
