@@ -13,7 +13,8 @@ keyed shuffle, so the same code runs at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -129,6 +130,8 @@ def minhash_near_dup(
     bands: int | None = 8,
     shingle_len: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 2000,
+    skew_observation: Observation | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
 
@@ -137,14 +140,29 @@ def minhash_near_dup(
     exact shingle Jaccard. Output: (id_a, id_b, jaccard) with id_a < id_b
     and jaccard >= threshold. ``bands=None`` auto-selects from the LSH
     S-curve for the threshold (choose_bands).
+
+    Skew guard: a degenerate band bucket (empty docs, boilerplate, a
+    10^4-copy template) would make the within-bucket pair join quadratic
+    — invisible at test scale, the stage-that-never-finishes at 100 TB.
+    Buckets above ``max_bucket_size`` members switch from all-pairs to a
+    STAR topology (every member pairs with the bucket's min-id member
+    only): candidate count per bucket drops O(n^2) -> O(n), connectivity
+    for downstream clustering (cluster_near_dups) is preserved, and every
+    emitted pair is still exact-Jaccard-verified. Pass
+    ``skew_observation`` to observe `starred_rows` (members that went
+    through the star path) at zero extra cost via DataFrame.observe.
     """
     if bands is None:
         bands = choose_bands(n_hashes, jaccard_threshold)
     rows = n_hashes // bands
-    # Tokenize/shingle the corpus exactly ONCE: the cached (id, shingle
-    # hash) pairs feed BOTH the signature computation and the exact-
-    # Jaccard verification below (shingling is the CPU-dominant stage;
-    # computing it twice doubled the whole operator's cost).
+    # Tokenize/shingle the corpus exactly ONCE: the (id, shingle hash)
+    # pairs feed BOTH the signature computation and the exact-Jaccard
+    # verification below (shingling is the CPU-dominant stage; computing
+    # it twice doubled the whole operator's cost). localCheckpoint to
+    # DISK_ONLY: at 100 TB the exploded shingle table dwarfs executor
+    # memory, and checkpoint blocks (unlike a .cache() entry pinned in
+    # the CacheManager) are released by the ContextCleaner as soon as
+    # this DataFrame is garbage-collected — no unpersist bookkeeping.
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = (
         df.select(
@@ -152,7 +170,7 @@ def minhash_near_dup(
             F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
         )
         .select("__id", F.xxhash64("__s").alias("__sh"))
-        .cache()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # identical hash construction to minhash_signatures: k long re-hashes
     # of the single 8-byte shingle hash, map-side partial min
@@ -186,24 +204,42 @@ def minhash_near_dup(
         ).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(
-        F.col("band"), F.col("bucket"), F.col("__id").alias("id_a")
+    # bucket stats via a window on the SAME (band, bucket) key the pair
+    # join shuffles on — the two consumers below share the exchange
+    # (ReusedExchange), so the guard costs no extra shuffle.
+    wb = W.partitionBy("band", "bucket")
+    banded = banded.select(
+        "__id",
+        "band",
+        "bucket",
+        F.count(F.lit(1)).over(wb).alias("__bn"),
+        F.min("__id").over(wb).alias("__rep"),
     )
-    b = banded.select(
+    if skew_observation is not None:
+        banded = banded.observe(
+            skew_observation,
+            F.sum(
+                F.when(F.col("__bn") > max_bucket_size, 1).otherwise(0)
+            ).alias("starred_rows"),
+        )
+    small = banded.filter(F.col("__bn") <= max_bucket_size)
+    a = small.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
+    b = small.select(
         F.col("band").alias("band_b"),
         F.col("bucket").alias("bucket_b"),
         F.col("__id").alias("id_b"),
     )
-    cand = (
-        a.join(
-            b,
-            (a.band == b.band_b)
-            & (a.bucket == b.bucket_b)
-            & (a.id_a < b.id_b),
+    all_pairs = a.join(
+        b,
+        (a.band == b.band_b) & (a.bucket == b.bucket_b) & (a.id_a < b.id_b),
+    ).select("id_a", "id_b")
+    star_pairs = (
+        banded.filter(
+            (F.col("__bn") > max_bucket_size) & (F.col("__id") != F.col("__rep"))
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
     )
+    cand = all_pairs.unionByName(star_pairs).distinct()
 
     # verification joins on the same cached 8-byte shingle hashes — ~10x
     # less shuffle than strings, long-key hash join (collisions
@@ -265,48 +301,111 @@ def _hamming(a, b):
 
 
 def simhash_near_dup(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    scheme: str = "chunk16",
+    max_bucket_size: int = 2000,
+    skew_observation: Observation | None = None,
 ) -> DataFrame:
     """Candidate pairs whose SimHashes differ in <= max_hamming bits.
 
-    Blocking: split the 64-bit signature into 4 16-bit chunks; pairs
-    within hamming<=3 of a chunk-match are guaranteed found when
-    max_hamming<=3 per pigeonhole; larger radii trade recall. Joins only
-    within chunk buckets — no all-pairs.
+    Blocking schemes (joins only within blocking buckets — no all-pairs):
+
+    - ``chunk16``: 4 x 16-bit chunks. Pigeonhole guarantees every pair
+      within hamming<=3 shares an untouched chunk; larger radii trade
+      recall. 65,536 possible buckets per chunk — at 10^11 docs each
+      holds ~10^6 members and the within-bucket join goes quadratic, so
+      this tier is for corpora up to ~10^8 docs.
+    - ``pair32``: C(4,2)=6 keys, each the concatenation of two 16-bit
+      chunks (32 bits). <=2 flipped bits touch at most 2 chunks, leaving
+      2 chunks clean, so their pair key matches: hamming<=2 guaranteed,
+      and 2^32 bucket values keep buckets ~10^4x smaller at large N —
+      the scale-preferred tier (1.5x the explode fan-out of chunk16).
+
+    Both schemes get the same skew guard as minhash_near_dup: buckets
+    above ``max_bucket_size`` switch from all-pairs to star topology
+    around the bucket's min-id member (every emitted pair still carries
+    its true hamming distance and respects max_hamming), and
+    ``skew_observation`` observes `starred_rows` at zero cost.
     """
     sig = simhash(df, id_col, text_col)
+    if scheme == "chunk16":
+        keys = [
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", c * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for c in range(4)
+        ]
+    elif scheme == "pair32":
+        chunk = lambda c: F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF))
+        keys = [
+            F.struct(
+                F.lit(4 + i).alias("chunk"),
+                F.shiftleft(chunk(ci), 16).bitwiseOR(chunk(cj)).alias("key"),
+            )
+            for i, (ci, cj) in enumerate(
+                [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+            )
+        ]
+    else:
+        raise ValueError(f"unknown blocking scheme {scheme!r} (chunk16|pair32)")
     chunks = sig.select(
         F.col(id_col).alias("__id"),
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
+        F.explode(F.array(*keys)).alias("ck"),
     ).select("__id", "simhash", "ck.chunk", "ck.key")
-    a = chunks.select(
+    wb = W.partitionBy("chunk", "key")
+    chunks = chunks.select(
+        "__id",
+        "simhash",
+        "chunk",
+        "key",
+        F.count(F.lit(1)).over(wb).alias("__bn"),
+        F.min("__id").over(wb).alias("__rep"),
+        F.min(F.struct("__id", "simhash")).over(wb).getField("simhash").alias(
+            "__rep_sig"
+        ),
+    )
+    if skew_observation is not None:
+        chunks = chunks.observe(
+            skew_observation,
+            F.sum(
+                F.when(F.col("__bn") > max_bucket_size, 1).otherwise(0)
+            ).alias("starred_rows"),
+        )
+    small = chunks.filter(F.col("__bn") <= max_bucket_size)
+    a = small.select(
         "chunk", "key", F.col("__id").alias("id_a"), F.col("simhash").alias("sig_a")
     )
-    b = chunks.select(
+    b = small.select(
         F.col("chunk").alias("chunk_b"),
         F.col("key").alias("key_b"),
         F.col("__id").alias("id_b"),
         F.col("simhash").alias("sig_b"),
     )
-    return (
-        a.join(
-            b,
-            (a.chunk == b.chunk_b) & (a.key == b.key_b) & (a.id_a < b.id_b),
+    all_pairs = a.join(
+        b,
+        (a.chunk == b.chunk_b) & (a.key == b.key_b) & (a.id_a < b.id_b),
+    ).select(
+        "id_a", "id_b", _hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming")
+    )
+    star_pairs = (
+        chunks.filter(
+            (F.col("__bn") > max_bucket_size) & (F.col("__id") != F.col("__rep"))
         )
-        .select("id_a", "id_b", _hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .select(
+            F.col("__rep").alias("id_a"),
+            F.col("__id").alias("id_b"),
+            _hamming(F.col("__rep_sig"), F.col("simhash")).alias("hamming"),
+        )
+    )
+    return (
+        all_pairs.unionByName(star_pairs)
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -153,7 +153,10 @@ def exact_percentiles(
     v = F.col(value_col).cast("double")
     w_rank = W.partitionBy(*group_cols).orderBy(v)
     w_all = W.partitionBy(*group_cols) if group_cols else W.partitionBy(F.lit(1))
-    ranked = df.select(
+    # nulls are excluded, matching F.percentile and the bucketed tier:
+    # otherwise they sort first under the rank window, inflate __n, and
+    # shift every quantile position.
+    ranked = df.filter(v.isNotNull()).select(
         *group_cols,
         v.alias("__v"),
         (F.row_number().over(w_rank) - 1).alias("__rn"),
@@ -302,13 +305,18 @@ def salted_join(
     side across salts would duplicate unmatched dim rows salt_buckets
     times under right/full outer joins.
     """
-    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
-    if how not in allowed:
+    # normalize the same way Spark's JoinType does (lowercase, drop
+    # underscores) so aliases like 'leftOuter'/'left_semi'/'leftanti'
+    # all resolve.
+    norm = how.lower().replace("_", "")
+    allowed = {"inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti"}
+    if norm not in allowed:
         raise ValueError(
             f"salted_join supports fact-preserving joins {sorted(allowed)}; "
             f"got how={how!r} (dim rows are replicated per salt, so "
             f"right/full outer would emit duplicate unmatched dim rows)"
         )
+    how = norm
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..llm.dedup import minhash_near_dup, simhash_near_dup
 from ..llm.similarity import as_double, brute_force_topk, cosine_sim, ivf_topk, pseudo_centroids
-from ..llm.text import fingerprint, lang_id, quality_score, token_stats
+from ..llm.text import STOPWORDS, fingerprint, lang_id, quality_score, token_stats
 from .base import query, t
 
 
@@ -357,7 +357,36 @@ def emb_cosine_near_dup(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
-@query("emb_cosine_near_dup_ivf", oracle=None)
+@query(
+    "emb_cosine_near_dup_ivf",
+    # The IVF blocking is DETERMINISTIC (id-ordered centroid seeds,
+    # cell_id tiebreaks), so the full blocked search is SQL-expressible:
+    # the oracle replicates centroid seeding, 3-probe cell assignment,
+    # the shared-cell pair join, and the multi-probe dedup. Float
+    # arithmetic matches because both engines fold the dot product in
+    # array-index order.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell_id, v AS c_vec FROM e ORDER BY vec_id LIMIT 8),
+    cn AS (SELECT cell_id, c_vec, sqrt(list_dot_product(c_vec, c_vec)) AS cnorm FROM cents),
+    cells AS (
+      SELECT id, v, n, cell_id FROM (
+        SELECT e.vec_id AS id, e.v AS v,
+               sqrt(list_dot_product(e.v, e.v)) AS n, cn.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cn.c_vec) / cn.cnorm DESC,
+                          cn.cell_id) AS rk
+        FROM e CROSS JOIN cn) WHERE rk <= 3
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             list_dot_product(a.v, b.v) / (a.n * b.n) AS cos_sim
+      FROM cells a JOIN cells b ON a.cell_id = b.cell_id AND a.id < b.id
+    )
+    SELECT id_a, id_b, round(max(cos_sim), 6) AS cos_sim
+    FROM pairs WHERE cos_sim >= 0.4 GROUP BY id_a, id_b
+    """,
+)
 def emb_cosine_near_dup_ivf(spark, sf_dir):
     """The scale path: same pairs search blocked by IVF cells (equi join
     on cell_id, never all-pairs). Recall vs the exact variant is
@@ -387,7 +416,47 @@ def q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup(d, "doc_id", "text", max_hamming=12)
 
 
-@query("ann_ivf_topk", oracle=None)
+@query(
+    "ann_ivf_topk",
+    # Deterministic IVF (id-ordered seeds, cell_id/c_id tiebreaks) ->
+    # the whole approximate search has an exact SQL oracle: centroid
+    # seeding, 1-probe candidate / 4-probe query assignment, equi join
+    # on cell_id, multi-probe dedup, per-query top-5.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell_id, v AS c_vec FROM e ORDER BY vec_id LIMIT 16),
+    cn AS (SELECT cell_id, c_vec, sqrt(list_dot_product(c_vec, c_vec)) AS cnorm FROM cents),
+    cand_cell AS (
+      SELECT c_id, cv, cell_id FROM (
+        SELECT e.vec_id AS c_id, e.v AS cv, cn.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cn.c_vec) / cn.cnorm DESC,
+                          cn.cell_id) AS rk
+        FROM e CROSS JOIN cn) WHERE rk <= 1
+    ),
+    q_cell AS (
+      SELECT q_id, qv, cell_id FROM (
+        SELECT e.vec_id AS q_id, e.v AS qv, cn.cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cn.c_vec) / cn.cnorm DESC,
+                          cn.cell_id) AS rk
+        FROM e CROSS JOIN cn WHERE e.vec_id < 10) WHERE rk <= 4
+    ),
+    scored AS (
+      SELECT q_id, c_id, max(list_dot_product(qv, cv)
+             / (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(cv, cv)))) AS cos_sim
+      FROM q_cell q JOIN cand_cell c USING (cell_id)
+      WHERE q.q_id <> c.c_id
+      GROUP BY q_id, c_id
+    )
+    SELECT q_id, c_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT q_id, c_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, c_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate top-k (recall vs brute force in tests)."""
     e = t(spark, sf_dir, "embeddings").select(
@@ -398,12 +467,44 @@ def q_ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
     )
     cands = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
-    return ivf_topk(queries, cands, cents, k=5, n_probe=4)
+    out = ivf_topk(queries, cands, cents, k=5, n_probe=4)
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+def _lang_score_sql(lg: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains([{words}], t)))"
+        f" AS DOUBLE) / greatest(len(toks), 1) AS s_{lg}"
+    )
+
+
+# The stopword vote is deterministic and pure string/array work, so it
+# has an exact SQL oracle built from the SAME STOPWORDS banks. Tie
+# semantics mirror lang_id's running strict-max: the earliest language
+# in bank order attaining the global max wins; all-zero scores -> 'und'.
+_LANG_ID_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, regexp_extract_all(lower(text), '\\S+') AS toks FROM documents
+), scored AS (
+  SELECT lang, {", ".join(_lang_score_sql(lg) for lg in STOPWORDS)} FROM toks
+), pred AS (
+  SELECT lang,
+    CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) <= 0 THEN 'und'
+         WHEN s_en >= greatest(s_de, s_fr, s_es, s_zh) THEN 'en'
+         WHEN s_de >= greatest(s_fr, s_es, s_zh) THEN 'de'
+         WHEN s_fr >= greatest(s_es, s_zh) THEN 'fr'
+         WHEN s_es >= s_zh THEN 'es'
+         ELSE 'zh' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+"""
 
 
 @query(
     "doc_lang_id_heuristic",
-    oracle=None,
+    oracle=_LANG_ID_ORACLE,
 )
 def doc_lang_id_heuristic(spark, sf_dir):
     """Stopword-vote language ID (mechanism check; accuracy asserted on

@@ -59,15 +59,15 @@ def fn_string_suite(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1) AS r1,
-           floor(l_extendedprice) AS flr,
-           ceil(l_extendedprice) AS cl,
+           CAST(floor(l_extendedprice) AS BIGINT) AS flr,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
            abs(l_quantity - 25) AS absd,
            round(pow(l_discount, 2), 6) AS disc_sq,
            round(sqrt(l_quantity), 6) AS sqrt_qty,
            round(exp(l_discount), 6) AS exp_disc,
            round(ln(l_extendedprice), 6) AS ln_price,
            round(log10(l_extendedprice), 6) AS log10_price,
-           sign(l_quantity - 25.0) AS sgn,
+           CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sgn,
            ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS pm7,
            round(radians(l_quantity), 6) AS rad,
            CAST(l_quantity AS BIGINT) // 10 AS qty_div

@@ -109,7 +109,17 @@ def _promote(value: Any, writer_t: str, reader_t: str) -> Any:
         return value.encode("utf-8")
     if writer_t == "bytes" and reader_t == "string":
         return value.decode("utf-8")
-    return value
+    # anything else (long->int, double->float, string->int, ...) is
+    # outside the Avro 1.11 resolution table — surface it rather than
+    # silently passing the value through unchanged.
+    raise ValueError(
+        f"writer type {writer_t!r} is not promotable to reader type "
+        f"{reader_t!r} under Avro schema resolution"
+    )
+
+
+def _nullable(schema: Any) -> bool:
+    return schema == "null" or (isinstance(schema, list) and "null" in schema)
 
 
 def _non_null_branch(schema: Any) -> Any:
@@ -134,7 +144,13 @@ def project_record(
         if name in writer_fields:
             wt = _type_name(_non_null_branch(writer_fields[name]["type"]))
             rt = _type_name(_non_null_branch(rf["type"]))
-            out[name] = _promote(record[name], wt, rt)
+            val = record[name]
+            if val is None and not _nullable(rf["type"]):
+                raise ValueError(
+                    f"writer null for field {name!r} but reader type "
+                    f"{rf['type']!r} does not admit null"
+                )
+            out[name] = _promote(val, wt, rt)
         elif "default" in rf:
             out[name] = rf["default"]
         else:

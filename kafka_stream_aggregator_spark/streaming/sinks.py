@@ -76,7 +76,12 @@ def foreach_batch_jdbc_upsert_writer(
         # one statement per batch — not a data-volume path)
         spark = batch_df.sparkSession
         jvm = spark.sparkContext._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        # carry the connection properties (user/password/ssl) into the
+        # MERGE connection too — the staged writes already honor them.
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
+            jprops.setProperty(str(k), str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             st = conn.createStatement()
             st.execute(merge)

@@ -525,3 +525,110 @@ def test_resize_frames_nearest_neighbor_exact(spark):
     assert all(r["width"] == 2 and r["height"] == 2 for r in out.values())
     # media 2's payload yields 0 frames of size 16 -> no rows at all
     assert not any(mid == 2 for (mid, _) in out)
+
+
+def test_minhash_skew_guard_star_topology(spark):
+    """A degenerate bucket (1500 identical docs) must not go quadratic:
+    above max_bucket_size the bucket switches to star pairs around the
+    min-id member, preserving connectivity, and the skew observation
+    reports the starred members."""
+    from pyspark.sql import Observation
+
+    n = 1500
+    rows = [(i, "the same boilerplate text repeated everywhere again") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("minhash_skew")
+    pairs = minhash_near_dup(
+        docs, "doc_id", "text", max_bucket_size=100, skew_observation=obs
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # star topology: every doc pairs with doc 0 (all jaccard == 1.0)
+    assert got == {(0, j) for j in range(1, n)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+    assert obs.get["starred_rows"] > 0
+
+
+def test_minhash_skew_guard_no_effect_below_cap(spark):
+    """With the default cap, small-corpus results are unchanged."""
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(
+            _docs_with_dups(spark), "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in base and (1, 5) in base
+
+
+def test_simhash_skew_guard_star_topology(spark):
+    """Same guard on the simhash chunk join: identical docs collapse to
+    star pairs with hamming 0."""
+    from pyspark.sql import Observation
+
+    n = 800
+    rows = [(i, "identical content for the simhash skew bucket test") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("simhash_skew")
+    pairs = simhash_near_dup(
+        docs, "doc_id", "text", max_bucket_size=50, skew_observation=obs
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, j) for j in range(1, n)}
+    assert all(r["hamming"] == 0 for r in pairs)
+    assert obs.get["starred_rows"] > 0
+
+
+def test_simhash_pair32_guarantee_and_buckets(spark, sf_dir):
+    """pair32 blocking: every pair within hamming<=2 is guaranteed found
+    (two flips leave two chunks clean -> their paired key matches), and
+    the 32-bit keys fragment buckets at least as finely as 16-bit chunks."""
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    sig = simhash(docs, "doc_id", "text")
+    a = sig.select(F.col("doc_id").alias("ia"), F.col("simhash").alias("sa"))
+    b = sig.select(F.col("doc_id").alias("ib"), F.col("simhash").alias("sb"))
+    exact = {
+        (r["ia"], r["ib"]): r["h"]
+        for r in a.join(b, a.ia < b.ib)
+        .select("ia", "ib", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("h"))
+        .filter("h <= 12")
+        .collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup(
+            docs, "doc_id", "text", max_hamming=12, scheme="pair32"
+        ).collect()
+    }
+    guaranteed = {k for k, h in exact.items() if h <= 2}
+    assert guaranteed <= found, f"missed pair32-guaranteed pairs: {guaranteed - found}"
+    # bucket cardinality: the largest pair32 bucket cannot exceed the
+    # largest chunk16 bucket (a pair key refines both its chunk keys)
+    def max_bucket(frame):
+        return (
+            frame.groupBy("chunk", "key").count().agg(F.max("count")).collect()[0][0]
+        )
+
+    chunk = lambda sig_col, c: F.shiftright(sig_col, c * 16).bitwiseAND(F.lit(0xFFFF))
+    c16 = sig.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk"), chunk(F.col("simhash"), c).alias("key"))
+                for c in range(4)
+            ])
+        ).alias("ck")
+    ).select("ck.chunk", "ck.key")
+    p32 = sig.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(4 + i).alias("chunk"),
+                    F.shiftleft(chunk(F.col("simhash"), ci), 16)
+                    .bitwiseOR(chunk(F.col("simhash"), cj))
+                    .alias("key"),
+                )
+                for i, (ci, cj) in enumerate(
+                    [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+                )
+            ])
+        ).alias("ck")
+    ).select("ck.chunk", "ck.key")
+    assert max_bucket(p32) <= max_bucket(c16)

@@ -208,3 +208,35 @@ def test_exact_percentiles_bucketed_matches_builtin(spark):
     for g in want:
         for a, b in zip(got[g], want[g]):
             assert abs(a - b) < 1e-9, (g, got[g], want[g])
+
+
+def test_salted_join_accepts_spark_aliases(spark):
+    """Spark's own JoinType aliases (leftOuter, left_semi, leftanti)
+    must pass the fact-preserving guard."""
+    from kafka_stream_aggregator_spark.ops import salted_join
+
+    fact = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(5).withColumnRenamed("id", "dk")
+    for how, want in (("leftOuter", 10), ("left_semi", 5), ("leftanti", 5), ("LEFT", 10)):
+        assert salted_join(fact, dim, "k", "dk", how=how).count() == want, how
+
+
+def test_exact_percentiles_ignore_nulls(spark):
+    """Both exact tiers must skip NULLs like F.percentile does: a null
+    must not inflate the rank count or shift quantile positions."""
+    from kafka_stream_aggregator_spark.ops import (
+        exact_percentiles,
+        exact_percentiles_bucketed,
+    )
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", None)] * 37
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [(0.5, "p50"), (0.9, "p90")]
+    builtin = df.groupBy("g").agg(
+        F.percentile("v", F.lit(0.5)).alias("p50"),
+        F.percentile("v", F.lit(0.9)).alias("p90"),
+    ).collect()[0]
+    for fn in (exact_percentiles, exact_percentiles_bucketed):
+        got = fn(df, "v", qs, group_cols=("g",)).collect()[0]
+        assert got["p50"] == pytest.approx(builtin["p50"]), fn.__name__
+        assert got["p90"] == pytest.approx(builtin["p90"]), fn.__name__

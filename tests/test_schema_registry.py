@@ -214,3 +214,24 @@ def test_spark_dispatch_chain_mixed_versions(spark):
     }
     via_plain = {tuple(r) for r in aggregate_trades(trades).collect()}
     assert via_dispatch == via_plain and len(via_dispatch) > 0
+
+
+def test_forbidden_demotion_raises():
+    """Avro 1.11 resolution forbids long->int and double->float: the
+    incompatibility must surface, not silently pass the value through."""
+    for wt, rt in (("long", "int"), ("double", "float"), ("string", "int")):
+        w = {"type": "record", "name": "R", "fields": [{"name": "x", "type": wt}]}
+        r = {"type": "record", "name": "R", "fields": [{"name": "x", "type": rt}]}
+        val = "7" if wt == "string" else 7
+        with pytest.raises(ValueError, match="not promotable"):
+            project_record({"x": val}, w, r)
+
+
+def test_writer_null_into_non_nullable_reader_raises():
+    w = {
+        "type": "record", "name": "R",
+        "fields": [{"name": "x", "type": ["null", "double"], "default": None}],
+    }
+    r = {"type": "record", "name": "R", "fields": [{"name": "x", "type": "double"}]}
+    with pytest.raises(ValueError, match="does not admit null"):
+        project_record({"x": None}, w, r)

@@ -27,6 +27,59 @@ TABLES = [
 ]
 
 
+def _spark_cat(dt: str) -> str:
+    dt = dt.lower()
+    if dt.startswith(("tinyint", "smallint", "int", "bigint", "long", "short", "byte")):
+        return "int"
+    if dt.startswith(("double", "float")):
+        return "float"
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt.startswith("boolean"):
+        return "bool"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt.startswith("date"):
+        return "date"
+    if dt.startswith("string"):
+        return "str"
+    return dt
+
+
+def _duck_cat(ty: str) -> str:
+    ty = ty.upper()
+    if ty in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+              "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return "int"
+    if ty in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if ty.startswith("DECIMAL"):
+        return "decimal"
+    if ty == "BOOLEAN":
+        return "bool"
+    if ty.startswith("TIMESTAMP"):
+        return "ts"
+    if ty == "DATE":
+        return "date"
+    if ty == "VARCHAR":
+        return "str"
+    return ty.lower()
+
+
+def type_mismatches(s_schema, o_cols, o_types):
+    """Cross-category dtype diffs (int vs float etc.) that Python value
+    equality hides but the driver's typed hash catches (r2 lesson:
+    fn_math_suite floor/ceil LONG-vs-DOUBLE, sign TINYINT-vs-DOUBLE)."""
+    s_map = {name: _spark_cat(dt) for name, dt in s_schema}
+    bad = []
+    for c, ty in zip(o_cols, o_types):
+        oc = _duck_cat(str(ty))
+        sc = s_map.get(c)
+        if sc is not None and sc != oc:
+            bad.append((c, sc, oc))
+    return bad
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -85,6 +138,13 @@ def main():
             if unsafe:
                 print(f"FAIL {name}: driver-unsafe oracle types {unsafe} "
                       f"(CAST to BIGINT/DOUBLE in the oracle SQL)")
+                n_fail += 1
+                continue
+            tbad = type_mismatches(df.dtypes, rel.columns,
+                                   [str(t) for t in rel.types])
+            if tbad:
+                print(f"FAIL {name}: dtype category mismatch "
+                      f"(col, spark, oracle): {tbad}")
                 n_fail += 1
                 continue
             cur = con.execute(spec.oracle)
