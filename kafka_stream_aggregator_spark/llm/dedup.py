@@ -132,6 +132,7 @@ def minhash_near_dup(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 2000,
     skew_observation: Observation | None = None,
+    shingle_storage: StorageLevel | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via LSH banding + exact-Jaccard verification.
 
@@ -158,11 +159,15 @@ def minhash_near_dup(
     # Tokenize/shingle the corpus exactly ONCE: the (id, shingle hash)
     # pairs feed BOTH the signature computation and the exact-Jaccard
     # verification below (shingling is the CPU-dominant stage; computing
-    # it twice doubled the whole operator's cost). localCheckpoint to
+    # it twice doubled the whole operator's cost). localCheckpoint
+    # instead of .cache(): checkpoint blocks are released by the
+    # ContextCleaner as soon as this DataFrame is garbage-collected (a
+    # CacheManager entry is pinned until an explicit unpersist that a
+    # lazily-returned result can never safely issue). Default storage is
     # DISK_ONLY: at 100 TB the exploded shingle table dwarfs executor
-    # memory, and checkpoint blocks (unlike a .cache() entry pinned in
-    # the CacheManager) are released by the ContextCleaner as soon as
-    # this DataFrame is garbage-collected — no unpersist bookkeeping.
+    # memory and must never compete with the join stages' working set —
+    # and at bench scale it is free (measured 1.90s vs 1.90s for
+    # MEMORY_AND_DISK at sf0.1: the OS page cache absorbs it).
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = (
         df.select(
@@ -170,7 +175,10 @@ def minhash_near_dup(
             F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
         )
         .select("__id", F.xxhash64("__s").alias("__sh"))
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        .localCheckpoint(
+            eager=True,
+            storageLevel=shingle_storage or StorageLevel.DISK_ONLY,
+        )
     )
     # identical hash construction to minhash_signatures: k long re-hashes
     # of the single 8-byte shingle hash, map-side partial min

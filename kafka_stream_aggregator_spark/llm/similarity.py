@@ -264,10 +264,13 @@ def kmeans_centroids(
                 ).alias("c_vec_new")
             )
         )
-        # keep previous centroid for empty cells; only k rows collected
-        updated = cents.join(sums, "cell_id", "left").select(
-            "cell_id", F.coalesce("c_vec_new", "c_vec").alias("c_vec")
+        # keep previous centroid for empty cells. localCheckpoint keeps
+        # the k x dim result materialized executor-side (truncating the
+        # growing lineage each iteration) WITHOUT serializing it through
+        # the driver — the k centroids never leave the cluster.
+        cents = (
+            cents.join(sums, "cell_id", "left")
+            .select("cell_id", F.coalesce("c_vec_new", "c_vec").alias("c_vec"))
+            .localCheckpoint(eager=True)
         )
-        rows = updated.collect()
-        cents = df.sparkSession.createDataFrame(rows, updated.schema)
     return cents

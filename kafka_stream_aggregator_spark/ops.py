@@ -284,6 +284,73 @@ def exact_percentiles_bucketed(
     return agged.select(*outs)
 
 
+SORT_TIER_MAX_ROWS = 10_000_000  # measured crossover (docs/SCALING.md)
+APPROX_TIER_MIN_ROWS = 1_000_000_000
+
+
+def choose_percentile_tier(
+    n_rows: int,
+    approx_ok: bool = False,
+    sort_max_rows: int = SORT_TIER_MAX_ROWS,
+    approx_min_rows: int = APPROX_TIER_MIN_ROWS,
+) -> str:
+    """Pick the percentile tier for an input of ``n_rows``:
+
+    - 'sort'     below the measured ~10M crossover: the rank-window tier
+                 has the least fixed stage overhead and wins small.
+    - 'bucketed' above it: histogram bucketing keeps every pass fully
+                 parallel while the sort tier serializes each group on
+                 one reducer chain (6.2s vs 7.2s at 10M, gap grows).
+    - 'approx'   at billions of rows IF the caller accepts sketch error
+                 (never chosen silently: approx changes the answer).
+    """
+    if approx_ok and n_rows >= approx_min_rows:
+        return "approx"
+    return "sort" if n_rows < sort_max_rows else "bucketed"
+
+
+def _estimate_rows(df: DataFrame) -> int:
+    """Row-count estimate from Catalyst stats: exact rowCount when the
+    optimizer derived one, else sizeInBytes over an assumed ~100 B/row
+    (order-of-magnitude is enough — the sort/bucketed crossover is
+    shallow, ~15% at 10M rows)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        return int(rc.get().longValue())
+    return max(1, int(stats.sizeInBytes()) // 100)
+
+
+def exact_percentiles_auto(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[tuple[float, str]],
+    group_cols: Sequence[str] = (),
+    n_rows: int | None = None,
+    approx_ok: bool = False,
+    approx_accuracy: int = 10_000,
+) -> DataFrame:
+    """Percentiles with the tier picked from the input size instead of
+    hardcoded at the call site (docs/SCALING.md tiers 2-4; tier 1, the
+    built-in counts-map, stays an explicit caller choice because it
+    depends on value cardinality, not row count).
+
+    ``n_rows`` overrides the Catalyst-stats estimate when the caller
+    knows the cardinality (e.g. from a prior count)."""
+    n = n_rows if n_rows is not None else _estimate_rows(df)
+    tier = choose_percentile_tier(n, approx_ok=approx_ok)
+    if tier == "approx":
+        aggs = [
+            F.percentile_approx(
+                F.col(value_col).cast("double"), F.lit(float(q)), F.lit(approx_accuracy)
+            ).alias(name)
+            for q, name in qs
+        ]
+        return df.groupBy(*group_cols).agg(*aggs)
+    fn = exact_percentiles if tier == "sort" else exact_percentiles_bucketed
+    return fn(df, value_col, qs, group_cols=group_cols)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

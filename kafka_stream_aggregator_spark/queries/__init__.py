@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     tpch,
     tpch2,
     tpch3,
+    tpch4,
     udf_io,
     windows,
 )
@@ -70,6 +71,11 @@ _WINDOW_PRIORITY = [
     "ann_ivf_topk",
     "doc_lang_id_heuristic",
     # --- new in round 3 (appended as they land) ---
+    "q2_min_cost_supplier",
+    "q12_priority_linecount",
+    "q15_top_supplier",
+    "q20_heavy_suppliers",
+    "q21_suppliers_kept_waiting",
 ]
 
 

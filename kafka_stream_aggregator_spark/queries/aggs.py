@@ -142,18 +142,17 @@ def agg_percentiles(spark, sf_dir):
     # tiny per-group counts-map, fast partial agg). For the CONTINUOUS
     # l_extendedprice the counts-map is O(distinct) per group — slow at
     # sf0.1 and an OOM risk at 100 TB — so the median goes through the
-    # sort-based exact_percentiles rewrite. The histogram-bucketed tier
-    # (ops.exact_percentiles_bucketed) overtakes it past ~1M rows/group
-    # (measured: 7.2s vs 6.2s at 10M rows) but pays more fixed stage
-    # overhead, so at bench scale the sort tier is the right pick.
-    from ..ops import exact_percentiles
+    # exact sort/bucketed tiers, auto-selected from the input size
+    # around the measured ~10M-row crossover (docs/SCALING.md): the
+    # sort tier at bench scale, the fully-parallel bucketed tier above.
+    from ..ops import exact_percentiles_auto
 
     li = t(spark, sf_dir, "lineitem")
     qty = li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
     )
-    med = exact_percentiles(
+    med = exact_percentiles_auto(
         li, "l_extendedprice", [(0.5, "med_raw")], group_cols=("l_returnflag",)
     ).select("l_returnflag", F.round("med_raw", 6).alias("med_price"))
     return qty.join(med, "l_returnflag").select(

@@ -12,6 +12,7 @@ from kafka_stream_aggregator_spark.ops import (
     sessionize,
     top_k_per_group,
 )
+from kafka_stream_aggregator_spark.tables import load_table
 
 
 def test_asof_join_basic(spark):
@@ -240,3 +241,45 @@ def test_exact_percentiles_ignore_nulls(spark):
         got = fn(df, "v", qs, group_cols=("g",)).collect()[0]
         assert got["p50"] == pytest.approx(builtin["p50"]), fn.__name__
         assert got["p90"] == pytest.approx(builtin["p90"]), fn.__name__
+
+
+def test_percentile_tier_choice_pinned():
+    """The tier choice at three scales: sort below the 10M crossover,
+    bucketed above it, approx only at billions AND with caller opt-in."""
+    from kafka_stream_aggregator_spark.ops import choose_percentile_tier
+
+    assert choose_percentile_tier(600_000) == "sort"
+    assert choose_percentile_tier(50_000_000) == "bucketed"
+    assert choose_percentile_tier(5_000_000_000) == "bucketed"  # no opt-in
+    assert choose_percentile_tier(5_000_000_000, approx_ok=True) == "approx"
+    assert choose_percentile_tier(50_000_000, approx_ok=True) == "bucketed"
+
+
+def test_exact_percentiles_auto_matches_fixed_tiers(spark, sf_dir):
+    """auto == sort tier on a bench-scale input (estimate -> sort), and
+    forcing n_rows over the crossover routes to the bucketed tier with
+    identical results."""
+    from kafka_stream_aggregator_spark.ops import (
+        exact_percentiles,
+        exact_percentiles_auto,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [(0.5, "p50"), (0.9, "p90")]
+    want = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in exact_percentiles(
+            li, "l_extendedprice", qs, group_cols=("l_returnflag",)
+        ).collect()
+    }
+    for forced in (None, 50_000_000):
+        got = {
+            r["l_returnflag"]: (r["p50"], r["p90"])
+            for r in exact_percentiles_auto(
+                li, "l_extendedprice", qs, group_cols=("l_returnflag",), n_rows=forced
+            ).collect()
+        }
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k][0] == pytest.approx(want[k][0]), (forced, k)
+            assert got[k][1] == pytest.approx(want[k][1]), (forced, k)

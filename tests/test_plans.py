@@ -143,3 +143,23 @@ def test_heavy_hitters_rank_limit_pushdown(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2
     assert "row_number(), 10, Partial" in plan
     assert "partial_count" in plan
+
+
+def test_q21_exists_chains_decorrelate_to_semi_anti(spark, sf_dir):
+    """The Q21 multi-EXISTS stress: Catalyst must decorrelate EXISTS to
+    a LeftSemi hash join and NOT EXISTS to a LeftAnti hash join, both
+    keyed on the correlation column — never per-row subquery execution
+    or a nested-loop fallback."""
+    df = REGISTRY["q21_suppliers_kept_waiting"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InSubquery" not in plan and "exists#" not in plan
+
+
+def test_q15_view_max_decorrelates(spark, sf_dir):
+    """Q15's view-max scalar subquery becomes a one-row subquery reused
+    as a filter — no recomputation of the revenue view per outer row."""
+    df = REGISTRY["q15_top_supplier"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Subquery subquery" in plan or "ReusedSubquery" in plan or "scalar-subquery" not in plan
