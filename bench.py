@@ -33,10 +33,30 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def shuffle_partitions_for(sf_dir: str, cpus: int) -> int:
+    """Size reducer count to the data, not the core count: a 600k-row
+    shuffle does not need 32 reducers, and every surplus task is pure
+    scheduling latency at bench scale. ~16 MB of input parquet per
+    reducer, floor 8, capped at the core count; AQE still coalesces or
+    splits at runtime. On a real cluster the same policy scales with
+    input bytes (100 TB / 16 MB ≈ 6M initial partitions would instead
+    be capped by spark.sql.adaptive.coalescePartitions.initialPartitionNum)."""
+    try:
+        total = sum(
+            os.path.getsize(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except OSError:
+        return cpus
+    return max(8, min(cpus, total // (16 << 20)))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", shuffle_partitions=shuffle_partitions_for(sf_dir, cpus))
     names = [n for n, s in REGISTRY.items() if s.bench]
 
     # warm-up: one tiny query absorbs JVM/codegen startup. NOTE: we do

@@ -76,6 +76,9 @@ _WINDOW_PRIORITY = [
     "q15_top_supplier",
     "q20_heavy_suppliers",
     "q21_suppliers_kept_waiting",
+    "set_except_all",               # re-verify the round-3 fused plan
+    "set_except_all_raw",
+    "agg_percentiles",              # re-verify the round-3 builtin tier
 ]
 
 

@@ -107,11 +107,50 @@ def set_intersect_all(spark, sf_dir):
     """,
 )
 def set_except_all(spark, sf_dir):
-    ea = (
+    # EXCEPT ALL fused with the downstream count: Catalyst's
+    # RewriteExceptAll plans union(+1/-1) -> sum -> Generate(replicate
+    # rows) and our groupBy would then re-count the very rows the
+    # Generate just replicated. Since count(k) = max(n_left - n_right, 0)
+    # per key, emit the signed counts directly: one union, ONE shuffle,
+    # no row replication — the plan you'd want when the left side is
+    # 100 TB (the raw-operator form stays covered by
+    # set_except_all_raw below).
+    signed = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("orderkey"), F.lit(1).alias("__w"))
+        .unionAll(
+            t(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("orderkey"),
+                F.lit(-1).alias("__w"),
+            )
+        )
+    )
+    return (
+        signed.groupBy("orderkey")
+        .agg(F.sum("__w").alias("n"))
+        .filter(F.col("n") > 0)
+        .select("orderkey", F.col("n").cast("long").alias("n"))
+    )
+
+
+@query(
+    "set_except_all_raw",
+    # the undecorated exceptAll operator itself (multiset subtraction,
+    # row-level output) — §2.B exceptAll coverage independent of the
+    # fused bench variant above.
+    oracle="""
+    SELECT l_orderkey AS orderkey FROM (
+      SELECT l_orderkey FROM lineitem
+      EXCEPT ALL
+      SELECT o_orderkey FROM orders
+    )
+    """,
+)
+def set_except_all_raw(spark, sf_dir):
+    return (
         t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("orderkey"))
         .exceptAll(
             t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("orderkey"))
         )
     )
-    return ea.groupBy("orderkey").agg(F.count(F.lit(1)).alias("n"))

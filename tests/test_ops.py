@@ -244,11 +244,14 @@ def test_exact_percentiles_ignore_nulls(spark):
 
 
 def test_percentile_tier_choice_pinned():
-    """The tier choice at three scales: sort below the 10M crossover,
-    bucketed above it, approx only at billions AND with caller opt-in."""
+    """The tier choice at four scales: builtin counts-map small, sort up
+    to the 10M crossover, bucketed above it, approx only at billions AND
+    with caller opt-in."""
     from kafka_stream_aggregator_spark.ops import choose_percentile_tier
 
     assert choose_percentile_tier(600_000) == "sort"
+    assert choose_percentile_tier(600_000, low_cardinality=True) == "builtin"
+    assert choose_percentile_tier(5_000_000) == "sort"
     assert choose_percentile_tier(50_000_000) == "bucketed"
     assert choose_percentile_tier(5_000_000_000) == "bucketed"  # no opt-in
     assert choose_percentile_tier(5_000_000_000, approx_ok=True) == "approx"

@@ -60,8 +60,13 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             duck[name] = min(duck.get(name, dt), dt)
 
-    # --- Spark side (bench.py protocol) ---
-    spark = get_spark("baseline")
+    # --- Spark side (bench.py protocol, incl. its data-sized reducers) ---
+    from bench import shuffle_partitions_for
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "baseline", shuffle_partitions=shuffle_partitions_for(sf_dir, cpus)
+    )
 
     def materialize(df):
         df.write.format("noop").mode("overwrite").save()
