@@ -82,7 +82,9 @@ def sessionize(
     the previous event exceeds ``gap_seconds``. Classic lag + cumulative
     sum over one partitioned window (single shuffle)."""
     w = W.partitionBy(by).orderBy(ts_col, tiebreak)
-    sec = F.col(ts_col).cast("double")
+    # Double-cast via timestamp so TIMESTAMP_NTZ inputs (parquet
+    # isAdjustedToUTC=false read without normalization) still analyze.
+    sec = F.col(ts_col).cast("timestamp").cast("double")
     prev = F.lag(sec).over(w)
     new_sess = F.when(
         prev.isNull() | ((sec - prev) > gap_seconds), 1

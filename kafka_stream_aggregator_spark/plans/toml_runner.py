@@ -86,7 +86,9 @@ def build_source(spark: SparkSession, spec: dict[str, Any]) -> DataFrame:
 
         if "table" in src:
             return load_table(spark, src["dir"], src["table"])
-        return spark.read.parquet(src["path"])
+        from ..tables import _normalize
+
+        return _normalize(spark.read.parquet(src["path"]))
     if kind == "file-stream":
         return file_stream(
             spark,

@@ -348,7 +348,8 @@ def join_interval_overlap(spark, sf_dir):
             & (a.a_id < b.b_id)
             & (
                 F.abs(
-                    F.col("a_ts").cast("double") - F.col("b_ts").cast("double")
+                    F.col("a_ts").cast("timestamp").cast("double")
+                    - F.col("b_ts").cast("timestamp").cast("double")
                 )
                 <= 3600
             ),

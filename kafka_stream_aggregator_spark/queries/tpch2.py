@@ -249,9 +249,9 @@ def q22_global_acctbal(spark, sf_dir):
 def events_funnel(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts").cast("double"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts").cast("double"))).alias("t_click"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts").cast("double"))).alias("t_buy"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts").cast("timestamp").cast("double"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts").cast("timestamp").cast("double"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts").cast("timestamp").cast("double"))).alias("t_buy"),
     )
     return u.agg(
         F.count(F.lit(1)).alias("n_users"),

@@ -68,7 +68,7 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-        return df
+        return _normalize(df)
     return _normalize(spark.read.parquet(path))
 
 
