@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..ops import data_sized_partitions
+
 
 def _shingles(text_col, shingle_len: int):
     """Distinct word n-gram shingles of lower-cased text."""
@@ -65,7 +67,7 @@ def minhash_signatures(
     arrives as one parquet file -> one partition, which would serialize
     the (CPU-heavy) shingling on a single core.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    df = df.repartition(data_sized_partitions(df), id_col)
     # hash each shingle string ONCE to 8 bytes, then derive the k
     # independent min-hash functions by re-hashing the long with a seed —
     # k string hashes per shingle would dominate the whole pipeline
@@ -172,7 +174,7 @@ def minhash_near_dup(
     # degrades to the disk path instead of competing with the join
     # stages' working set. Pass StorageLevel.DISK_ONLY to skip the
     # memory tier entirely.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    df = df.repartition(data_sized_partitions(df), id_col)
     sh = (
         df.select(
             F.col(id_col).alias("__id"),

