@@ -20,65 +20,74 @@ from . import (  # noqa: F401
 from .base import REGISTRY, QuerySpec
 
 # The correctness driver samples the FIRST 50 registry entries (in dict
-# iteration order) for its oracle gate. Round 1 greened the first 50
-# (aggs/events/joins/doc basics — CORRECTNESS_r01.json); round 2 greened
-# the next 50 (windows, TPC-H shapes, scalar families, set ops, UDF/IO,
-# streaming, LLM ops — CORRECTNESS_r02.json, 49 green + fn_math_suite
-# type-level hash artifact fixed this round via oracle casts).
+# iteration order) for its oracle gate. Rounds 1-3 rotated through the
+# whole registry (every query has at least one driver verdict; all 135
+# re-verified locally against the current testdata in
+# docs/PARITY_r04_sf001.txt after the r3 encoding drift).
 #
-# ROUND-3 WINDOW: the 31 queries that have never had a driver verdict go
-# first — after this round every registered query has a CORRECTNESS row
-# across r1-r3. Then fn_math_suite (re-verify the oracle-cast fix), the
-# two queries upgraded this round from rows-only to full oracles
-# (deterministic IVF / stopword-vote SQL twins), and the queries added
-# in round 3.
+# ROUND-4 WINDOW, highest drift-risk first: (a) the three queries the
+# r3 TIMESTAMP_NTZ testdata change broke (stale r01/r02 greens — the
+# proof old verdicts can rot), (b) everything whose plan changed this
+# round (percentile counts tier, data-sized repartitions), (c) the new
+# training-pipeline ops, then (d) the oldest-verified r01 greens as
+# rotation so every verdict stays fresh.
 _WINDOW_PRIORITY = [
-    # --- never driver-checked before round 3 (31) ---
-    "agg_percentiles_approx",       # declared 100 TB percentile tier
-    "trade_pipeline_schema_evolution",
-    "doc_token_heavy_hitters",
-    "emb_label_stats",
-    "emb_cosine_near_dup",
-    "emb_cosine_near_dup_ivf",      # scale path of a graded LLM op
-    "audio_wav_features",
-    "fn_distinct_limit",
-    "fn_array_suite2",
-    "fn_json_from_json",
-    "fn_hash_spark_native",
-    "fn_json_tuple",
-    "fn_posexplode",
-    "fn_string_suite2",
-    "set_intersect",
-    "set_except",
-    "stream_dedup_within_wm_count",
-    "q5_regional_revenue",          # bench headliner
-    "q6_forecast_revenue",
-    "q10_returned_items",           # bench headliner
-    "q4_order_priority",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q22_global_acctbal",
+    # --- broken by r3 testdata drift, fixed this round ---
+    "sessionize_gap",
     "events_funnel",
-    "q7_volume_shipping",
-    "q9_profit_by_nation",
-    "q14_promo_revenue",
-    "q16_parts_supplier_count",
-    "io_parquet_roundtrip",
-    # --- re-verify the round-3 oracle type-cast fix ---
-    "fn_math_suite",
-    # --- upgraded rows-only -> full oracle in round 3 ---
-    "ann_ivf_topk",
+    "join_interval_overlap",
+    # --- plans changed in round 4 ---
+    "agg_percentiles",              # counts tier for l_quantity
+    "agg_percentiles_approx",
+    "doc_token_stats",              # data-sized repartition
+    "doc_quality_by_source",
+    "doc_token_heavy_hitters",
+    "ngram_jaccard_pairs",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "doc_exact_dedup",
+    "near_dup_clusters",
+    # --- new in round 4: training-data pipeline ops ---
+    "doc_repetition_signals",
+    "doc_decontaminate",
+    "doc_stratified_sample",
+    "doc_pack_sequences",
+    # --- rotation: r01-verified greens, oldest first ---
+    "ewma_5min",
+    "ewma_1min_all",
+    "ewma_5min_twolevel",
+    "sliding_window_counts",
+    "session_window_batch",
+    "event_dedup_keep_first",
+    "join_asof",
+    "join_broadcast_dim",
+    "join_inner_large",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_range_theta",
+    "agg_basic_stats",
+    "agg_count_distinct",
+    "agg_stddev_corr",
+    "agg_skew_kurt",
+    "agg_minmax_by",
+    "agg_first_last_ordered",
+    "agg_collect_sorted",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_histogram",
+    "cos_topk_bruteforce",
     "doc_lang_id_heuristic",
-    # --- new in round 3 (appended as they land) ---
-    "q2_min_cost_supplier",
-    "q12_priority_linecount",
-    "q15_top_supplier",
-    "q20_heavy_suppliers",
-    "q21_suppliers_kept_waiting",
-    "set_except_all",               # re-verify the round-3 fused plan
-    "set_except_all_raw",
-    "agg_percentiles",              # re-verify the round-3 builtin tier
+    "q1_pricing_summary",
+    "q3_revenue_topk",
+    "q5_regional_revenue",
+    "q10_returned_items",
+    "doc_pii_scan",
 ]
 
 

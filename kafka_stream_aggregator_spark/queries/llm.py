@@ -668,3 +668,140 @@ def doc_pii_scan(spark, sf_dir):
         has_pii(F.col("t")).alias("flagged"),
         (~redacted2.contains("@example.com")).alias("emails_gone"),
     )
+
+
+@query(
+    "doc_repetition_signals",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ),
+    wstats AS (
+        SELECT doc_id, len(ws) AS nw, len(list_distinct(ws)) AS ndw FROM w
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM w WHERE len(ws) >= 2
+    ),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    bstats AS (
+        SELECT doc_id, max(c) AS top, sum(c) AS tot FROM bc GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           round(1.0 - CAST(ndw AS DOUBLE) / nw, 6) AS dup_word_frac,
+           round(CAST(top AS DOUBLE) / tot, 6) AS top_bigram_frac
+    FROM wstats w JOIN bstats b ON w.doc_id = b.doc_id
+    """,
+)
+def doc_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filters (duplicate-word fraction, top
+    bigram share) over the documents table — the standard pre-training
+    corpus hygiene signals."""
+    from ..llm.pipeline import repetition_signals
+
+    d = t(spark, sf_dir, "documents")
+    return repetition_signals(
+        d.repartition(data_sized_partitions(d)), "doc_id", "text"
+    )
+
+
+@query(
+    "doc_decontaminate",
+    oracle=r"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS gs
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents)
+    ),
+    ev AS (SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0)
+    SELECT tr.doc_id, count(*) AS n_overlap
+    FROM tr JOIN ev ON tr.g = ev.g
+    GROUP BY tr.doc_id
+    """,
+)
+def doc_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination, n=3 word-grams at this
+    corpus' tiny vocabulary (the classic recipe uses 13-grams on web
+    text — n is a parameter):
+    every doc_id % 97 == 0 doc stands in for the held-out benchmark;
+    the rest is the training corpus. Eval n-grams are broadcast; the
+    corpus streams through one explode + broadcast join."""
+    from ..llm.pipeline import decontaminate
+
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    return decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        n=3,
+    )
+
+
+@query(
+    "doc_stratified_sample",
+    oracle="""
+    WITH rated AS (
+        SELECT *,
+               CASE WHEN CAST(substr(source, 4) AS INT) < 5  THEN 1.0
+                    WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+                    WHEN CAST(substr(source, 4) AS INT) < 15 THEN 0.25
+                    ELSE 0.1 END AS rate
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296
+                              < CAST(floor(rate * 4294967296) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM rated GROUP BY source
+    """,
+)
+def doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-source downsampling for training-mix
+    construction: multiplicative-hash keep-predicate (engine-portable
+    integer math — no rand()), rates declared per stratum. Reported as
+    per-source kept counts so the driver can hash-compare; the sampled
+    rows themselves are `stratified_sample(df, id, rate)`."""
+    from ..llm.pipeline import sample_keep
+
+    d = t(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(idx < 5, 1.0)
+        .when(idx < 10, 0.5)
+        .when(idx < 15, 0.25)
+        .otherwise(0.1)
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sample_keep("doc_id", rate).cast("int"))
+        .cast("bigint")
+        .alias("n_sampled"),
+    )
+
+
+@query("doc_pack_sequences", oracle=None)
+def doc_pack_sequences(spark, sf_dir):
+    """Training sequence packing: documents first-fit-decreasing packed
+    into 256-token bins, sharded by id hash (packing is sequential per
+    bin set, so shards pack independently — the scale compromise).
+    Non-SQL-expressible (stateful greedy loop); invariants (every doc
+    packed exactly once, bin sums within budget, determinism) are
+    pinned in tests/test_llm.py."""
+    from ..llm.pipeline import pack_sequences
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok")
+    )
+    return pack_sequences(counts, "doc_id", "n_tok", budget=256, n_shards=8)

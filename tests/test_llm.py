@@ -632,3 +632,91 @@ def test_simhash_pair32_guarantee_and_buckets(spark, sf_dir):
         ).alias("ck")
     ).select("ck.chunk", "ck.key")
     assert max_bucket(p32) <= max_bucket(c16)
+
+
+def test_pack_sequences_invariants(spark):
+    """FFD packing: every doc packed exactly once, every bin within
+    budget unless it holds a single oversized doc, deterministic across
+    runs."""
+    from kafka_stream_aggregator_spark.llm.pipeline import pack_sequences
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(500)]  # counts 1..300
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    budget = 256
+    out = pack_sequences(df, "doc_id", "n_tok", budget=budget, n_shards=4)
+    got = out.collect()
+
+    assert sorted(r["doc_id"] for r in got) == list(range(500))
+    sums: dict[tuple, int] = {}
+    counts: dict[tuple, int] = {}
+    for r in got:
+        k = (r["shard"], r["bin_id"])
+        sums[k] = sums.get(k, 0) + r["n_tokens"]
+        counts[k] = counts.get(k, 0) + 1
+    for k, s in sums.items():
+        assert s <= budget or counts[k] == 1, (k, s, counts[k])
+
+    again = pack_sequences(df, "doc_id", "n_tok", budget=budget, n_shards=4)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    from kafka_stream_aggregator_spark.llm.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 10), (3, 10)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", budget=64, n_shards=1).collect()
+    by_doc = {r["doc_id"]: (r["shard"], r["bin_id"]) for r in out}
+    assert by_doc[1] != by_doc[2]  # oversized doc isolated
+    assert by_doc[2] == by_doc[3]  # small docs share a bin
+
+
+def test_repetition_signals_exact_values(spark):
+    from kafka_stream_aggregator_spark.llm.pipeline import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # words: 5, distinct 2; bigrams: ab,ba,ab,ba -> top 2/4
+            (2, "x y z w"),        # all distinct; bigrams all unique -> top 1/3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    assert got[1]["dup_word_frac"] == round(1 - 2 / 5, 6)
+    assert got[1]["top_bigram_frac"] == 0.5
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == round(1 / 3, 6)
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    """The multiplicative-hash sampler is reproducible and lands near
+    the target rate on a uniform id range."""
+    from kafka_stream_aggregator_spark.llm.pipeline import stratified_sample
+
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    kept = stratified_sample(df, "doc_id", F.lit(0.25))
+    n1 = kept.count()
+    n2 = stratified_sample(df, "doc_id", F.lit(0.25)).count()
+    assert n1 == n2
+    assert abs(n1 / 20_000 - 0.25) < 0.02
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    from kafka_stream_aggregator_spark.llm.pipeline import decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "xx quick brown fox jumps zz"),
+            (2, "totally unrelated words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in
+           decontaminate(tr, ev, "doc_id", "text", n=3).collect()}
+    # doc 1 shares 3-grams: 'quick brown fox', 'brown fox jumps'
+    assert got == {1: 2}
