@@ -187,13 +187,19 @@ def minhash_near_dup(
         )
     )
     # identical hash construction to minhash_signatures: k long re-hashes
-    # of the single 8-byte shingle hash, map-side partial min
-    sig = sh.groupBy("__id").agg(
+    # of the single 8-byte shingle hash, map-side partial min. The
+    # per-doc shingle count rides in the SAME aggregate (shingles are
+    # array_distinct'd, so count(*) == |shingle set|): the verification
+    # step's `sizes` then comes from this agg's exchange (ReusedExchange)
+    # instead of a second full pass + shuffle over the shingle table.
+    sig_full = sh.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n_sh"),
         *[
             F.min(F.xxhash64("__sh", F.lit(k))).alias(f"h{k}")
             for k in range(n_hashes)
-        ]
-    ).select(
+        ],
+    )
+    sig = sig_full.select(
         F.col("__id").alias(id_col),
         F.array(*[f"h{k}" for k in range(n_hashes)]).alias("signature"),
     )
@@ -258,7 +264,7 @@ def minhash_near_dup(
     # verification joins on the same cached 8-byte shingle hashes — ~10x
     # less shuffle than strings, long-key hash join (collisions
     # ~n^2/2^64), and zero re-tokenization.
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sig_full.select("__id", F.col("__n_sh").alias("n_sh"))
     sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = sh.select(F.col("__id").alias("rid_b"), F.col("__sh").alias("sh_b"))
     inter = (

@@ -52,6 +52,7 @@ _WINDOW_PRIORITY = [
     "doc_decontaminate",
     "doc_stratified_sample",
     "doc_pack_sequences",
+    "io_bucketed_join",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
     "ewma_1min_all",

@@ -12,6 +12,7 @@ would.
 from __future__ import annotations
 
 import math
+import os
 import tempfile
 from collections.abc import Iterator
 
@@ -287,4 +288,59 @@ def io_jdbc_roundtrip(spark, sf_dir):
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "io_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def io_bucketed_join(spark, sf_dir):
+    """Co-located (bucketed) join: both fact tables written with
+    `bucketBy(8, key).sortBy(key)` into catalog tables, then joined on
+    the bucket key — the scan feeds a sort-merge join with NO exchange
+    on either side (asserted in tests/test_plans.py). Only a cheap
+    per-bucket local sort remains: Spark trusts write-time ordering
+    only under the legacy one-file-per-bucket rule.
+
+    This is the 100 TB pattern for repeatedly-joined fact tables: pay
+    the shuffle once at write time, then every subsequent join on the
+    bucket key is exchange-free. At scale the bucket count is sized so
+    one bucket of the larger table fits an executor core (e.g. 16k
+    buckets for 100 TB ≈ 6 GB/bucket), and both tables MUST agree on
+    it: mismatched bucket counts fall back to a plain shuffle join.
+    """
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = {"orders": f"ksa_orders_b_{tag}", "lineitem": f"ksa_lineitem_b_{tag}"}
+    keys = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for tbl, cat_name in names.items():
+        if not spark.catalog.tableExists(cat_name):
+            path = os.path.join(
+                tempfile.gettempdir(), f"ksa_bucketed_{tag}", tbl
+            )
+            (
+                t(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(8, keys[tbl])
+                .sortBy(keys[tbl])
+                .option("path", path)
+                .saveAsTable(cat_name)
+            )
+    o = spark.table(names["orders"])
+    li = spark.table(names["lineitem"])
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
     )

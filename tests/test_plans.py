@@ -163,3 +163,30 @@ def test_q15_view_max_decorrelates(spark, sf_dir):
     df = REGISTRY["q15_top_supplier"].fn(spark, sf_dir)
     plan = _plan(df)
     assert "Subquery subquery" in plan or "ReusedSubquery" in plan or "scalar-subquery" not in plan
+
+
+def test_bucketed_join_no_exchange_no_sort(spark, sf_dir):
+    """io_bucketed_join: both sides bucketed on the join key, so the
+    sort-merge join reads the bucket layout directly — the only
+    Exchange in the plan is the final aggregation's. (Per-bucket Sort
+    nodes remain: Spark only trusts write-time sortBy ordering under
+    the legacy one-file-per-bucket rule, and a local sort is cheap next
+    to the network shuffle the bucketing removes.) Broadcast is
+    disabled for the assertion: at test SF Spark rightly broadcasts the
+    small side, but the bucketing claim is about the 100 TB case where
+    neither side fits a broadcast."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["io_bucketed_join"].fn(spark, sf_dir)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in plan, plan
+    join_subtree = plan[plan.index("SortMergeJoin") :]
+    # nothing BELOW the join may exchange: bucketed scans satisfy the
+    # join's distribution requirement without a shuffle
+    assert "Exchange hashpartitioning" not in join_subtree, join_subtree
+    # the agg above the join still shuffles once
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SelectedBucketsCount" in plan, plan
