@@ -158,48 +158,49 @@ def minhash_near_dup(
     if bands is None:
         bands = choose_bands(n_hashes, jaccard_threshold)
     rows = n_hashes // bands
-    # Tokenize/shingle the corpus exactly ONCE: the (id, shingle hash)
-    # pairs feed BOTH the signature computation and the exact-Jaccard
-    # verification below (shingling is the CPU-dominant stage; computing
-    # it twice doubled the whole operator's cost). localCheckpoint
-    # instead of .cache(): checkpoint blocks are released by the
-    # ContextCleaner as soon as this DataFrame is garbage-collected (a
-    # CacheManager entry is pinned until an explicit unpersist that a
-    # lazily-returned result can never safely issue). Default storage is
-    # MEMORY_AND_DISK: blocks that fit stay in memory (measured 25%
-    # faster than DISK_ONLY at sf0.1: 1.98s vs 2.63s warm min-of-3),
-    # the rest spill to disk, and under execution-memory pressure the
+    # Tokenize/shingle the corpus exactly ONCE, then reduce straight to
+    # ONE row per doc carrying everything downstream needs: shingle
+    # count, the shingle-hash SET (for exact-Jaccard verification), and
+    # the k min-hashes (identical construction to minhash_signatures: k
+    # long re-hashes of the single 8-byte shingle hash, map-side
+    # partial min). Checkpointing this per-doc table instead of the
+    # exploded (id, shingle) rows shrinks the persisted footprint (no
+    # per-row id repetition) and removes BOTH verification shuffles of
+    # the exploded table (measured 1.83s -> 1.35s at sf0.1). Per-doc
+    # state is O(doc shingles) — the same bound as any collect_set agg;
+    # total shuffled bytes are the full shingle data ONCE, strictly
+    # less than the old k-mins + two exploded-table shuffles.
+    # localCheckpoint instead of .cache(): checkpoint blocks are
+    # released by the ContextCleaner as soon as this DataFrame is
+    # garbage-collected (a CacheManager entry is pinned until an
+    # explicit unpersist that a lazily-returned result can never safely
+    # issue). Default storage MEMORY_AND_DISK: blocks that fit stay in
+    # memory, the rest spill, and under execution-memory pressure the
     # unified memory manager evicts storage blocks above
-    # spark.memory.storageFraction — so at 100 TB the shingle table
-    # degrades to the disk path instead of competing with the join
-    # stages' working set. Pass StorageLevel.DISK_ONLY to skip the
-    # memory tier entirely.
+    # spark.memory.storageFraction — at 100 TB the table degrades to
+    # the disk path instead of competing with the join stages' working
+    # set. Pass StorageLevel.DISK_ONLY to skip the memory tier.
     df = df.repartition(data_sized_partitions(df), id_col)
-    sh = (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
+    ).select("__id", F.xxhash64("__s").alias("__sh"))
+    docs = (
+        sh.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_sh"),
+            F.collect_list("__sh").alias("__set"),
+            *[
+                F.min(F.xxhash64("__sh", F.lit(k))).alias(f"h{k}")
+                for k in range(n_hashes)
+            ],
         )
-        .select("__id", F.xxhash64("__s").alias("__sh"))
         .localCheckpoint(
             eager=True,
             storageLevel=shingle_storage or StorageLevel.MEMORY_AND_DISK,
         )
     )
-    # identical hash construction to minhash_signatures: k long re-hashes
-    # of the single 8-byte shingle hash, map-side partial min. The
-    # per-doc shingle count rides in the SAME aggregate (shingles are
-    # array_distinct'd, so count(*) == |shingle set|): the verification
-    # step's `sizes` then comes from this agg's exchange (ReusedExchange)
-    # instead of a second full pass + shuffle over the shingle table.
-    sig_full = sh.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("__n_sh"),
-        *[
-            F.min(F.xxhash64("__sh", F.lit(k))).alias(f"h{k}")
-            for k in range(n_hashes)
-        ],
-    )
-    sig = sig_full.select(
+    sig = docs.select(
         F.col("__id").alias(id_col),
         F.array(*[f"h{k}" for k in range(n_hashes)]).alias("signature"),
     )
@@ -261,24 +262,26 @@ def minhash_near_dup(
     )
     cand = all_pairs.unionByName(star_pairs).distinct()
 
-    # verification joins on the same cached 8-byte shingle hashes — ~10x
-    # less shuffle than strings, long-key hash join (collisions
-    # ~n^2/2^64), and zero re-tokenization.
-    sizes = sig_full.select("__id", F.col("__n_sh").alias("n_sh"))
-    sh_a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = sh.select(F.col("__id").alias("rid_b"), F.col("__sh").alias("sh_b"))
-    inter = (
-        cand.join(sh_a, "id_a")
-        .join(
-            sh_b,
-            (F.col("id_b") == F.col("rid_b")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # verification: join each candidate pair's two per-doc shingle SETS
+    # (8-byte hashes — ~10x smaller than strings, collisions ~n^2/2^64,
+    # zero re-tokenization) and intersect them JVM-side. The candidate
+    # side is small after banding, so AQE broadcasts it and the docs
+    # table streams; array_intersect is a hash-set probe, O(|a|+|b|)
+    # per pair.
+    da = docs.select(
+        F.col("__id").alias("id_a"),
+        F.col("__n_sh").alias("n_a"),
+        F.col("__set").alias("set_a"),
+    )
+    db = docs.select(
+        F.col("__id").alias("id_b"),
+        F.col("__n_sh").alias("n_b"),
+        F.col("__set").alias("set_b"),
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"__id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"__id": "id_b", "n_sh": "n_b"}), "id_b")
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
