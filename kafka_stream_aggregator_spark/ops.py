@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 def data_sized_partitions(
     df: DataFrame,
-    bytes_per_partition: int = 4 << 20,
+    bytes_per_partition: int = 1 << 20,
     floor: int = 8,
     max_bytes_per_partition: int = 32 << 20,
 ) -> int:
@@ -25,13 +25,17 @@ def data_sized_partitions(
 
     A 5000-doc corpus does not need 32 tasks per stage — every surplus
     task is pure scheduling latency (measured on minhash_near_dup at
-    sf0.1: 2.45s at 32 partitions vs 1.72s at 8). At 100 TB the same
-    policy yields bytes/4 MB tasks, capped only by
-    ``max_bytes_per_partition`` (32 MB of input per task) once the
-    target exceeds the cluster's defaultParallelism — CPU-bound stages
-    tolerate several tasks per core, and 32 MB amortizes task launch.
-    Size comes from Catalyst stats (file size for a parquet scan), so
-    no job runs to decide.
+    sf0.1: 2.45s at 32 partitions vs 1.72s at 8). The default is 1 MB
+    of COMPRESSED input per task: parquet text compresses ~5-10x, and
+    interpreted higher-order lambdas (n-gram transforms) run ~2-5s per
+    MB-compressed — the granularity that keeps a 32-core stage wide
+    without drowning in task launches (a single-file 500k-doc corpus
+    measured 70s -> 13s at 100k docs from this alone). At 100 TB the
+    ``max_bytes_per_partition`` cap (32 MB of input per task) bounds
+    the task count once the target exceeds the cluster's
+    defaultParallelism — CPU-bound stages tolerate several tasks per
+    core, and 32 MB amortizes task launch. Size comes from Catalyst
+    stats (file size for a parquet scan), so no job runs to decide.
     """
     stats = df._jdf.queryExecution().optimizedPlan().stats()
     nbytes = int(stats.sizeInBytes())

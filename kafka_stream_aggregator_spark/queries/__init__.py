@@ -68,7 +68,6 @@ _WINDOW_PRIORITY = [
     "join_full_outer",
     "join_semi",
     "join_anti",
-    "join_cross",
     "join_range_theta",
     "agg_basic_stats",
     "agg_count_distinct",
@@ -78,8 +77,6 @@ _WINDOW_PRIORITY = [
     "agg_first_last_ordered",
     "agg_collect_sorted",
     "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_pivot",
     "agg_histogram",
     "cos_topk_bruteforce",

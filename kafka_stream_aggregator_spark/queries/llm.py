@@ -702,10 +702,7 @@ def doc_repetition_signals(spark, sf_dir):
     corpus hygiene signals."""
     from ..llm.pipeline import repetition_signals
 
-    d = t(spark, sf_dir, "documents")
-    return repetition_signals(
-        d.repartition(data_sized_partitions(d)), "doc_id", "text"
-    )
+    return repetition_signals(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(
@@ -737,7 +734,6 @@ def doc_decontaminate(spark, sf_dir):
     from ..llm.pipeline import decontaminate
 
     d = t(spark, sf_dir, "documents")
-    d = d.repartition(data_sized_partitions(d))
     return decontaminate(
         d.filter(F.col("doc_id") % 97 != 0),
         d.filter(F.col("doc_id") % 97 == 0),

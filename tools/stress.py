@@ -99,6 +99,56 @@ def main() -> None:
 
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # ---- document-corpus stress: the LLM/dedup path at replicas x 5k
+    # docs. Each replica gets disjoint ids and a replica-salted text
+    # tail (so near-dup structure stays per-replica instead of turning
+    # the whole corpus into one giant duplicate cluster — the worst
+    # case the star guard exists for is exercised separately in tests).
+    from kafka_stream_aggregator_spark.llm.dedup import (
+        exact_dedup,
+        minhash_near_dup,
+    )
+    from kafka_stream_aggregator_spark.llm.pipeline import (
+        decontaminate,
+        repetition_signals,
+    )
+
+    dbase = load_table(spark, "/root/testdata/sf0.1", "documents")
+    ddir = tempfile.mkdtemp(prefix="stress_docs_")
+    t0 = time.time()
+    bigd = (
+        dbase.select("*", r)
+        .select(
+            (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" rep"), F.col("r").cast("string")
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    bigd.write.mode("overwrite").parquet(ddir)
+    nd = spark.read.parquet(ddir).count()
+    print(f"materialized {nd:,} docs in {time.time()-t0:.1f}s -> {ddir}")
+    docs = spark.read.parquet(ddir)
+
+    tt("exact_dedup", exact_dedup(docs, "doc_id", "text"))
+    tt("minhash_near_dup", minhash_near_dup(docs, "doc_id", "text"))
+    tt("repetition_signals", repetition_signals(docs, "doc_id", "text"))
+    tt(
+        "decontaminate(3-gram)",
+        decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            "doc_id",
+            "text",
+            n=3,
+        ),
+    )
+
+    shutil.rmtree(ddir, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
