@@ -116,3 +116,37 @@ def test_sampling_deterministic_and_sized(spark, sf_dir):
     assert tuple(a) == tuple(b)  # seed-pinned repeatability
     total = load_table(spark, sf_dir, "lineitem").count()
     assert abs(a["n_sampled"] / total - 0.1) < 0.05
+
+
+def test_repetition_signals_no_expand_no_strings_shuffled(spark, sf_dir):
+    """The hygiene op's plan must have no Expand (countDistinct
+    rewrite) and must shuffle hashed longs, not gram strings — the two
+    defects the 500k-doc stress run exposed (docs/SCALING.md)."""
+    from kafka_stream_aggregator_spark.llm.pipeline import repetition_signals
+
+    df = repetition_signals(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan[:800]
+    # the gram aggregations key on xxhash64 output, never on __bg/__w
+    assert "__bh" in plan and "__wh" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The corpus side must stream through a broadcast join on the
+    n-gram hash — a shuffle of the 100 TB training side would be the
+    scale killer."""
+    from kafka_stream_aggregator_spark.llm.pipeline import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    df = decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        n=3,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
