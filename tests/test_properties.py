@@ -160,3 +160,80 @@ def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
         assert got[i] == (float(want) if want is not None else None), (
             f"lid={i} g={g} ts={ts}: got {got[i]} want {want}"
         )
+
+
+words_strategy = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=3),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(docs=st.lists(words_strategy, min_size=1, max_size=6))
+@SETTINGS
+def test_ngram_hash_counts_match_string_ngrams(spark, docs):
+    """Composed n-gram hashes (word_ngram_hashes) must preserve the
+    gram multiset structure: per doc, the count of DISTINCT hashes and
+    the max multiplicity equal those of the string n-grams, for n=2,3."""
+    from kafka_stream_aggregator_spark.llm.pipeline import (
+        word_ngram_hashes,
+        word_ngrams,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3):
+        got = df.select(
+            "doc_id",
+            F.size(F.array_distinct(word_ngram_hashes(F.col("text"), n))).alias("dh"),
+            F.size(F.array_distinct(word_ngrams(F.col("text"), n))).alias("dg"),
+        ).collect()
+        for r in got:
+            assert r["dh"] == r["dg"], (n, r)
+
+
+@given(
+    counts=st.lists(st.integers(1, 300), min_size=1, max_size=40),
+    budget=st.integers(50, 400),
+)
+@SETTINGS
+def test_pack_sequences_property(spark, counts, budget):
+    """FFD packing invariants under random inputs: each doc packed
+    once; each bin within budget unless it is a singleton oversize."""
+    from kafka_stream_aggregator_spark.llm.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id long, n_tok long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", budget=budget, n_shards=2).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(counts)))
+    sums: dict[tuple, list] = {}
+    for r in out:
+        sums.setdefault((r["shard"], r["bin_id"]), []).append(r["n_tokens"])
+    for k, vals in sums.items():
+        assert sum(vals) <= budget or len(vals) == 1, (k, vals)
+
+
+@given(
+    rate=st.floats(0.0, 1.0, allow_nan=False),
+    ids=st.lists(st.integers(0, 10_000_000), min_size=1, max_size=50, unique=True),
+)
+@SETTINGS
+def test_stratified_sample_subset_and_monotone(spark, rate, ids):
+    """The deterministic sampler is a pure predicate: kept set is a
+    subset of the input, invariant across calls, and monotone in the
+    rate (raising the rate never drops a previously-kept row)."""
+    from kafka_stream_aggregator_spark.llm.pipeline import stratified_sample
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    kept = {r["doc_id"] for r in stratified_sample(df, "doc_id", F.lit(rate)).collect()}
+    again = {r["doc_id"] for r in stratified_sample(df, "doc_id", F.lit(rate)).collect()}
+    assert kept == again
+    assert kept <= set(ids)
+    higher = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "doc_id", F.lit(min(1.0, rate + 0.3))
+        ).collect()
+    }
+    assert kept <= higher
