@@ -185,6 +185,44 @@ def decontaminate(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """CCNet-style quality proxy: each doc's mean unigram
+    log-probability under the corpus' own unigram distribution.
+    Low-probability-dense docs (gibberish, boilerplate codes, OCR
+    noise) score low; fluent text scores high. The real CCNet uses a
+    KenLM 5-gram model; the unigram corpus LM is the same signal class
+    with no external model artifact.
+
+    Scale shape: the corpus reduces to a (word, count) table —
+    vocabulary-sized, millions of rows at web scale — broadcast to a
+    join the per-doc words stream through; one explode, two codegen
+    aggs. Word identity travels as an 8-byte hash (counts only need
+    equality; the string never leaves the map side).
+    """
+    df = df.repartition(data_sized_partitions(df), id_col)
+    words = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("__w")
+    ).select(id_col, F.xxhash64("__w").alias("__wh"))
+    vocab = words.groupBy("__wh").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    scored = (
+        words.join(F.broadcast(vocab), "__wh")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (F.log(F.col("__c").cast("double")) - F.log(F.col("__n").cast("double"))).alias(
+                "__lp"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )
+
+
 def sample_keep(id_col, rate_col) -> F.Column:
     """Deterministic keep-predicate for stratified sampling: keep iff
     (id * 2654435761) mod 2^32 < floor(rate * 2^32). Multiplicative

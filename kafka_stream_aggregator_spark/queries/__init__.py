@@ -52,6 +52,7 @@ _WINDOW_PRIORITY = [
     "doc_decontaminate",
     "doc_stratified_sample",
     "doc_pack_sequences",
+    "doc_unigram_logprob",
     "io_bucketed_join",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
@@ -76,7 +77,6 @@ _WINDOW_PRIORITY = [
     "agg_minmax_by",
     "agg_first_last_ordered",
     "agg_collect_sorted",
-    "agg_rollup",
     "agg_pivot",
     "agg_histogram",
     "cos_topk_bruteforce",

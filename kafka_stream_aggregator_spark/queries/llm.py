@@ -801,3 +801,30 @@ def doc_pack_sequences(spark, sf_dir):
         "doc_id", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok")
     )
     return pack_sequences(counts, "doc_id", "n_tok", budget=256, n_shards=8)
+
+
+@query(
+    "doc_unigram_logprob",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        FROM documents
+    ),
+    vocab AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT sum(c) AS n FROM vocab)
+    SELECT w.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(CAST(c AS DOUBLE)) - ln(CAST(n AS DOUBLE))), 6)
+               AS mean_logprob
+    FROM w JOIN vocab USING (word) CROSS JOIN tot
+    GROUP BY w.doc_id
+    """,
+)
+def doc_unigram_logprob(spark, sf_dir):
+    """CCNet-style corpus-LM quality proxy: mean unigram log-prob per
+    doc under the corpus' own unigram distribution (the vocabulary
+    count table is broadcast; docs stream through one explode)."""
+    from ..llm.pipeline import unigram_logprob
+
+    return unigram_logprob(t(spark, sf_dir, "documents"), "doc_id", "text")
