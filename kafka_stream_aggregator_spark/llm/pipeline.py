@@ -185,6 +185,45 @@ def decontaminate(
     )
 
 
+def repeated_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """RefinedWeb-style span-duplication signal: for each doc, the
+    fraction of its DISTINCT word n-grams that also appear in at least
+    one OTHER document. High values mark boilerplate/templated text
+    that doc-level dedup misses (no pair of docs is near-identical,
+    but the same spans recur corpus-wide).
+
+    Scale shape: one explode of composed n-gram hashes, a (gram ->
+    doc-count) aggregate, and a shuffle join back on the gram hash —
+    both sides hash-partitioned on a near-uniform 8-byte key, so the
+    join co-partitions cleanly at any corpus size (the gram table is
+    corpus-sized, NOT broadcastable; this is the honest large-side
+    join). Counts use distinct grams per doc, so a doc repeating its
+    own span does not inflate other docs' scores.
+    """
+    df = df.repartition(data_sized_partitions(df), id_col)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_ngram_hashes(F.col(text_col), n))
+        ).alias("__h"),
+    )
+    gcount = grams.groupBy("__h").agg(F.count(F.lit(1)).alias("__docs"))
+    return (
+        grams.join(gcount, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("repeated_frac"),
+        )
+    )
+
+
 def unigram_logprob(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -53,6 +53,7 @@ _WINDOW_PRIORITY = [
     "doc_stratified_sample",
     "doc_pack_sequences",
     "doc_unigram_logprob",
+    "doc_repeated_ngram_frac",
     "io_bucketed_join",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
@@ -77,7 +78,6 @@ _WINDOW_PRIORITY = [
     "agg_minmax_by",
     "agg_first_last_ordered",
     "agg_collect_sorted",
-    "agg_pivot",
     "agg_histogram",
     "cos_topk_bruteforce",
     "doc_lang_id_heuristic",

@@ -828,3 +828,36 @@ def doc_unigram_logprob(spark, sf_dir):
     from ..llm.pipeline import unigram_logprob
 
     return unigram_logprob(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "doc_repeated_ngram_frac",
+    oracle=r"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS gram
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+              FROM documents)
+    ),
+    gc AS (SELECT gram, count(*) AS docs FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           round(CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS repeated_frac
+    FROM g JOIN gc USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def doc_repeated_ngram_frac(spark, sf_dir):
+    """RefinedWeb-style span-duplication fraction (3-grams at this
+    corpus' doc length): share of each doc's distinct n-grams that
+    recur in other documents — catches templated spans that doc-level
+    dedup misses."""
+    from ..llm.pipeline import repeated_ngram_fraction
+
+    return repeated_ngram_fraction(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )
