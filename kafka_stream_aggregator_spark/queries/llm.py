@@ -176,6 +176,7 @@ def doc_token_heavy_hitters(spark, sf_dir):
 )
 def doc_fingerprint_groups(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
     return (
         d.groupBy(fingerprint(F.col("text")).alias("fp"))
         .agg(
@@ -508,6 +509,7 @@ def doc_lang_id_heuristic(spark, sf_dir):
     """Stopword-vote language ID (mechanism check; accuracy asserted on
     crafted samples in tests, not on the synthetic corpus labels)."""
     d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
     return (
         d.withColumn("pred_lang", lang_id(F.col("text")))
         .groupBy("lang", "pred_lang")
@@ -635,7 +637,8 @@ def near_dup_clusters(spark, sf_dir):
 def doc_pii_scan(spark, sf_dir):
     from ..llm.pii import PII_PATTERNS, has_pii
 
-    d = t(spark, sf_dir, "documents").withColumn(
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d)).withColumn(
         "t",
         F.when(
             F.col("doc_id") % 7 == 0,
