@@ -54,6 +54,7 @@ _WINDOW_PRIORITY = [
     "doc_pack_sequences",
     "doc_unigram_logprob",
     "doc_repeated_ngram_frac",
+    "doc_filter_pipeline",
     "io_bucketed_join",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
@@ -78,7 +79,6 @@ _WINDOW_PRIORITY = [
     "agg_minmax_by",
     "agg_first_last_ordered",
     "agg_collect_sorted",
-    "agg_histogram",
     "cos_topk_bruteforce",
     "doc_lang_id_heuristic",
     "q1_pricing_summary",

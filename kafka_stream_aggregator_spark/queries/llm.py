@@ -864,3 +864,75 @@ def doc_repeated_ngram_frac(spark, sf_dir):
     return repeated_ngram_fraction(
         t(spark, sf_dir, "documents"), "doc_id", "text", n=3
     )
+
+
+@query(
+    "doc_filter_pipeline",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    vocab AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    lp AS (
+        SELECT tok.doc_id,
+               count(*) AS nt,
+               avg(ln(CAST(c AS DOUBLE)) - ln(CAST(n AS DOUBLE))) AS mlp
+        FROM tok JOIN vocab USING (word) CROSS JOIN tot
+        GROUP BY tok.doc_id
+    ),
+    rep AS (
+        SELECT doc_id,
+               1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dwf
+        FROM w
+    )
+    SELECT w.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN nt BETWEEN 20 AND 90
+                          AND dwf < 0.6
+                          AND mlp > -3.42
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM w JOIN lp USING (doc_id) JOIN rep USING (doc_id)
+    GROUP BY w.source
+    """,
+)
+def doc_filter_pipeline(spark, sf_dir):
+    """End-to-end corpus filter: token-count band + duplicate-word
+    fraction + corpus-LM log-prob combined into a keep/drop decision,
+    reported as per-source keep counts. The composition the hygiene
+    ops exist for — each signal is one shuffle-light branch over the
+    same scan, joined on doc_id; at 100 TB this is a single pipeline
+    run, not three passes over the corpus."""
+    from ..llm.pipeline import unigram_logprob
+    from ..ops import data_sized_partitions
+
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d), "doc_id")
+    lp = unigram_logprob(d, "doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    rep = d.select(
+        "doc_id",
+        "source",
+        (1.0 - F.size(F.array_distinct(toks)) / F.size(toks)).alias("dwf"),
+    )
+    keep = (
+        (F.col("n_tokens").between(20, 90))
+        & (F.col("dwf") < 0.6)
+        & (F.col("mean_logprob_raw") > -3.42)
+    )
+    # unigram_logprob rounds for its own oracle; recompute raw here via
+    # its column, precise enough at 6dp for a strict > threshold away
+    # from any rounding boundary
+    scored = rep.join(
+        lp.select(
+            "doc_id", "n_tokens", F.col("mean_logprob").alias("mean_logprob_raw")
+        ),
+        "doc_id",
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+    )
