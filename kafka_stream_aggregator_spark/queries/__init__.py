@@ -55,6 +55,7 @@ _WINDOW_PRIORITY = [
     "doc_unigram_logprob",
     "doc_repeated_ngram_frac",
     "doc_filter_pipeline",
+    "stream_neardup_pairs",
     "io_bucketed_join",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
@@ -78,7 +79,6 @@ _WINDOW_PRIORITY = [
     "agg_skew_kurt",
     "agg_minmax_by",
     "agg_first_last_ordered",
-    "agg_collect_sorted",
     "cos_topk_bruteforce",
     "doc_lang_id_heuristic",
     "q1_pricing_summary",

@@ -167,3 +167,38 @@ def rollup_maintained(spark, sf_dir):
         "n_rows",
         F.round("sum_value", 6).alias("sum_value"),
     )
+
+
+@query("stream_neardup_pairs", oracle=None)
+def stream_neardup_pairs(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup detection run as a real stream:
+    documents arrive across two micro-batches (maxFilesPerTrigger=1)
+    and each is checked against the accumulated per-bucket LSH index in
+    the state store (streaming.neardup). Probabilistic (signature-
+    estimated Jaccard) -> rows-only driver check; the stream==batch
+    pair-set equivalence is pinned in tests/test_streaming.py."""
+    from ..streaming.neardup import streaming_near_dup
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="stream_neardup_")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = file_stream(
+        spark, d, "doc_id long, text string", max_files_per_trigger=1
+    )
+    out = _run_to_df(
+        spark,
+        streaming_near_dup(stream, jaccard_threshold=0.3),
+        mode="update",
+    )
+    return (
+        out.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+            F.round(F.max("est_jaccard"), 6).alias("est_jaccard"),
+        )
+    )

@@ -712,3 +712,100 @@ def test_continuous_ewma_tws_matches_v1(spark, events_dir):
             cur = a * float(x) + (1 - a) * cur
         want[uid] = (len(grp), round(cur, 9))
     assert got == want
+
+
+def test_rowwise_signature_equals_batch(spark, sf_dir):
+    """The streaming per-row signature must be bit-identical to the
+    batch minhash_signatures construction."""
+    from kafka_stream_aggregator_spark.llm.dedup import minhash_signatures
+    from kafka_stream_aggregator_spark.streaming.neardup import (
+        rowwise_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    got = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in docs.select(
+            "doc_id", rowwise_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: tuple(r["signature"])
+        for r in minhash_signatures(docs, "doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_streaming_near_dup_matches_batch_reference(spark, sf_dir, tmp_path):
+    """Incremental LSH over a 2-file stream (maxFilesPerTrigger=1, so
+    state must carry across micro-batches) finds exactly the pairs a
+    batch pass over the union finds: same-bucket pairs with
+    signature-agreement >= threshold."""
+    from kafka_stream_aggregator_spark.llm.dedup import minhash_signatures
+    from kafka_stream_aggregator_spark.streaming.neardup import (
+        band_buckets,
+        streaming_near_dup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(300).select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "neardup_stream")
+    # two files -> two micro-batches; split so near-dup pairs straddle
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = file_stream(
+        spark,
+        d,
+        "doc_id long, text string",
+        max_files_per_trigger=1,
+    )
+    sdf = streaming_near_dup(stream, jaccard_threshold=0.4)
+    out = _run(spark, sdf, "s_neardup", mode="update")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in out.filter(F.col("est_jaccard") >= 0.4).collect()
+    }
+
+    # batch reference: same signatures, same banding, all same-bucket
+    # pairs, signature-agreement fraction >= threshold
+    sig = minhash_signatures(docs, "doc_id", "text")
+    banded = sig.select(
+        "doc_id",
+        "signature",
+        F.explode(band_buckets(F.col("signature"), 32, 8)).alias("bb"),
+    ).select("doc_id", "signature", "bb.band", "bb.bucket")
+    a = banded.select(
+        F.col("band"), F.col("bucket"),
+        F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"),
+    )
+    b = banded.select(
+        F.col("band").alias("band_b"), F.col("bucket").alias("bucket_b"),
+        F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"),
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            (a.band == b.band_b) & (a.bucket == b.bucket_b)
+            & (a.id_a < b.id_b),
+        )
+        .withColumn("est", agree / 32)
+        .filter(F.col("est") >= 0.4)
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    assert want, "reference found no pairs — test corpus too small?"
