@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     analytics,
     aggs,
+    corpus,
     events,
     indicators_q,
     joins,
@@ -57,6 +58,14 @@ _WINDOW_PRIORITY = [
     "doc_filter_pipeline",
     "stream_neardup_pairs",
     "io_bucketed_join",
+    # --- new in round 4 (late): corpus part 2 + PQ ANN tier ---
+    "doc_tfidf_topterms",
+    "doc_chunk_dedup",
+    "corpus_mix_weights",
+    "doc_global_shuffle",
+    "jaccard_dup_clusters",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
     "ewma_1min_all",
@@ -79,13 +88,6 @@ _WINDOW_PRIORITY = [
     "agg_skew_kurt",
     "agg_minmax_by",
     "agg_first_last_ordered",
-    "cos_topk_bruteforce",
-    "doc_lang_id_heuristic",
-    "q1_pricing_summary",
-    "q3_revenue_topk",
-    "q5_regional_revenue",
-    "q10_returned_items",
-    "doc_pii_scan",
 ]
 
 

@@ -1,0 +1,529 @@
+"""Corpus-construction operators, part 2: cross-document chunk dedup,
+training-mix temperature weights, deterministic global shuffle/sharding,
+near-dup clustering with an exact SQL oracle, and the PQ (product
+quantization) ANN tier beside the IVF one.
+
+Like every other registry module, each query has a DuckDB oracle unless
+the semantics are genuinely not SQL-expressible. Cross-engine hashing
+uses md5 (identical hex in Spark and DuckDB); the in-engine scale path
+would use xxhash64 (8-byte, cheaper) exactly as llm.dedup does — the
+md5 choice here is what makes the oracle exact, and the plan shape
+(hash -> groupBy -> keep-first) is identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..ops import data_sized_partitions
+from .base import query, t
+
+CHUNK = 20  # tokens per dedup chunk (C4-style paragraph analogue)
+
+
+@query(
+    "doc_chunk_dedup",
+    # Cross-document chunk-level exact dedup (the C4/CCNet paragraph
+    # dedup analogue; the corpus has no newlines, so "paragraph" =
+    # fixed 20-token window). Keep-first = smallest (doc_id, chunk_idx).
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, g AS chunk_idx,
+             md5(array_to_string(tk[(g*{CHUNK}+1):(g*{CHUNK}+{CHUNK})], ' ')) AS h
+      FROM tk, unnest(range(0, CAST(ceil(len(tk) / {CHUNK}.0) AS BIGINT))) AS u(g)
+    ), fst AS (
+      SELECT h, min(doc_id * 1000000 + chunk_idx) AS first_key
+      FROM ch GROUP BY h
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN doc_id * 1000000 + chunk_idx = first_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN doc_id * 1000000 + chunk_idx = first_key
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS kept_frac
+    FROM ch JOIN fst USING (h)
+    GROUP BY doc_id
+    """,
+)
+def doc_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup across the whole corpus: split each doc
+    into fixed 20-token chunks, hash each chunk, keep only the globally
+    first occurrence (min (doc_id, chunk_idx)) of every distinct chunk,
+    report per-doc survival. One explode + one groupBy on the chunk
+    hash + one join back — two shuffles total, both on the hash, no
+    driver-side state; at 100 TB the hash groupBy is the same plan
+    exact_dedup uses, just at chunk granularity."""
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda g: F.struct(
+            g.cast("bigint").alias("chunk_idx"),
+            F.md5(F.array_join(F.slice(toks, g * CHUNK + 1, CHUNK), " ")).alias(
+                "h"
+            ),
+        ),
+    )
+    ch = (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.h").alias("h"))
+    )
+    occ_key = F.col("doc_id") * 1000000 + F.col("chunk_idx")
+    fst = ch.groupBy("h").agg(F.min(occ_key).alias("first_key"))
+    return (
+        ch.join(fst, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((occ_key == F.col("first_key")).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.round(
+                F.sum((occ_key == F.col("first_key")).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+        )
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    # Temperature-scaled domain mixing (alpha = 0.5, the multilingual-
+    # LM up/down-sampling rule): w_i = p_i^a / sum(p_j^a). ratio > 1
+    # means the domain is upsampled relative to natural frequency.
+    oracle="""
+    WITH dom AS (
+      SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang, source
+    ), p AS (
+      SELECT *, n_docs::DOUBLE / sum(n_docs) OVER () AS p_nat,
+             pow(n_docs::DOUBLE / sum(n_docs) OVER (), 0.5) AS w_raw
+      FROM dom
+    )
+    SELECT lang, source, n_docs, sum_chars,
+           round(p_nat, 6) AS p_nat,
+           round(w_raw / sum(w_raw) OVER (), 6) AS mix_weight,
+           round((w_raw / sum(w_raw) OVER ()) / p_nat, 6) AS resample_ratio
+    FROM p
+    """,
+)
+def corpus_mix_weights(spark, sf_dir):
+    """Training-mix construction: per-(lang, source) domain statistics
+    -> temperature-resampled mixing weights (alpha=0.5). The global
+    windows run over the POST-aggregation domain table (|langs| x
+    |sources| rows — tiny at any corpus scale), so the single-partition
+    window is bounded regardless of input size; the only data-sized
+    shuffle is the groupBy."""
+    d = t(spark, sf_dir, "documents")
+    dom = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    wall = W.partitionBy()
+    p_nat = F.col("n_docs").cast("double") / F.sum("n_docs").over(wall)
+    dom = dom.withColumn("p_nat", p_nat).withColumn(
+        "w_raw", F.pow(F.col("p_nat"), 0.5)
+    )
+    mix = F.col("w_raw") / F.sum("w_raw").over(wall)
+    return dom.select(
+        "lang",
+        "source",
+        "n_docs",
+        "sum_chars",
+        F.round("p_nat", 6).alias("p_nat"),
+        F.round(mix, 6).alias("mix_weight"),
+        F.round(mix / F.col("p_nat"), 6).alias("resample_ratio"),
+    )
+
+
+@query(
+    "doc_global_shuffle",
+    # Deterministic global shuffle for training-data ordering: order by
+    # md5(doc_id), round-robin into 8 shards. Engine-portable (md5 hex
+    # is identical everywhere), seedless, and reproducible run-to-run —
+    # the property a training pipeline needs from its shuffle.
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT CAST((rn - 1) % 8 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM ordered GROUP BY 1
+    """,
+)
+def doc_global_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle + sharding: rank docs by
+    md5(doc_id) (uniform pseudo-random but reproducible and
+    cross-engine), deal round-robin into 8 shards, report per-shard
+    stats. Round-robin on the hash rank, unlike `hash % shards`
+    directly, guarantees exactly balanced shards (counts differ by at
+    most 1).
+
+    The global rank is computed WITHOUT a single-partition window —
+    the classic two-phase distributed ranking: partition by the first
+    hash byte (256 uniform groups, each windowed in parallel), then add
+    the broadcast cumulative count of lexicographically-smaller
+    prefixes. Ordering by (prefix, h, id) == ordering by (h, id)
+    because the prefix IS the head of h. Scales to any corpus size:
+    the offsets table is always 256 rows."""
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    base = d.select(
+        "doc_id", "n_chars", h.alias("h"), F.substring(h, 1, 2).alias("pfx")
+    )
+    offsets = (
+        base.groupBy("pfx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("pfx").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pfx", "offset")
+    )
+    rn = (
+        F.row_number().over(W.partitionBy("pfx").orderBy("h", "doc_id"))
+        + F.col("offset")
+    )
+    return (
+        base.join(F.broadcast(offsets), "pfx")
+        .withColumn("rn", rn)
+        .withColumn("shard", ((F.col("rn") - 1) % 8).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@query(
+    "doc_tfidf_topterms",
+    # Corpus-wide TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1,
+    # top-3 terms per doc (ties -> lexicographically smaller term).
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(trim(text)), '\\S+'))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored) WHERE rank <= 3
+    """,
+)
+def doc_tfidf_topterms(spark, sf_dir):
+    """Per-document top TF-IDF terms — the classic corpus-relevance
+    signal (keyword extraction / doc routing in a training pipeline).
+    Plan: one explode -> groupBy(doc, term) with map-side partial
+    counts, document frequencies as a second groupBy on term (vocab-
+    sized), corpus size as a broadcast 1-row aggregate, rank windowed
+    per doc. Nothing collects; the df join shuffles on term, which is
+    the natural key. At 100 TB the vocab table is the small side —
+    broadcast if it fits, shuffle-join otherwise (AQE decides)."""
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    term = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+        "term"
+    )
+    tf = (
+        d.select("doc_id", term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+@query(
+    "ann_pq_topk",
+    # Deterministic PQ (m=8 subspaces x 8 dims, k=16 codewords seeded
+    # from vec_id < 16, argmin/rank tiebreaks on ids) -> the whole
+    # compressed-domain search has an exact SQL oracle: encode, build
+    # the per-query LUT, sum m selected entries, per-query top-5.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT g AS sub_id, vec_id AS cw_id, v[(g*8+1):(g*8+8)] AS cw_vec
+      FROM e, unnest(range(0, 8)) AS u(g) WHERE vec_id < 16
+    ),
+    sv AS (
+      SELECT vec_id AS c_id, g AS sub_id, v[(g*8+1):(g*8+8)] AS sv
+      FROM e, unnest(range(0, 8)) AS u(g)
+    ),
+    codes AS (
+      SELECT c_id, sub_id, cw_id FROM (
+        SELECT c_id, sv.sub_id AS sub_id, cw_id,
+               row_number() OVER (PARTITION BY c_id, sv.sub_id ORDER BY
+                 list_dot_product(sv, sv) - 2*list_dot_product(sv, cw_vec)
+                   + list_dot_product(cw_vec, cw_vec),
+                 cw_id) AS rk
+        FROM sv JOIN cb ON sv.sub_id = cb.sub_id)
+      WHERE rk = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, cb.sub_id, cb.cw_id,
+             list_dot_product(q.v[(cb.sub_id*8+1):(cb.sub_id*8+8)], cw_vec)
+               AS pdot
+      FROM e q CROSS JOIN cb WHERE q.vec_id < 10
+    ),
+    scored AS (
+      SELECT q_id, c_id, sum(pdot) AS pq_score
+      FROM codes JOIN lut USING (sub_id, cw_id)
+      WHERE c_id <> q_id
+      GROUP BY q_id, c_id
+    )
+    SELECT q_id, c_id, round(pq_score, 6) AS pq_score, rank FROM (
+      SELECT q_id, c_id, pq_score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY pq_score DESC, c_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def q_ann_pq_topk(spark, sf_dir):
+    """PQ-compressed approximate top-k (ADC scoring): the third ANN
+    tier beside brute force (oracle baseline) and IVF (cell-blocked).
+    Recall vs brute force is measured in tests/test_llm.py; this
+    registry entry pins the full encode -> LUT -> sum -> rank flow
+    against the exact SQL oracle."""
+    from ..llm.pq import pq_codebook, pq_encode, pq_topk
+    from ..llm.similarity import as_double
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cb = pq_codebook(e, "vec_id", "v", m=8, k=16, dim=64)
+    codes = pq_encode(e, cb, "vec_id", "v", m=8, dim=64).select(
+        F.col("vec_id").alias("c_id"), "sub_id", "cw_id"
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    out = pq_topk(queries, codes, cb, m=8, dim=64, k=5)
+    return out.withColumn("pq_score", F.round("pq_score", 6))
+
+
+@query(
+    "ann_pq_rerank_topk",
+    # The production PQ flow end-to-end with an exact oracle: ADC
+    # candidate generation (top-20 in the compressed domain) -> exact
+    # cosine rerank of only those candidates -> top-5.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (
+      SELECT g AS sub_id, vec_id AS cw_id, v[(g*8+1):(g*8+8)] AS cw_vec
+      FROM e, unnest(range(0, 8)) AS u(g) WHERE vec_id < 16
+    ),
+    sv AS (
+      SELECT vec_id AS c_id, g AS sub_id, v[(g*8+1):(g*8+8)] AS sv
+      FROM e, unnest(range(0, 8)) AS u(g)
+    ),
+    codes AS (
+      SELECT c_id, sub_id, cw_id FROM (
+        SELECT c_id, sv.sub_id AS sub_id, cw_id,
+               row_number() OVER (PARTITION BY c_id, sv.sub_id ORDER BY
+                 list_dot_product(sv, sv) - 2*list_dot_product(sv, cw_vec)
+                   + list_dot_product(cw_vec, cw_vec),
+                 cw_id) AS rk
+        FROM sv JOIN cb ON sv.sub_id = cb.sub_id)
+      WHERE rk = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, cb.sub_id, cb.cw_id,
+             list_dot_product(q.v[(cb.sub_id*8+1):(cb.sub_id*8+8)], cw_vec)
+               AS pdot
+      FROM e q CROSS JOIN cb WHERE q.vec_id < 10
+    ),
+    adc AS (
+      SELECT q_id, c_id, sum(pdot) AS pq_score
+      FROM codes JOIN lut USING (sub_id, cw_id)
+      WHERE c_id <> q_id
+      GROUP BY q_id, c_id
+    ),
+    cand AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY pq_score DESC, c_id) AS rk
+        FROM adc) WHERE rk <= 20
+    ),
+    rescored AS (
+      SELECT q_id, c_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+      FROM cand JOIN e q ON cand.q_id = q.vec_id
+                JOIN e c ON cand.c_id = c.vec_id
+    )
+    SELECT q_id, c_id, round(cos_sim, 6) AS cos_sim, rank FROM (
+      SELECT q_id, c_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos_sim DESC, c_id) AS rank
+      FROM rescored) WHERE rank <= 5
+    """,
+)
+def q_ann_pq_rerank_topk(spark, sf_dir):
+    """PQ candidate generation + exact-cosine rerank (the production
+    ANN shape at 100 TB: the corpus-wide scan stays in the compressed
+    domain; only Q x 20 exact vectors are touched)."""
+    from ..llm.pq import pq_codebook, pq_encode, pq_topk_rerank
+    from ..llm.similarity import as_double
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cb = pq_codebook(e, "vec_id", "v", m=8, k=16, dim=64)
+    codes = pq_encode(e, cb, "vec_id", "v", m=8, dim=64).select(
+        F.col("vec_id").alias("c_id"), "sub_id", "cw_id"
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    cands = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
+    out = pq_topk_rerank(
+        queries, codes, cb, cands, m=8, dim=64, k=5, n_candidates=20
+    )
+    return out.withColumn("cos_sim", F.round("cos_sim", 6))
+
+
+@query(
+    "jaccard_dup_clusters",
+    # The full dedup flow WITH an exact oracle: exact 3-gram Jaccard
+    # pairs (threshold 0.02, doc_id < 150) -> connected components ->
+    # cluster sizes. The SQL side computes components as the min
+    # reachable node via a recursive CTE (transitive closure over the
+    # undirected edge set); the Spark side via iterative min-label
+    # propagation — same fixpoint, so the driver can hash-compare what
+    # near_dup_clusters (MinHash pairs, rows-only) cannot.
+    oracle="""
+    WITH RECURSIVE dt AS (
+      SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+      FROM documents WHERE doc_id < 150
+    ), sh0 AS (
+      SELECT doc_id, array_to_string(tk[g:g+2], ' ') AS sh
+      FROM dt, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(g)
+    ), sh AS (
+      SELECT DISTINCT doc_id, sh FROM sh0
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.02
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT src AS id, src AS lbl FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+    ), labeled AS (
+      SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT cluster_id, count(*) AS n_docs
+    FROM labeled GROUP BY cluster_id
+    """,
+)
+def jaccard_dup_clusters(spark, sf_dir):
+    """Near-dup clustering with an exact cross-engine oracle: exact
+    n-gram-Jaccard pairs feed cluster_near_dups (iterative min-label
+    propagation, O(component diameter) joins). The pair join blocks on
+    8-byte shingle hashes (same Jaccard, ~10x smaller shuffle than
+    strings); components are computed distributed — nothing collects."""
+    from ..llm.dedup import cluster_near_dups
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .repartition(data_sized_partitions(t(spark, sf_dir, "documents")))
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = (
+        a.join(b, (a.sh_a == b.sh_b) & (a.id_a < b.id_b))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"})
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    pairs = (
+        inter.join(sa, "id_a").join(sb, "id_b").filter(jac >= 0.02)
+        .select("id_a", "id_b")
+    )
+    clusters = cluster_near_dups(pairs)
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

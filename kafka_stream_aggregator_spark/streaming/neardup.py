@@ -103,12 +103,22 @@ def streaming_near_dup(
     shingle_len: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 256,
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Stream of candidate near-dup pairs (id_a < id_b, one row per
     shared band bucket, est_jaccard = matching-minhash fraction >=
     threshold). New docs are compared against the bucket's accumulated
     members AND against each other within the micro-batch, then added
-    to state (up to ``max_bucket_size`` per bucket)."""
+    to state (up to ``max_bucket_size`` per bucket).
+
+    ``state_ttl_ms`` makes the index TIME-bounded as well as
+    size-bounded: a bucket idle that long is dropped wholesale
+    (processing-time timeout), so dedup becomes "near-dup within the
+    last T" — the semantics a perpetual ingest pipeline actually wants,
+    and the state-cardinality bound for an unbounded bucket domain
+    (every distinct band hash ever seen otherwise lives forever). The
+    timeout clock RESETS whenever the bucket receives a doc, so hot
+    buckets (boilerplate) stay resident while one-off buckets age out."""
     sig = rowwise_signature(F.col(text_col), n_hashes, shingle_len)
     banded = stream.select(
         F.col(id_col).alias("__id"), sig.alias("__sig")
@@ -128,6 +138,12 @@ def streaming_near_dup(
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["id_a", "id_b", "band", "est_jaccard"]
+            )
+            return
         band = int(key[0])
         ids: list[int]
         sigs: list[int]
@@ -160,14 +176,115 @@ def streaming_near_dup(
                 ids.append(nid)
                 sigs.extend(nsig)
         state.update((ids, sigs))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(
             out, columns=["id_a", "id_b", "band", "est_jaccard"]
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         update,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
+    )
+
+
+def streaming_near_dup_tws(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_len: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int = 256,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """`streaming_near_dup` on the Spark 4.x state-v2 API
+    (transformWithStateInPandas) with a typed MapState index:
+    doc_id -> signature per (band, bucket) key.
+
+    Why MapState beats the v1 packed-arrays state here: members are
+    individually addressable (insert is one map put, not
+    read-modify-write of the whole bucket blob), the per-entry layout
+    is what RocksDB stores natively, and state-v2's built-in TTL
+    (``ttlDurationMs``) ages out PER ENTRY — finer than the v1
+    variant's whole-bucket processing-time timeout, so a hot bucket's
+    old members still expire individually while the bucket stays live.
+
+    Same pair semantics as the v1 operator (same signatures, banding,
+    in-batch comparison, size cap); like continuous_ewma_tws it
+    REQUIRES the RocksDB state store provider and google.protobuf in
+    the Python worker (plan construction works without; execution is
+    integration-gated in tests)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    sig = rowwise_signature(F.col(text_col), n_hashes, shingle_len)
+    banded = stream.select(
+        F.col(id_col).alias("__id"), sig.alias("__sig")
+    ).select(
+        "__id",
+        "__sig",
+        F.explode(band_buckets(F.col("__sig"), n_hashes, bands)).alias("bb"),
+    ).select(
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "__id",
+        "__sig",
+    )
+    cols = ["id_a", "id_b", "band", "est_jaccard"]
+
+    class _NearDupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._members = handle.getMapState(
+                "members",
+                "doc_id long",
+                "sigs array<bigint>",
+                ttlDurationMs=state_ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            band = int(key[0])
+            members: list[tuple[int, list[int]]] = []
+            if self._members.exists():
+                for (mk,), (mv,) in self._members.iterator():
+                    members.append((int(mk), list(mv)))
+                members.sort()  # map iteration order is not contractual
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values("__id")
+            out = []
+            for _, row in batch.iterrows():
+                nid = int(row["__id"])
+                nsig = [int(x) for x in row["__sig"]]
+                for oid, osig in members:
+                    if oid == nid:
+                        continue
+                    m = sum(1 for a, b in zip(nsig, osig) if a == b)
+                    est = m / n_hashes
+                    if est >= jaccard_threshold:
+                        a, b = (oid, nid) if oid < nid else (nid, oid)
+                        out.append((a, b, band, est))
+                if len(members) < max_bucket_size:
+                    members.append((nid, nsig))
+                    self._members.updateValue((nid,), (nsig,))
+            yield pd.DataFrame(out, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    return banded.groupBy("band", "bucket").transformWithStateInPandas(
+        statefulProcessor=_NearDupProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime" if state_ttl_ms is not None else "None",
     )

@@ -809,3 +809,143 @@ def test_streaming_near_dup_matches_batch_reference(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert want, "reference found no pairs — test corpus too small?"
+
+
+def test_streaming_near_dup_state_ttl(spark, tmp_path):
+    """Time-bounded dedup index: a bucket idle past state_ttl_ms is
+    dropped, so a duplicate arriving AFTER expiry is not flagged against
+    the expired member — but detection keeps working for fresh pairs
+    (the (B,C) control below is what makes the negative meaningful)."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from kafka_stream_aggregator_spark.streaming.neardup import (
+        streaming_near_dup,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def poll(pred, deadline_s=60):
+        end = time.time() + deadline_s
+        while time.time() < end:
+            rows = spark.table("nd_ttl").collect()
+            if pred(rows):
+                return rows
+            time.sleep(0.3)
+        raise AssertionError(
+            f"condition not reached; sink: {spark.table('nd_ttl').collect()}"
+        )
+
+    write([(1, txt)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    sdf = streaming_near_dup(
+        stream, jaccard_threshold=0.9, state_ttl_ms=500
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("nd_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        # wait until doc 1's batch has actually been PROCESSED (first
+        # micro-batch pays pandas-UDF spin-up and can take many
+        # seconds) — only then does the 500 ms TTL clock start
+        end = time.time() + 60
+        while time.time() < end:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= 1:
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError("doc 1 never processed")
+        # generous idle: empty triggers keep firing and expire doc 1's
+        # buckets well before doc 2 arrives
+        time.sleep(6)
+        write([(2, txt)])
+        # doc 3 lands while doc 2's state is fresh -> pair (2, 3)
+        write([(3, txt)])
+        rows = poll(
+            lambda rs: any(r["id_a"] == 2 and r["id_b"] == 3 for r in rs)
+        )
+        assert not any(
+            r["id_a"] == 1 for r in rows
+        ), f"expired doc 1 still flagged: {rows}"
+    finally:
+        q.stop()
+
+
+def test_streaming_near_dup_tws_plan_or_run(spark, sf_dir, tmp_path):
+    """State-v2 MapState near-dup: where protobuf is available, the
+    2-file stream finds the same pair set as the v1 operator; without
+    it (this container), the transformWithStateInPandas plan must
+    still analyze with the v1 output schema."""
+    from kafka_stream_aggregator_spark.streaming.neardup import (
+        streaming_near_dup_tws,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100).select(
+        "doc_id", "text"
+    )
+    d = str(tmp_path / "nd_tws")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = file_stream(spark, d, "doc_id long, text string")
+    sdf = streaming_near_dup_tws(
+        stream, jaccard_threshold=0.4, state_ttl_ms=60_000
+    )
+    assert [f.name for f in sdf.schema.fields] == [
+        "id_a", "id_b", "band", "est_jaccard",
+    ]
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf absent: state-v2 worker cannot run here")
+    prior = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in _run(spark, sdf, "s_nd_tws", mode="update").collect()
+        }
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+    from kafka_stream_aggregator_spark.streaming.neardup import (
+        streaming_near_dup,
+    )
+
+    stream2 = file_stream(spark, d, "doc_id long, text string")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in _run(
+            spark,
+            streaming_near_dup(stream2, jaccard_threshold=0.4),
+            "s_nd_v1ref",
+            mode="update",
+        ).collect()
+    }
+    assert got == want

@@ -1,8 +1,9 @@
-"""ANN recall/latency sweep: IVF configs vs brute-force ground truth.
+"""ANN recall/latency sweep: IVF and PQ configs vs brute-force truth.
 
-Produces the docs/ANN_RECALL.md table: recall@5 and wall time for
-n_cells x n_probe combinations (both seed centroids and k-means-refined)
-on the sf0.01 embeddings. Run:  python tools/ann_sweep.py [sf_dir]
+Produces the docs/ANN_RECALL.md tables: recall@5 and wall time for
+IVF n_cells x n_probe combinations (seed + k-means centroids) and PQ
+m x k x rerank combinations, on the sf0.01 embeddings.
+Run:  python tools/ann_sweep.py [sf_dir]
 """
 
 from __future__ import annotations
@@ -61,6 +62,53 @@ def main() -> None:
                 print(
                     f"| {kind} | {n_cells} | {n_probe} | {rec:.3f} | {dt:.2f} |"
                 )
+
+    from kafka_stream_aggregator_spark.llm.pq import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train_codebook,
+    )
+
+    print()
+    print("| codebook | m | k | mode | recall@5 | sec |")
+    print("|---|---|---|---|---|---|")
+    for m, kk, trained in ((8, 16, False), (8, 32, True), (16, 32, True)):
+        cb = (
+            pq_train_codebook(e, "vec_id", "v", m=m, k=kk, dim=64, n_iter=2)
+            if trained
+            else pq_codebook(e, "vec_id", "v", m=m, k=kk, dim=64)
+        ).cache()
+        cb.count()
+        codes = pq_encode(e, cb, "vec_id", "v", m=m, dim=64).select(
+            F.col("vec_id").alias("c_id"), "sub_id", "cw_id"
+        ).cache()
+        codes.count()
+        kind = "trained" if trained else "seeded"
+        t0 = time.time()
+        adc = {
+            (r["q_id"], r["c_id"])
+            for r in pq_topk(q, codes, cb, m=m, dim=64, k=5).collect()
+        }
+        dt = time.time() - t0
+        print(
+            f"| {kind} | {m} | {kk} | ADC top-5 "
+            f"| {len(exact & adc) / len(exact):.3f} | {dt:.2f} |"
+        )
+        for cand in (25, 50):
+            t0 = time.time()
+            rer = {
+                (r["q_id"], r["c_id"])
+                for r in pq_topk_rerank(
+                    q, codes, cb, c, m=m, dim=64, k=5, n_candidates=cand
+                ).collect()
+            }
+            dt = time.time() - t0
+            print(
+                f"| {kind} | {m} | {kk} | ADC top-{cand} + rerank "
+                f"| {len(exact & rer) / len(exact):.3f} | {dt:.2f} |"
+            )
 
 
 if __name__ == "__main__":
