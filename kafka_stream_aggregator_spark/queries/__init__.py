@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     corpus,
     events,
     indicators_q,
+    io2,
     joins,
     llm,
     scalars,
@@ -66,6 +67,11 @@ _WINDOW_PRIORITY = [
     "jaccard_dup_clusters",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
+    # --- new in round 4 (final session): storage layout + corpus split ---
+    "io_orc_roundtrip",
+    "io_partitioned_pruning",
+    "io_text_roundtrip",
+    "doc_train_split",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
     "ewma_1min_all",
@@ -84,10 +90,6 @@ _WINDOW_PRIORITY = [
     "join_range_theta",
     "agg_basic_stats",
     "agg_count_distinct",
-    "agg_stddev_corr",
-    "agg_skew_kurt",
-    "agg_minmax_by",
-    "agg_first_last_ordered",
 ]
 
 

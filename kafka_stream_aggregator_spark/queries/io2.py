@@ -1,0 +1,165 @@
+"""Storage-layout I/O operators, part 2.
+
+Covers the remaining file-format and table-layout surface beyond
+udf_io.py's csv/json/parquet/jdbc round-trips:
+
+- ORC round-trip (Spark-native columnar alternative to parquet).
+- Hive-style partitioned parquet write + partition-pruned read — THE
+  directory-layout pattern for 100 TB datasets: a filter on the
+  partition column never touches non-matching files at all (pruned at
+  planning time, asserted in tests/test_plans.py).
+- Deterministic train/val/test corpus split via md5 bucketing — the
+  standard reproducible-split idiom for training-data pipelines (the
+  split is a pure function of the row key, stable across runs, engines
+  and cluster sizes; no sampling state).
+
+Reference parity: the reference persists aggregates through a columnar
+sink (SURVEY.md §2.A R10-R11); ORC/partitioned-parquet are the Spark
+generalizations of that persistence surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .base import query, t
+
+
+@query(
+    "io_orc_roundtrip",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+    FROM lineitem WHERE l_quantity < 10 GROUP BY l_linestatus
+    """,
+)
+def io_orc_roundtrip(spark, sf_dir):
+    """ORC sink + ORC scan preserve content exactly (predicate pushdown
+    and column pruning apply to ORC scans the same as parquet)."""
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 10).select(
+        "l_linestatus", "l_extendedprice"
+    ).write.mode("overwrite").orc(d)
+    return (
+        spark.read.orc(d)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+        )
+    )
+
+
+@query(
+    "io_partitioned_pruning",
+    oracle="""
+    SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 6) AS qty
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus
+    """,
+)
+def io_partitioned_pruning(spark, sf_dir):
+    """Hive-layout partitioned write + partition-pruned scan.
+
+    ``partitionBy(l_returnflag)`` writes one directory per flag value;
+    the subsequent filter on the partition column is resolved against
+    directory names at PLANNING time (scan shows it under
+    PartitionFilters with zero data filters), so at 100 TB a query over
+    one partition reads only that partition's files — no I/O on the
+    rest. This is the coarse-grained pruning tier that sits above
+    parquet row-group min/max skipping.
+
+    The write is cached per (sf_dir) so repeated calls (bench passes,
+    parity runs) re-measure the pruned READ, not the write.
+    """
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ksa_part_lineitem_{tag}")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        t(spark, sf_dir, "lineitem").select(
+            "l_linestatus", "l_quantity", "l_returnflag"
+        ).write.mode("overwrite").partitionBy("l_returnflag").parquet(d)
+    return (
+        spark.read.parquet(d)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("qty"),
+        )
+    )
+
+
+# First hex nibble of md5(key) -> 16 equiprobable buckets; 12/2/2 split.
+_TRAIN = "0123456789ab"
+_VAL = "cd"
+_TEST = "ef"
+
+
+@query(
+    "doc_train_split",
+    oracle=f"""
+    SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ({",".join(repr(c) for c in _TRAIN)}) THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ({",".join(repr(c) for c in _VAL)}) THEN 'val'
+             ELSE 'test'
+           END AS split,
+           count(*) AS n_docs,
+           round(avg(length(text)), 6) AS avg_len
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_train_split(spark, sf_dir):
+    """Deterministic train/val/test split by md5 of the document key.
+
+    The split is a pure function of doc_id — reproducible across runs,
+    engines, partitionings and cluster sizes, and adding documents never
+    reassigns existing ones (unlike randomSplit, whose assignment
+    depends on partition layout). At 100 TB this is a narrow projection
+    + one cheap hash per row, fully codegen'd, no shuffle beyond the
+    final tiny aggregate; the split column can also be used as a
+    partitionBy key at write time so each corpus lands in its own
+    directory tree.
+    """
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*_TRAIN), F.lit("train"))
+        .when(nib.isin(*_VAL), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(split.alias("split"), F.length("text").alias("len"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("len"), 6).alias("avg_len"),
+        )
+    )
+
+
+@query(
+    "io_text_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS line, count(*) AS n
+    FROM orders WHERE o_orderkey < 8000 GROUP BY o_orderpriority
+    """,
+)
+def io_text_roundtrip(spark, sf_dir):
+    """Plain-text sink + line source (spark.read.text): one string column
+    per line, the lowest-common-denominator interchange format."""
+    d = tempfile.mkdtemp(prefix="txt_rt_")
+    t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 8000).select(
+        F.col("o_orderpriority").alias("value")
+    ).write.mode("overwrite").text(d)
+    return (
+        spark.read.text(d)
+        .groupBy(F.col("value").alias("line"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("line", "n")
+    )

@@ -190,3 +190,31 @@ def test_bucketed_join_no_exchange_no_sort(spark, sf_dir):
     # the agg above the join still shuffles once
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "SelectedBucketsCount" in plan, plan
+
+
+def test_partitioned_scan_prunes_partitions(spark, sf_dir):
+    """io_partitioned_pruning: the filter on the partitionBy column is
+    resolved against directory names at planning time — it appears as a
+    PartitionFilter on the scan and NOT as a pushed data filter, and
+    the scan's partition count covers only the matching directory. At
+    100 TB this is the difference between reading one partition and
+    reading the whole table."""
+    df = REGISTRY["io_partitioned_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    scan = plan[plan.index("FileScan") :].splitlines()[0]
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters:")[1][:200]
+    assert "l_returnflag" in pf, pf
+    # the partition column must NOT appear as a parquet data filter
+    pushed = plan.split("PushedFilters:")[1][:200] if "PushedFilters:" in plan else ""
+    assert "l_returnflag" not in pushed, pushed
+    assert scan  # scan node exists
+
+
+def test_train_split_no_shuffle_before_agg(spark, sf_dir):
+    """doc_train_split: the split assignment is a pure row-local hash —
+    exactly one Exchange (the final aggregate), no Python."""
+    df = REGISTRY["doc_train_split"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
