@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     llm,
     scalars,
     setops,
+    surface2,
     streaming_q,
     tpch,
     tpch2,
@@ -72,6 +73,12 @@ _WINDOW_PRIORITY = [
     "io_partitioned_pruning",
     "io_text_roundtrip",
     "doc_train_split",
+    "fn_unpivot",
+    "agg_regression",
+    "agg_mode",
+    "agg_hll_sketch_union",
+    "fn_variant_suite",
+    "doc_char_entropy",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
     "ewma_1min_all",
@@ -84,12 +91,6 @@ _WINDOW_PRIORITY = [
     "join_inner_large",
     "join_left_outer",
     "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_range_theta",
-    "agg_basic_stats",
-    "agg_count_distinct",
 ]
 
 

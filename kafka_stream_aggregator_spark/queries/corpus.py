@@ -527,3 +527,53 @@ def jaccard_dup_clusters(spark, sf_dir):
     return clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "doc_char_entropy",
+    # Character-level Shannon entropy (bits/char) over a bounded prefix —
+    # the classic gibberish/boilerplate screen: random bytes score ~high,
+    # "aaaa..." scores ~0, natural language sits ~4-4.5. DuckDB's
+    # entropy() aggregate is log2-based, matching the Spark-side
+    # H = log2(N) - (1/N)*sum(c_i*log2(c_i)) identity.
+    oracle="""
+    SELECT doc_id, round(entropy(ch), 6) AS char_entropy
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(substr(text, 1, 2048), '')) AS ch
+      FROM documents WHERE doc_id < 500
+    ) WHERE ch <> ''
+    GROUP BY doc_id
+    """,
+)
+def doc_char_entropy(spark, sf_dir):
+    """Per-document character entropy, computed on the first 2 KB only.
+
+    The prefix bound is the scale contract: the explode factor is capped
+    at 2048 rows/doc regardless of document length, so the op costs the
+    same per document at 100 TB as at test SF (a quality screen does not
+    need the whole document — the standard practice in corpus pipelines).
+    Two-level aggregate: (doc, char) counts collapse map-side before the
+    per-doc reduce; H = log2(N) - (1/N)*sum(c*log2 c) avoids materializing
+    per-char probabilities.
+    """
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", F.substring("text", 1, 2048).alias("pfx"))
+        .select("doc_id", F.explode(F.split("pfx", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+    )
+    counts = d.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("clog"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.log2("n") - F.col("clog") / F.col("n"), 6).alias(
+                "char_entropy"
+            ),
+        )
+    )
