@@ -79,6 +79,7 @@ _WINDOW_PRIORITY = [
     "agg_hll_sketch_union",
     "fn_variant_suite",
     "doc_char_entropy",
+    "agg_mad",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
     "ewma_1min_all",
@@ -90,7 +91,6 @@ _WINDOW_PRIORITY = [
     "join_broadcast_dim",
     "join_inner_large",
     "join_left_outer",
-    "join_right_outer",
 ]
 
 

@@ -181,3 +181,40 @@ def fn_variant_suite(spark, sf_dir):
             F.try_variant_get(v, "$.missing", "bigint").alias("k_missing"),
         )
     )
+
+
+@query(
+    "agg_mad",
+    # Median absolute deviation — the robust dispersion stat (outlier-
+    # immune, unlike stddev). Both engines interpolate the continuous
+    # median identically.
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(any_value(m), 6) AS med_price,
+           round(median(abs(l_extendedprice - m)), 6) AS mad_price
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_mad(spark, sf_dir):
+    """Two-pass robust stats: per-group median, broadcast back (the
+    group table is tiny — one row per group at any scale), then median
+    of absolute deviations. Exactly two shuffles on the group key; the
+    join is a broadcast, so the second pass re-uses the first pass's
+    partitioning."""
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(F.median("l_extendedprice").alias("m"))
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("m"), 6).alias("med_price"),
+            F.round(F.median(F.abs(F.col("l_extendedprice") - F.col("m"))), 6).alias(
+                "mad_price"
+            ),
+        )
+    )
