@@ -80,6 +80,8 @@ _WINDOW_PRIORITY = [
     "fn_variant_suite",
     "doc_char_entropy",
     "agg_mad",
+    "ind_ohlc_5min",
+    "ind_rolling_corr",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
     "ewma_1min_all",
@@ -89,8 +91,6 @@ _WINDOW_PRIORITY = [
     "event_dedup_keep_first",
     "join_asof",
     "join_broadcast_dim",
-    "join_inner_large",
-    "join_left_outer",
 ]
 
 

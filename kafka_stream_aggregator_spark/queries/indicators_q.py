@@ -129,3 +129,83 @@ def ind_approx_percentile(spark, sf_dir):
             F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_exact"),
         )
     )
+
+
+@query(
+    "ind_ohlc_5min",
+    # OHLC (open-high-low-close) candle downsampling — the canonical
+    # financial rollup over the reference's trading domain (its EWMA agg
+    # consumes the same per-window buffers; SURVEY.md §3.2). Open/close
+    # are deterministic via the unique (ts, event_id) order key.
+    oracle="""
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, window_start,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           count(*) AS n_trades
+    FROM r GROUP BY event_type, window_start
+    """,
+)
+def ind_ohlc_5min(spark, sf_dir):
+    """Single-shuffle OHLC: open/close via min_by/max_by on the
+    composite (ts, event_id) struct key — one hash aggregate, no window
+    pass, fully partial-aggregatable (each map task keeps one candidate
+    row per candle), so the plan is identical at 100 TB: shuffle only
+    (event_type, window) keyed partials."""
+    e = t(spark, sf_dir, "events")
+    ws = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    key = F.struct("ts", "event_id")
+    return (
+        e.select("event_type", ws.alias("window_start"), "ts", "event_id", "value")
+        .groupBy("event_type", "window_start")
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+@query(
+    "ind_rolling_corr",
+    # Trailing time-value correlation (trend strength): corr of value
+    # against the time axis over the last 50 observations per user.
+    oracle="""
+    SELECT user_id, event_id,
+           round(corr(value, epoch(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW), 6) AS trend_corr
+    FROM events WHERE user_id < 200
+    """,
+)
+def ind_rolling_corr(spark, sf_dir):
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, W.currentRow)
+    )
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.corr("value", F.col("ts").cast("double")).over(w), 6
+        ).alias("trend_corr"),
+    )
