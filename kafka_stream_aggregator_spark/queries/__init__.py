@@ -82,6 +82,7 @@ _WINDOW_PRIORITY = [
     "agg_mad",
     "ind_ohlc_5min",
     "ind_rolling_corr",
+    "stream_ohlc_5min",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
     "ewma_1min_all",
@@ -90,7 +91,6 @@ _WINDOW_PRIORITY = [
     "session_window_batch",
     "event_dedup_keep_first",
     "join_asof",
-    "join_broadcast_dim",
 ]
 
 

@@ -202,3 +202,65 @@ def stream_neardup_pairs(spark, sf_dir):
             F.round(F.max("est_jaccard"), 6).alias("est_jaccard"),
         )
     )
+
+
+@query(
+    "stream_ohlc_5min",
+    # Batch OHLC restricted to stream-finalized windows (append mode
+    # emits a candle once the watermark — max event time minus 10 min —
+    # passes its end), same horizon rule as stream_ewma_5min.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 AS horizon FROM events
+    ), r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, window_start,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           count(*) AS n_trades
+    FROM r, h GROUP BY event_type, window_start, horizon
+    HAVING window_start + 300 <= horizon
+    """,
+)
+def stream_ohlc_5min(spark, sf_dir):
+    """Streaming OHLC candles: tumbling event-time window + watermark,
+    open/close via min_by/max_by on the (ts, event_id) struct key —
+    the same single partial-aggregatable state shape as the batch
+    twin (ind_ohlc_5min), so per-window state is one candidate row
+    per bound, never a buffer of trades."""
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    key = F.struct("ts", "event_id")
+    agg = (
+        s.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", key), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+    out = _run_to_df(spark, agg)
+    return out.select(
+        "event_type",
+        F.unix_timestamp(F.col("window.start")).cast("long").alias("window_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_trades",
+    )

@@ -218,3 +218,16 @@ def test_train_split_no_shuffle_before_agg(spark, sf_dir):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ohlc_single_shuffle_partial_agg(spark, sf_dir):
+    """ind_ohlc_5min: open/close via min_by/max_by must stay one hash
+    aggregate — partial_min_by on the map side, a single Exchange on
+    (event_type, window_start), no window-function pass (Window nodes
+    would buffer whole candles; the aggregate keeps one candidate row
+    per bound)."""
+    df = REGISTRY["ind_ohlc_5min"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "partial_min_by" in plan or "partial_min" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
