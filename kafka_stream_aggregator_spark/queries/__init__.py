@@ -83,14 +83,14 @@ _WINDOW_PRIORITY = [
     "ind_ohlc_5min",
     "ind_rolling_corr",
     "stream_ohlc_5min",
+    "fn_bitwise_suite",
+    "fn_url_suite",
+    "io_schema_evolution_merge",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
     "ewma_1min_all",
     "ewma_5min_twolevel",
     "sliding_window_counts",
-    "session_window_batch",
-    "event_dedup_keep_first",
-    "join_asof",
 ]
 
 

@@ -218,3 +218,112 @@ def agg_mad(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "fn_bitwise_suite",
+    oracle="""
+    SELECT o_orderstatus,
+           bit_and(o_orderkey) AS band,
+           bit_or(o_orderkey) AS bor,
+           bit_xor(o_orderkey) AS bxor,
+           CAST(sum(o_orderkey << 2) AS BIGINT) AS shl,
+           CAST(sum(o_orderkey >> 1) AS BIGINT) AS shr
+    FROM orders WHERE o_orderkey < 4000 GROUP BY o_orderstatus
+    """,
+)
+def fn_bitwise_suite(spark, sf_dir):
+    """Bitwise scalar (shifts) + bitwise aggregates (bit_and/or/xor) —
+    all codegen'd integer ops, partial-aggregatable like sum."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("band"),
+        F.bit_or("o_orderkey").alias("bor"),
+        F.bit_xor("o_orderkey").alias("bxor"),
+        F.sum(F.shiftleft(F.col("o_orderkey"), 2)).alias("shl"),
+        F.sum(F.shiftright(F.col("o_orderkey"), 1)).alias("shr"),
+    )
+
+
+@query(
+    "fn_url_suite",
+    # DuckDB has no parse_url; the oracle replicates HOST/PATH/QUERY
+    # extraction with anchored regexes over the same synthesized URL.
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             concat('https://shop.example.com/orders/', o_orderkey,
+                    '?prio=', replace(o_orderpriority, ' ', '+')) AS url
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol
+    FROM u
+    """,
+)
+def fn_url_suite(spark, sf_dir):
+    """URL decomposition via Spark's parse_url (HOST/PATH/QUERY/PROTOCOL),
+    the log-ingestion workhorse; stays entirely JVM-side."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?prio="),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("+")),
+    )
+    u = o.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+@query(
+    "io_schema_evolution_merge",
+    # Two parquet generations: gen-1 lacks the later `disc` column;
+    # mergeSchema unions the file schemas and back-fills NULL — the
+    # lake-side analogue of the Avro writer->reader resolution the
+    # Kafka path implements (streaming/avro_codec.py).
+    oracle="""
+    SELECT gen, count(*) AS n,
+           round(sum(l_quantity), 4) AS qty,
+           round(coalesce(sum(l_discount), 0), 4) AS disc_sum,
+           CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_disc
+    FROM (
+      SELECT 1 AS gen, l_quantity, NULL::DOUBLE AS l_discount
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT 2, l_quantity, l_discount
+      FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000
+    ) GROUP BY gen
+    """,
+)
+def io_schema_evolution_merge(spark, sf_dir):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pq_evo_")
+    li = t(spark, sf_dir, "lineitem")
+    # generation 1: narrow schema
+    li.filter(F.col("l_orderkey") < 1000).select(
+        F.lit(1).alias("gen"), "l_quantity"
+    ).write.mode("overwrite").parquet(d + "/g1")
+    # generation 2: adds l_discount
+    li.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 2000)).select(
+        F.lit(2).alias("gen"), "l_quantity", "l_discount"
+    ).write.mode("overwrite").parquet(d + "/g2")
+    back = spark.read.option("mergeSchema", True).parquet(d + "/g1", d + "/g2")
+    return back.groupBy("gen").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+        F.round(F.coalesce(F.sum("l_discount"), F.lit(0.0)), 4).alias("disc_sum"),
+        F.sum(F.when(F.col("l_discount").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_disc"),
+    )
