@@ -86,11 +86,11 @@ _WINDOW_PRIORITY = [
     "fn_bitwise_suite",
     "fn_url_suite",
     "io_schema_evolution_merge",
+    "agg_bool_suite",
+    "fn_try_arithmetic",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
     "ewma_1min_all",
-    "ewma_5min_twolevel",
-    "sliding_window_counts",
 ]
 
 

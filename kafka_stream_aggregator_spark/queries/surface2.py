@@ -327,3 +327,53 @@ def io_schema_evolution_merge(spark, sf_dir):
         .cast("long")
         .alias("n_null_disc"),
     )
+
+
+@query(
+    "agg_bool_suite",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_over_200k
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_suite(spark, sf_dir):
+    """Boolean aggregates (every/any — SQL bool_and/bool_or):
+    partial-aggregatable single-bit state, the cheapest reduction
+    there is."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_200k"),
+    )
+
+
+@query(
+    "fn_try_arithmetic",
+    # ANSI-safe arithmetic: divide-by-zero yields NULL instead of a
+    # job-killing exception — at 100 TB one poisoned row must never
+    # fail the stage. DuckDB's float division already NULLs on /0.
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice / nullif(l_quantity - 25, 0), 6)
+             AS price_per_excess,
+           round(coalesce(l_extendedprice / nullif(l_quantity - 25, 0), -1), 6)
+             AS safe_ratio
+    FROM lineitem WHERE l_orderkey < 1500
+    """,
+)
+def fn_try_arithmetic(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1500)
+    ratio = F.try_divide("l_extendedprice", F.col("l_quantity") - 25)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(ratio, 6).alias("price_per_excess"),
+        F.round(F.coalesce(ratio, F.lit(-1.0)), 6).alias("safe_ratio"),
+    )

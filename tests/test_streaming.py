@@ -873,12 +873,35 @@ def test_streaming_near_dup_state_ttl(spark, tmp_path):
             time.sleep(0.3)
         else:
             raise AssertionError("doc 1 never processed")
-        # generous idle: empty triggers keep firing and expire doc 1's
-        # buckets well before doc 2 arrives
-        time.sleep(6)
-        write([(2, txt)])
-        # doc 3 lands while doc 2's state is fresh -> pair (2, 3)
-        write([(3, txt)])
+        # wait for the TTL sweep to actually REMOVE doc 1's bucket state
+        # (observable via state-operator metrics) instead of assuming a
+        # fixed idle suffices — under full-suite CPU load the empty
+        # trigger that fires the timeout can be delayed arbitrarily
+        seen_state = False
+        end = time.time() + 90
+        while time.time() < end:
+            progs = q.recentProgress
+            removed = sum(
+                op.get("numRowsRemoved", 0) or 0
+                for p in progs
+                for op in p.get("stateOperators", [])
+            )
+            totals = [
+                op.get("numRowsTotal", -1)
+                for p in progs
+                for op in p.get("stateOperators", [])
+            ]
+            seen_state = seen_state or any(t > 0 for t in totals)
+            if removed >= 1 or (seen_state and totals and totals[-1] == 0):
+                break
+            time.sleep(0.3)
+        else:
+            raise AssertionError(
+                f"doc 1 state never expired; progress={q.lastProgress}"
+            )
+        # docs 2+3 in ONE append => same micro-batch: intra-batch pairing
+        # flags (2, 3) with no dependence on scheduling gaps vs the TTL
+        write([(2, txt), (3, txt)])
         rows = poll(
             lambda rs: any(r["id_a"] == 2 and r["id_b"] == 3 for r in rs)
         )
