@@ -88,9 +88,9 @@ _WINDOW_PRIORITY = [
     "io_schema_evolution_merge",
     "agg_bool_suite",
     "fn_try_arithmetic",
+    "win_gap_islands",
     # --- rotation: r01-verified greens, oldest first ---
     "ewma_5min",
-    "ewma_1min_all",
 ]
 
 

@@ -273,3 +273,57 @@ def win_cumulative_ewma(spark, sf_dir):
             cumulative_ewma_col("value", a, ["user_id"], ["ts", "event_id"]), 6
         ).alias("ewma"),
     )
+
+
+@query(
+    "win_gap_islands",
+    # Gaps-and-islands: consecutive runs ("streaks") of high-value
+    # events per user via the rn - rn_flagged difference trick — the
+    # canonical window-function composition for streak/run analysis.
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_id, value,
+             (value > 50) AS hot,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, (value > 50)
+                                ORDER BY ts, event_id) AS rn_f
+      FROM events WHERE user_id < 300
+    ), isl AS (
+      SELECT user_id, rn - rn_f AS island, count(*) AS len
+      FROM f WHERE hot GROUP BY user_id, rn - rn_f
+    )
+    SELECT user_id,
+           count(*) AS n_streaks,
+           max(len) AS longest,
+           CAST(sum(len) AS BIGINT) AS hot_rows
+    FROM isl GROUP BY user_id
+    """,
+)
+def win_gap_islands(spark, sf_dir):
+    """Two window passes over the SAME (user_id) partitioning — the
+    second adds the flag to the partition key, so no extra shuffle
+    (both exchanges hash on user_id; Catalyst reuses the partitioning,
+    asserted by the single-Exchange plan check in tests)."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    hot = (F.col("value") > 50).alias("hot")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_flag = W.partitionBy("user_id", "hot").orderBy("ts", "event_id")
+    f = e.select(
+        "user_id", "ts", "event_id", "value", hot
+    ).select(
+        "user_id",
+        "hot",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_flag).alias("rn_f"),
+    )
+    isl = (
+        f.filter("hot")
+        .groupBy("user_id", (F.col("rn") - F.col("rn_f")).alias("island"))
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest"),
+        F.sum("len").cast("long").alias("hot_rows"),
+    )

@@ -231,3 +231,14 @@ def test_ohlc_single_shuffle_partial_agg(spark, sf_dir):
     assert "partial_min_by" in plan or "partial_min" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" not in plan, plan
+
+
+def test_gap_islands_single_shuffle(spark, sf_dir):
+    """win_gap_islands: both window passes, the island aggregate and the
+    final per-user rollup all reuse the ONE hashpartitioning(user_id)
+    exchange — partitioning on a prefix of every downstream clustering
+    key means Catalyst inserts no further shuffles (local sorts only)."""
+    df = REGISTRY["win_gap_islands"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan
