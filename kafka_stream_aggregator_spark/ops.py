@@ -524,3 +524,26 @@ def salted_join(
         how,
     )
     return out.drop("__salt")
+
+
+def zorder_key_2d(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns — bit i of x lands at z-bit 2i, bit i
+    of y at 2i+1.
+
+    Sorting a table by this key before write clusters BOTH dimensions
+    into every parquet row group, so min/max skipping works for filters
+    on either column (a plain sort gives skipping on the sort column
+    only). This is the multi-dimensional data-layout tier used by lake
+    formats for 100 TB tables; here it is a pure Catalyst expression
+    (shift/and/or, fully codegen'd), usable as
+    ``df.orderBy(zorder_key_2d(...)).write...``.
+    """
+    z: Column = F.lit(0).cast("long")
+    for i in range(bits):
+        xb = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+        yb = F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+        )
+        z = z.bitwiseOR(xb).bitwiseOR(yb)
+    return z

@@ -89,8 +89,7 @@ _WINDOW_PRIORITY = [
     "agg_bool_suite",
     "fn_try_arithmetic",
     "win_gap_islands",
-    # --- rotation: r01-verified greens, oldest first ---
-    "ewma_5min",
+    "fn_zorder_key",
 ]
 
 

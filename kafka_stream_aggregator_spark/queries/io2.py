@@ -163,3 +163,36 @@ def io_text_roundtrip(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select("line", "n")
     )
+
+
+def _zorder_sql_terms(xe: str, ye: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "fn_zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_zorder_sql_terms('(l_partkey % 1024)', '(l_suppkey % 1024)', 10)}
+                AS BIGINT) AS zkey
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def fn_zorder_key(spark, sf_dir):
+    """Morton/Z-order key over two dimensions (ops.zorder_key_2d) —
+    the write-time clustering key that makes parquet min/max skipping
+    work on BOTH columns; pure shift/and/or column algebra."""
+    from ..ops import zorder_key_2d
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key_2d(
+            F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024, bits=10
+        ).alias("zkey"),
+    )

@@ -150,3 +150,121 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:800]
     assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_sorted_layout_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
+    """Parquet row-group min/max skipping: the same selective filter
+    over the same rows reads FAR fewer rows from a value-sorted layout
+    (tight per-row-group min/max -> groups outside the predicate are
+    skipped at scan time) than from a shuffled layout (every group
+    straddles the predicate). This is the layout tier of 100 TB design:
+    sort-on-write turns pushed filters into skipped I/O, on top of
+    partition pruning. Small parquet.block.size forces many row groups
+    so the effect is observable at test SF."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    sorted_dir = str(tmp_path / "sorted")
+    shuffled_dir = str(tmp_path / "shuffled")
+    (
+        li.orderBy("l_extendedprice")
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite")
+        .parquet(sorted_dir)
+    )
+    (
+        li.orderBy(F.xxhash64("l_orderkey", "l_extendedprice"))  # scramble
+        .coalesce(1)
+        .write.option("parquet.block.size", 64 * 1024)
+        .mode("overwrite")
+        .parquet(shuffled_dir)
+    )
+
+    def rows_read(path):
+        df = spark.read.parquet(path).filter(F.col("l_extendedprice") > 90000)
+        n = len(df.collect())  # executes THIS df's queryExecution
+        # scan-level "number of output rows" = rows surviving row-group
+        # skipping + page filtering, BEFORE the post-scan filter
+        def find_scan(node):
+            if "FileSourceScan" in node.getClass().getSimpleName():
+                return node
+            if hasattr(node, "executedPlan"):  # AQE wrapper
+                try:
+                    return find_scan(node.executedPlan())
+                except Exception:
+                    pass
+            it = node.children().iterator()
+            while it.hasNext():
+                got = find_scan(it.next())
+                if got is not None:
+                    return got
+            return None
+
+        scan = find_scan(df._jdf.queryExecution().executedPlan())
+        assert scan is not None
+        metric = scan.metrics().get("numOutputRows")
+        read = metric.get().value() if metric.isDefined() else None
+        return n, read
+
+    n_sorted, read_sorted = rows_read(sorted_dir)
+    n_shuffled, read_shuffled = rows_read(shuffled_dir)
+    assert n_sorted == n_shuffled  # same answer either way
+    assert read_sorted is not None and read_shuffled is not None
+    # sorted layout must skip the bulk of the file; shuffled reads ~all
+    assert read_sorted < read_shuffled / 2, (read_sorted, read_shuffled)
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order vs plain sort: lay the same rows out (a) sorted by x and
+    (b) sorted by the Morton key of (x, y), then filter on Y ONLY. The
+    x-sorted layout cannot skip any row group (y is uniform within each
+    group); the z-ordered layout skips most groups (each covers a tight
+    y-range too). This is why multi-dimensional clustering exists."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_aggregator_spark.ops import zorder_key_2d
+
+    # needs enough rows for many 64 KB row groups; the default test SF
+    # (6k rows) yields ~2 groups, too coarse to observe skipping
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        # multiplier spreads the (small-SF) key domains across 0..1023
+        ((F.col("l_orderkey") * 53) % 1024).alias("x"),
+        ((F.col("l_partkey") * 37) % 1024).alias("y"),
+        "l_extendedprice",
+    )
+    x_dir = str(tmp_path / "xsorted")
+    z_dir = str(tmp_path / "zsorted")
+    li.orderBy("x").coalesce(1).write.option(
+        "parquet.block.size", 64 * 1024
+    ).mode("overwrite").parquet(x_dir)
+    li.orderBy(zorder_key_2d(F.col("x"), F.col("y"), bits=10)).coalesce(
+        1
+    ).write.option("parquet.block.size", 64 * 1024).mode("overwrite").parquet(
+        z_dir
+    )
+
+    def rows_read(path):
+        df = spark.read.parquet(path).filter(F.col("y") > 973)  # top ~5%
+        n = len(df.collect())
+
+        def find_scan(node):
+            if "FileSourceScan" in node.getClass().getSimpleName():
+                return node
+            it = node.children().iterator()
+            while it.hasNext():
+                got = find_scan(it.next())
+                if got is not None:
+                    return got
+            return None
+
+        scan = find_scan(df._jdf.queryExecution().executedPlan())
+        metric = scan.metrics().get("numOutputRows")
+        return n, metric.get().value()
+
+    n_x, read_x = rows_read(x_dir)
+    n_z, read_z = rows_read(z_dir)
+    assert n_x == n_z
+    assert read_z < read_x / 2, (read_z, read_x)
