@@ -44,7 +44,6 @@ _WINDOW_PRIORITY = [
     "agg_percentiles_approx",
     "doc_token_stats",              # data-sized repartition
     "doc_quality_by_source",
-    "doc_token_heavy_hitters",
     "ngram_jaccard_pairs",
     "minhash_near_dup",
     "simhash_near_dup",
@@ -90,6 +89,7 @@ _WINDOW_PRIORITY = [
     "fn_try_arithmetic",
     "win_gap_islands",
     "fn_zorder_key",
+    "fn_explode_outer",
 ]
 
 

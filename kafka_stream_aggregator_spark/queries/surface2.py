@@ -377,3 +377,35 @@ def fn_try_arithmetic(spark, sf_dir):
         F.round(ratio, 6).alias("price_per_excess"),
         F.round(F.coalesce(ratio, F.lit(-1.0)), 6).alias("safe_ratio"),
     )
+
+
+@query(
+    "fn_explode_outer",
+    # explode_outer keeps rows whose array is empty (NULL element) —
+    # the row-preserving flatten. DuckDB lacks an outer unnest; the
+    # oracle pads empty arrays with [NULL] before unnesting.
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(o_orderpriority, '-') END AS parts
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, u AS part
+    FROM t, unnest(CASE WHEN len(parts) = 0
+                        THEN [CAST(NULL AS VARCHAR)]
+                        ELSE parts END) AS s(u)
+    """,
+)
+def fn_explode_outer(spark, sf_dir):
+    """Row-preserving flatten: explode_outer emits (key, NULL) for an
+    empty/NULL array instead of dropping the row — the difference
+    between an inner and outer lateral flatten."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    parts = F.when(
+        F.col("o_orderkey") % 3 == 0, F.array().cast("array<string>")
+    ).otherwise(F.split("o_orderpriority", "-"))
+    return o.select(
+        "o_orderkey", F.explode_outer(parts).alias("part")
+    )
