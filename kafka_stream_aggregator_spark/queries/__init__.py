@@ -43,7 +43,6 @@ _WINDOW_PRIORITY = [
     "agg_percentiles",              # counts tier for l_quantity
     "agg_percentiles_approx",
     "doc_token_stats",              # data-sized repartition
-    "doc_quality_by_source",
     "ngram_jaccard_pairs",
     "minhash_near_dup",
     "simhash_near_dup",
@@ -90,6 +89,7 @@ _WINDOW_PRIORITY = [
     "win_gap_islands",
     "fn_zorder_key",
     "fn_explode_outer",
+    "emb_pca_project",
 ]
 
 

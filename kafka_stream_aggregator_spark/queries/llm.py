@@ -936,3 +936,23 @@ def doc_filter_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
     )
+
+
+@query("emb_pca_project", oracle=None)  # eigensolve: validated by pytest invariants
+def emb_pca_project(spark, sf_dir):
+    """PCA-reduce embeddings 64 -> 8 dims (llm.pca): sufficient
+    statistics via Arrow-batched matmuls, driver eigensolve on the d x d
+    moment matrix (O(d^2) fetch, row-count-independent), projection as
+    literal-array dot products. Invariants (orthonormal components,
+    descending explained variance, numpy-reference equality) are pinned
+    in tests/test_pca.py."""
+    from ..llm.pca import pca_fit, pca_project
+
+    emb = t(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    out = pca_project(emb, model, "embedding")
+    return out.select(
+        "vec_id",
+        "label",
+        *[F.round(F.col(f"p{j}"), 6).alias(f"p{j}") for j in range(8)],
+    )
