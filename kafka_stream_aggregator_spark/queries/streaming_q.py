@@ -243,14 +243,14 @@ def stream_ohlc_5min(spark, sf_dir):
     twin (ind_ohlc_5min), so per-window state is one candidate row
     per bound, never a buffer of trades."""
     s = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
-    key = F.struct("ts", "event_id")
+    key = F.struct("ts", "event_id", "value")  # declarative struct min/max
     agg = (
         s.groupBy(F.window("ts", "5 minutes"), "event_type")
         .agg(
-            F.round(F.min_by("value", key), 6).alias("open"),
+            F.round(F.min(key)["value"], 6).alias("open"),
             F.round(F.max("value"), 6).alias("high"),
             F.round(F.min("value"), 6).alias("low"),
-            F.round(F.max_by("value", key), 6).alias("close"),
+            F.round(F.max(key)["value"], 6).alias("close"),
             F.count(F.lit(1)).alias("n_trades"),
         )
     )

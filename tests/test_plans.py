@@ -221,11 +221,14 @@ def test_train_split_no_shuffle_before_agg(spark, sf_dir):
 
 
 def test_ohlc_single_shuffle_partial_agg(spark, sf_dir):
-    """ind_ohlc_5min: open/close via min_by/max_by must stay one hash
-    aggregate — partial_min_by on the map side, a single Exchange on
-    (event_type, window_start), no window-function pass (Window nodes
-    would buffer whole candles; the aggregate keeps one candidate row
-    per bound)."""
+    """ind_ohlc_5min: open/close via struct min/max must stay ONE
+    codegen hash aggregate — partial_min(struct) on the map side, a
+    single Exchange on (event_type, window_start), no window-function
+    pass (Window nodes would buffer whole candles; the aggregate keeps
+    one candidate struct per bound). Declarative struct extremes, NOT
+    min_by/max_by: those are object-hash aggregates that fall back to
+    sort-based past 128 groups/partition (12x slower at 10M rows,
+    docs/SCALING.md)."""
     df = REGISTRY["ind_ohlc_5min"].fn(spark, sf_dir)
     plan = _plan(df)
     assert "partial_min_by" in plan or "partial_min" in plan, plan

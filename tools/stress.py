@@ -95,6 +95,34 @@ def main() -> None:
     tt("exact_percentiles bucketed tier", exact_percentiles_bucketed(
         ev, "value", [(0.5, "p50"), (0.99, "p99")], group_cols=("event_type",)))
 
+    # OHLC candles: one partial-aggregatable shuffle; struct min/max
+    # stays a codegen HashAggregate (min_by/max_by are object-hash
+    # aggs that fall back to sort-based beyond 128 groups/partition —
+    # measured 124.7s vs 14.3s for this exact query at 10M rows)
+    ws = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    key = F.struct("ts", "event_id", "value")
+    tt("ohlc_5min (struct min/max)", ev.select(
+        "event_type", ws.alias("w"), "ts", "event_id", "value"
+    ).groupBy("event_type", "w").agg(
+        F.min(key)["value"].alias("open"), F.max("value").alias("high"),
+        F.min("value").alias("low"), F.max(key)["value"].alias("close"),
+        F.count(F.lit(1)).alias("n")))
+
+    # gaps-and-islands: whole query on ONE user_id shuffle
+    from pyspark.sql import Window as W
+
+    hot = (F.col("value") > 50).alias("hot")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_flag = W.partitionBy("user_id", "hot").orderBy("ts", "event_id")
+    f = ev.select("user_id", "ts", "event_id", hot).select(
+        "user_id", "hot",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_flag).alias("rn_f"))
+    tt("gap_islands", f.filter("hot").groupBy(
+        "user_id", (F.col("rn") - F.col("rn_f")).alias("isl")
+    ).agg(F.count(F.lit(1)).alias("len")).groupBy("user_id").agg(
+        F.count(F.lit(1)), F.max("len")))
+
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -146,6 +174,29 @@ def main() -> None:
             n=3,
         ),
     )
+
+    # char entropy: explode factor capped at 2 KB/doc by construction
+    pfx = docs.select(
+        "doc_id", F.substring("text", 1, 2048).alias("pfx")
+    ).select("doc_id", F.explode(F.split("pfx", "")).alias("ch")).filter(
+        F.col("ch") != ""
+    )
+    ent = pfx.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c")).groupBy(
+        "doc_id"
+    ).agg(
+        (F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c")).alias(
+            "h"
+        )
+    )
+    tt("char_entropy", ent)
+
+    # md5 train/val/test split: pure row-local hash + tiny aggregate
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    tt("train_split", docs.select(
+        F.when(nib.isin(*"0123456789ab"), F.lit("train"))
+        .when(nib.isin(*"cd"), F.lit("val"))
+        .otherwise(F.lit("test")).alias("split")
+    ).groupBy("split").count())
 
     shutil.rmtree(ddir, ignore_errors=True)
 
