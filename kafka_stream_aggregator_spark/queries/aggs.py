@@ -378,6 +378,11 @@ def agg_histogram(spark, sf_dir):
     """,
 )
 def agg_minmax_by(spark, sf_dir):
+    # Coverage row for the min_by/max_by builtins (few groups, so the
+    # object-hash aggregate is fine here). For HIGH-cardinality group
+    # keys prefer declarative struct extremes (see ind_ohlc_5min):
+    # min_by/max_by fall back to sort-based aggregation past 128
+    # groups/partition — 12x slower at 10M rows (docs/SCALING.md).
     tie = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return (
         t(spark, sf_dir, "orders")

@@ -238,10 +238,10 @@ def stream_neardup_pairs(spark, sf_dir):
 )
 def stream_ohlc_5min(spark, sf_dir):
     """Streaming OHLC candles: tumbling event-time window + watermark,
-    open/close via min_by/max_by on the (ts, event_id) struct key —
-    the same single partial-aggregatable state shape as the batch
-    twin (ind_ohlc_5min), so per-window state is one candidate row
-    per bound, never a buffer of trades."""
+    open/close via declarative struct min/max over (ts, event_id,
+    value) — the same single partial-aggregatable state shape as the
+    batch twin (ind_ohlc_5min), so per-window state is one candidate
+    struct per bound, never a buffer of trades."""
     s = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     key = F.struct("ts", "event_id", "value")  # declarative struct min/max
     agg = (
