@@ -42,8 +42,6 @@ _WINDOW_PRIORITY = [
     # --- plans changed in round 4 ---
     "agg_percentiles",              # counts tier for l_quantity
     "agg_percentiles_approx",
-    "doc_token_stats",              # data-sized repartition
-    "ngram_jaccard_pairs",
     "minhash_near_dup",
     "simhash_near_dup",
     "doc_exact_dedup",
@@ -90,6 +88,8 @@ _WINDOW_PRIORITY = [
     "fn_zorder_key",
     "fn_explode_outer",
     "emb_pca_project",
+    "agg_count_if",
+    "fn_interval_suite",
 ]
 
 

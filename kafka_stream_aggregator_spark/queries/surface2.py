@@ -409,3 +409,59 @@ def fn_explode_outer(spark, sf_dir):
     return o.select(
         "o_orderkey", F.explode_outer(parts).alias("part")
     )
+
+
+@query(
+    "agg_count_if",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_if(spark, sf_dir):
+    """Conditional count aggregate — the filtered-count idiom without a
+    CASE/sum dance; partial-aggregatable like count."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "fn_interval_suite",
+    # Calendar-interval arithmetic: month addition clamps to month end
+    # identically in both engines (2024-01-31 + 1 month = 2024-02-29).
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d')
+             AS plus_1mo,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+           CAST(datediff('month', DATE '1995-01-01',
+                         date_trunc('month', CAST(o_orderdate AS DATE)))
+                AS BIGINT) AS months_since,
+           strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS plus_90min
+    FROM orders WHERE o_orderkey < 2500
+    """,
+)
+def fn_interval_suite(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_1mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.months_between(F.date_trunc("month", d), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("months_since"),
+        F.date_format(
+            F.col("o_orderdate").cast("timestamp")
+            + F.expr("INTERVAL 90 MINUTES"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("plus_90min"),
+    )
