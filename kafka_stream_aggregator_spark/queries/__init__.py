@@ -44,8 +44,6 @@ _WINDOW_PRIORITY = [
     "agg_percentiles_approx",
     "minhash_near_dup",
     "simhash_near_dup",
-    "doc_exact_dedup",
-    "near_dup_clusters",
     # --- new in round 4: training-data pipeline ops ---
     "doc_repetition_signals",
     "doc_decontaminate",
@@ -90,6 +88,8 @@ _WINDOW_PRIORITY = [
     "emb_pca_project",
     "agg_count_if",
     "fn_interval_suite",
+    "agg_listagg",
+    "io_zstd_roundtrip",
 ]
 
 

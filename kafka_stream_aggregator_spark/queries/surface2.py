@@ -465,3 +465,47 @@ def fn_interval_suite(spark, sf_dir):
             "yyyy-MM-dd HH:mm:ss",
         ).alias("plus_90min"),
     )
+
+
+@query(
+    "agg_listagg",
+    # Ordered string concatenation per group (SQL:2023 LISTAGG /
+    # string_agg): deterministic via explicit element ordering.
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(o_orderstatus, '|' ORDER BY o_orderkey) AS statuses,
+           count(*) AS n
+    FROM orders WHERE o_orderkey < 400 GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("listagg(o_orderstatus, '|') WITHIN GROUP (ORDER BY o_orderkey)")
+        .alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "io_zstd_roundtrip",
+    # Codec control: zstd is the 100 TB default recommendation
+    # (snappy-class decode speed at gzip-class ratios); the round-trip
+    # proves content-identity under the codec switch.
+    oracle="""
+    SELECT l_linestatus, count(*) AS n, round(sum(l_tax), 6) AS tax
+    FROM lineitem WHERE l_orderkey < 6000 GROUP BY l_linestatus
+    """,
+)
+def io_zstd_roundtrip(spark, sf_dir):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="zstd_rt_")
+    t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 6000).select(
+        "l_linestatus", "l_tax"
+    ).write.mode("overwrite").option("compression", "zstd").parquet(d)
+    return (
+        spark.read.parquet(d)
+        .groupBy("l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_tax"), 6).alias("tax"))
+    )
