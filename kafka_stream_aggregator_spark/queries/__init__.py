@@ -45,7 +45,6 @@ _WINDOW_PRIORITY = [
     "minhash_near_dup",
     "simhash_near_dup",
     # --- new in round 4: training-data pipeline ops ---
-    "doc_repetition_signals",
     "doc_decontaminate",
     "doc_stratified_sample",
     "doc_pack_sequences",
@@ -90,6 +89,7 @@ _WINDOW_PRIORITY = [
     "fn_interval_suite",
     "agg_listagg",
     "io_zstd_roundtrip",
+    "fn_collation_suite",
 ]
 
 

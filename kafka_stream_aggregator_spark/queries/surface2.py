@@ -509,3 +509,34 @@ def io_zstd_roundtrip(spark, sf_dir):
         .groupBy("l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_tax"), 6).alias("tax"))
     )
+
+
+@query(
+    "fn_collation_suite",
+    # Spark 4 collations: UTF8_LCASE makes comparison/equality/ordering
+    # case-insensitive AT THE TYPE LEVEL (no lower() rewrites at every
+    # call site). The oracle models the same semantics with explicit
+    # lower() — equivalent on this ASCII corpus.
+    oracle="""
+    SELECT o_orderkey,
+           (lower(o_orderpriority) = lower(upper(o_orderpriority)))
+             AS eq_ci,
+           (lower(o_orderstatus) < lower('p')) AS lt_ci,
+           CAST(contains(lower(o_orderpriority), lower('URGENT')) AS BOOLEAN)
+             AS contains_ci
+    FROM orders WHERE o_orderkey < 1500
+    """,
+)
+def fn_collation_suite(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1500)
+    ci = lambda c: F.collate(c, "UTF8_LCASE")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        (ci(F.col("o_orderpriority")) == ci(F.upper("o_orderpriority"))).alias(
+            "eq_ci"
+        ),
+        (ci(F.col("o_orderstatus")) < ci(F.lit("p"))).alias("lt_ci"),
+        F.contains(ci(F.col("o_orderpriority")), ci(F.lit("URGENT"))).alias(
+            "contains_ci"
+        ),
+    )
