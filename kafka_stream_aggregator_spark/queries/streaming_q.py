@@ -264,3 +264,71 @@ def stream_ohlc_5min(spark, sf_dir):
         "close",
         "n_trades",
     )
+
+
+@query(
+    "stream_join_purchase_click",
+    # Watermarked stream-stream inner join, driver-verified against the
+    # batch join restricted to the stream-finalized region: with a
+    # 10-min watermark and a 5-min lag bound, every pair whose BOTH
+    # events sit at or before max(ts) - 20 min is guaranteed emitted
+    # under availableNow; the query post-filters to that horizon on the
+    # stream side and the oracle applies the identical cutoff.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 1200 AS horizon
+      FROM events
+    )
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS p_ts,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS c_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 300 SECOND AND c.ts <= p.ts
+    CROSS JOIN h
+    WHERE floor(epoch(p.ts)) <= horizon AND floor(epoch(c.ts)) <= horizon
+    """,
+)
+def stream_join_purchase_click(spark, sf_dir):
+    """Stream-stream join (purchases x prior clicks within 5 min, same
+    user) run as a REAL watermarked streaming query — bounded state on
+    both sides (watermark + lag bound), append mode, then restricted to
+    the guaranteed-finalized horizon for exact batch comparison."""
+    from ..streaming.pipeline import stream_stream_join
+
+    p = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    c = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_stream_join(
+        p, c, key="user_id", right_key="r_user_id",
+        left_ts="ts", right_ts="r_ts",
+        watermark="10 minutes", max_lag_seconds=300,
+    )
+    out = _run_to_df(spark, joined)
+    horizon = (
+        t(spark, sf_dir, "events")
+        .agg((F.floor(F.unix_timestamp(F.max("ts"))) - 1200).alias("h"))
+    )
+    return (
+        out.crossJoin(F.broadcast(horizon))
+        .filter(
+            (F.floor(F.unix_timestamp("ts")) <= F.col("h"))
+            & (F.floor(F.unix_timestamp("r_ts")) <= F.col("h"))
+        )
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("r_event_id").alias("c_id"),
+            "user_id",
+            F.floor(F.unix_timestamp("ts")).cast("long").alias("p_ts"),
+            F.floor(F.unix_timestamp("r_ts")).cast("long").alias("c_ts"),
+        )
+    )
