@@ -332,3 +332,51 @@ def stream_join_purchase_click(spark, sf_dir):
             F.floor(F.unix_timestamp("r_ts")).cast("long").alias("c_ts"),
         )
     )
+
+
+@query(
+    "stream_static_enrich",
+    # Stream-static inner join needs no horizon: every stream row joins
+    # against the (broadcast, per-micro-batch re-resolved) dimension and
+    # is emitted exactly once — the oracle is the plain batch join.
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, round(avg(value), 6) AS user_avg, count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id,
+           round(e.value, 6) AS value,
+           d.user_avg, d.n_events,
+           (e.value > d.user_avg) AS above_avg
+    FROM events e JOIN dim d USING (user_id)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Streaming enrichment against a static per-user profile dim
+    (broadcast each micro-batch — slowly-changing dims refresh without
+    a query restart): purchases flagged against the user's all-time
+    average."""
+    from ..streaming.pipeline import stream_static_join
+
+    dim = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("value"), 6).alias("user_avg"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    s = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "value")
+    joined = stream_static_join(s, dim, "user_id")
+    out = _run_to_df(spark, joined)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        "user_avg",
+        "n_events",
+        (F.col("value") > F.col("user_avg")).alias("above_avg"),
+    )
