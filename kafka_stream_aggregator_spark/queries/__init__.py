@@ -45,7 +45,6 @@ _WINDOW_PRIORITY = [
     "minhash_near_dup",
     "simhash_near_dup",
     # --- new in round 4: training-data pipeline ops ---
-    "doc_pack_sequences",
     "doc_unigram_logprob",
     "doc_repeated_ngram_frac",
     "doc_filter_pipeline",
@@ -90,6 +89,7 @@ _WINDOW_PRIORITY = [
     "fn_collation_suite",
     "stream_join_purchase_click",
     "stream_static_enrich",
+    "stream_session_stats",
 ]
 
 

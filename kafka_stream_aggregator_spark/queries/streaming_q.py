@@ -380,3 +380,67 @@ def stream_static_enrich(spark, sf_dir):
         "n_events",
         (F.col("value") > F.col("user_avg")).alias("above_avg"),
     )
+
+
+@query(
+    "stream_session_stats",
+    # Streaming session windows, driver-oracled: a session is finalized
+    # once the watermark (max ts - 10 min) passes its end. Both sides
+    # keep only sessions with end <= max(ts) - 660 s — the extra 60 s
+    # excludes boundary-ambiguous sessions identically, so the compare
+    # is exact regardless of emit-boundary semantics.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 660 AS horizon FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s
+    ), g AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+             CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS session_end,
+             count(*) AS n_events,
+             round(sum(value), 6) AS sum_value
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, sum_value
+    FROM g, h WHERE session_end <= horizon
+    """,
+)
+def stream_session_stats(spark, sf_dir):
+    """Native session windows on a real watermarked stream (gap 30 min,
+    state = one open session per user, closed by watermark passage),
+    restricted to finalized sessions for exact batch comparison."""
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy("user_id", F.session_window("ts", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    out = _run_to_df(spark, agg)
+    horizon = (
+        t(spark, sf_dir, "events")
+        .agg((F.floor(F.unix_timestamp(F.max("ts"))) - 660).alias("h"))
+    )
+    return (
+        out.crossJoin(F.broadcast(horizon))
+        .filter(F.unix_timestamp("win.end") <= F.col("h"))
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").cast("long").alias("session_start"),
+            F.unix_timestamp("win.end").cast("long").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
