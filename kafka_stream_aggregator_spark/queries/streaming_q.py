@@ -444,3 +444,59 @@ def stream_session_stats(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_sliding_counts",
+    # Sliding windows (10 min length, 5 min slide): each event lands in
+    # exactly 2 windows, enumerated in the oracle via unnest([0,1]).
+    # Horizon rule as stream_session_stats (60 s boundary slack).
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 660 AS horizon FROM events
+    ), w AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - k * 300
+               AS window_start,
+             value
+      FROM events, unnest([0, 1]) AS u(k)
+    )
+    SELECT event_type, window_start,
+           window_start + 600 AS window_end,
+           count(*) AS n_rows,
+           round(sum(value), 6) AS sum_value
+    FROM w, h
+    GROUP BY event_type, window_start, horizon
+    HAVING window_start + 600 <= horizon
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Overlapping (sliding) event-time windows on a real watermarked
+    stream — per-event fan-out to length/slide windows is handled by the
+    window() expression, state is one aggregate row per open window."""
+    s = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    out = _run_to_df(spark, agg)
+    horizon = (
+        t(spark, sf_dir, "events")
+        .agg((F.floor(F.unix_timestamp(F.max("ts"))) - 660).alias("h"))
+    )
+    return (
+        out.crossJoin(F.broadcast(horizon))
+        .filter(F.unix_timestamp("win.end") <= F.col("h"))
+        .select(
+            "event_type",
+            F.unix_timestamp("win.start").cast("long").alias("window_start"),
+            F.unix_timestamp("win.end").cast("long").alias("window_end"),
+            "n_rows",
+            "sum_value",
+        )
+    )
