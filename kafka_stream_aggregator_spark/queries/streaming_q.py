@@ -500,3 +500,69 @@ def stream_sliding_counts(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "stream_ewma_5min_twolevel",
+    # Chained stateful aggregations (sub-window partials -> window
+    # recombination): the SECOND stateful operator's watermark trails
+    # the first by one extra delay, so the finalized horizon is
+    # max(ts) - 2*watermark - sub_window; both sides cut there.
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 1500 AS horizon FROM events
+    ), r AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)
+               ORDER BY ts, event_id) AS rn,
+             count(*) OVER (
+               PARTITION BY event_type,
+                            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS n
+      FROM events
+    ), g AS (
+      SELECT event_type, window_start,
+             window_start + 300 AS window_end,
+             count(*) AS n_rows,
+             round(sum({_A5} * pow(1.0 - {_A5}, n - rn) * value), 6) AS ewma,
+             sum({_A5} * pow(1.0 - {_A5}, n - rn) * value) AS raw
+      FROM r GROUP BY event_type, window_start
+    )
+    SELECT event_type, window_start, window_end, n_rows, ewma
+    FROM g, h WHERE raw > 0 AND window_end <= horizon
+    """,
+)
+def stream_ewma_5min_twolevel(spark, sf_dir):
+    """The R8 EWMA as CHAINED streaming stateful operators (Spark >=3.5
+    multiple-stateful-operator support): 30 s sub-window folds, then
+    segment-composition recombination into 5-min windows — per-reducer
+    state holds sub-window partials, never a whole window's rows. Must
+    equal the single-level stream AND the batch closed form on every
+    finalized window."""
+    from ..streaming.pipeline import streaming_windowed_ewma_two_level
+
+    sdf = streaming_windowed_ewma_two_level(
+        _events_stream(spark, sf_dir),
+        group_cols=("event_type",),
+        period_minutes=5,
+        watermark="10 minutes",
+    )
+    out = _run_to_df(spark, sdf)
+    horizon = (
+        t(spark, sf_dir, "events")
+        .agg((F.floor(F.unix_timestamp(F.max("ts"))) - 1500).alias("h"))
+    )
+    return (
+        out.crossJoin(F.broadcast(horizon))
+        .filter(F.col("window_end") <= F.col("h"))
+        .select(
+            "event_type",
+            "window_start",
+            "window_end",
+            "n_rows",
+            F.round("ewma", 6).alias("ewma"),
+        )
+    )
