@@ -45,7 +45,6 @@ _WINDOW_PRIORITY = [
     "minhash_near_dup",
     "simhash_near_dup",
     # --- new in round 4: training-data pipeline ops ---
-    "doc_filter_pipeline",
     "stream_neardup_pairs",
     "io_bucketed_join",
     # --- new in round 4 (late): corpus part 2 + PQ ANN tier ---
@@ -90,6 +89,7 @@ _WINDOW_PRIORITY = [
     "stream_session_stats",
     "stream_sliding_counts",
     "stream_ewma_5min_twolevel",
+    "stream_complete_topk",
 ]
 
 

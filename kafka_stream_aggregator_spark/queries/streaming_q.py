@@ -13,6 +13,7 @@ from __future__ import annotations
 import tempfile
 import uuid
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..indicators import ewma_alpha
@@ -565,4 +566,45 @@ def stream_ewma_5min_twolevel(spark, sf_dir):
             "n_rows",
             F.round("ewma", 6).alias("ewma"),
         )
+    )
+
+
+@query(
+    "stream_complete_topk",
+    # Complete output mode: the memory sink holds the FULL current
+    # aggregate each trigger, so after availableNow drains the input the
+    # table equals the batch aggregate exactly — no horizon needed.
+    # The top-k rank runs batch-side over the maintained table (the
+    # serving pattern: stream maintains, reads rank).
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, user_id,
+             count(*) AS n, round(sum(value), 6) AS total
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY total DESC, user_id) AS rk
+      FROM agg
+    )
+    SELECT event_type, user_id, n, total, rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def stream_complete_topk(spark, sf_dir):
+    """Top-5 users by total value per event type, maintained by a
+    complete-mode streaming aggregation (state = one row per
+    (type, user)), ranked at read time."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total"),
+    )
+    out = _run_to_df(spark, agg, mode="complete")
+    w = W.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("user_id")
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "user_id", "n", "total", "rk")
     )
