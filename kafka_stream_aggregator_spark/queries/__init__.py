@@ -45,7 +45,6 @@ _WINDOW_PRIORITY = [
     "minhash_near_dup",
     "simhash_near_dup",
     # --- new in round 4: training-data pipeline ops ---
-    "stream_neardup_pairs",
     "io_bucketed_join",
     # --- new in round 4 (late): corpus part 2 + PQ ANN tier ---
     "doc_tfidf_topterms",
@@ -90,6 +89,7 @@ _WINDOW_PRIORITY = [
     "stream_sliding_counts",
     "stream_ewma_5min_twolevel",
     "stream_complete_topk",
+    "win_moving_median",
 ]
 
 

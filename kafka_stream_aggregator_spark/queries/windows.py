@@ -327,3 +327,52 @@ def win_gap_islands(spark, sf_dir):
         F.max("len").alias("longest"),
         F.sum("len").cast("long").alias("hot_rows"),
     )
+
+
+@query(
+    "win_moving_median",
+    # Rolling median (robust moving location estimate) + rolling IQR
+    # over a 50-row trailing frame; both sides use the same continuous
+    # (linear-interpolation) quantile definition.
+    oracle="""
+    SELECT user_id, event_id,
+           round(median(value) OVER w, 6) AS med50,
+           round(quantile_cont(value, 0.75) OVER w
+                 - quantile_cont(value, 0.25) OVER w, 6) AS iqr50
+    FROM events WHERE user_id < 150
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_median(spark, sf_dir):
+    """Rolling median/IQR — the robust twin of win_moving_avg. Spark
+    forbids median()/percentile() over a framed window, so the frame is
+    materialized with collect_list (bounded: <= 50 values/row) and the
+    continuous quantile interpolated from the sorted array — identical
+    semantics to DuckDB's quantile_cont, pure Catalyst expressions."""
+
+    def q_cont(sorted_arr, p):
+        n = F.size(sorted_arr)
+        pos = (n - 1) * F.lit(p) + 1  # 1-based fractional rank
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo
+        lo_v = F.element_at(sorted_arr, lo)
+        hi_v = F.element_at(sorted_arr, F.least(lo + 1, n))
+        return lo_v + frac * (hi_v - lo_v)
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-49, W.currentRow)
+    )
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 150)
+    frame = F.sort_array(F.collect_list("value").over(w))
+    d = e.select("user_id", "event_id", frame.alias("fr"))
+    return d.select(
+        "user_id",
+        "event_id",
+        F.round(q_cont(F.col("fr"), 0.5), 6).alias("med50"),
+        F.round(
+            q_cont(F.col("fr"), 0.75) - q_cont(F.col("fr"), 0.25), 6
+        ).alias("iqr50"),
+    )
