@@ -45,10 +45,7 @@ _WINDOW_PRIORITY = [
     "minhash_near_dup",
     "simhash_near_dup",
     # --- new in round 4: training-data pipeline ops ---
-    "io_bucketed_join",
     # --- new in round 4 (late): corpus part 2 + PQ ANN tier ---
-    "doc_tfidf_topterms",
-    "doc_chunk_dedup",
     "corpus_mix_weights",
     "doc_global_shuffle",
     "jaccard_dup_clusters",
@@ -90,6 +87,9 @@ _WINDOW_PRIORITY = [
     "stream_ewma_5min_twolevel",
     "stream_complete_topk",
     "win_moving_median",
+    "agg_corr_matrix",
+    "fn_format_suite",
+    "win_percent_of_total",
 ]
 
 

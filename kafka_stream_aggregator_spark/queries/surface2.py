@@ -16,6 +16,7 @@ aggregate/typed extensions.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .base import query, t
@@ -539,4 +540,97 @@ def fn_collation_suite(spark, sf_dir):
         F.contains(ci(F.col("o_orderpriority")), ci(F.lit("URGENT"))).alias(
             "contains_ci"
         ),
+    )
+
+
+@query(
+    "agg_corr_matrix",
+    # Pairwise correlation matrix over the lineitem numeric columns,
+    # long form (one row per pair) — every corr is a one-pass moment
+    # aggregate, all six computed in a single scan + single reduce.
+    oracle="""
+    SELECT 'qty_price' AS pair, round(corr(l_quantity, l_extendedprice), 6) AS r
+    FROM lineitem
+    UNION ALL SELECT 'qty_disc', round(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL SELECT 'qty_tax', round(corr(l_quantity, l_tax), 6) FROM lineitem
+    UNION ALL SELECT 'price_disc', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    UNION ALL SELECT 'price_tax', round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+    UNION ALL SELECT 'disc_tax', round(corr(l_discount, l_tax), 6) FROM lineitem
+    """,
+)
+def agg_corr_matrix(spark, sf_dir):
+    cols = [
+        ("qty", "l_quantity"),
+        ("price", "l_extendedprice"),
+        ("disc", "l_discount"),
+        ("tax", "l_tax"),
+    ]
+    li = t(spark, sf_dir, "lineitem")
+    # one aggregate row with all six moments, then unpivot to long form
+    aggs = []
+    names = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            n = f"{cols[i][0]}_{cols[j][0]}"
+            names.append(n)
+            aggs.append(F.round(F.corr(cols[i][1], cols[j][1]), 6).alias(n))
+    wide = li.agg(*aggs)
+    return wide.unpivot([], names, "pair", "r")
+
+
+@query(
+    "fn_format_suite",
+    # C-style formatting — both engines implement printf semantics.
+    oracle="""
+    SELECT o_orderkey,
+           printf('%08d', o_orderkey) AS padded,
+           printf('%.2f', o_totalprice) AS price2dp,
+           printf('order %d: %s', o_orderkey, o_orderstatus) AS label
+    FROM orders WHERE o_orderkey < 1200
+    """,
+)
+def fn_format_suite(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1200)
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d", "o_orderkey").alias("padded"),
+        F.format_string("%.2f", "o_totalprice").alias("price2dp"),
+        F.format_string("order %d: %s", "o_orderkey", "o_orderstatus").alias(
+            "label"
+        ),
+    )
+
+
+@query(
+    "win_percent_of_total",
+    # Share-of-total analytics: an unframed partition window (whole
+    # partition aggregate broadcast back to every row).
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           round(o_totalprice / sum(o_totalprice)
+                 OVER (PARTITION BY o_orderpriority), 9) AS share,
+           round(o_totalprice / sum(o_totalprice) OVER (), 9) AS share_global
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def win_percent_of_total(spark, sf_dir):
+    """Per-group share via an unframed partition window; GLOBAL share
+    via a broadcast 1-row aggregate — an empty-partition window
+    (sum OVER ()) would move the whole table to one reducer, the
+    classic scale anti-pattern this query deliberately avoids."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    w_grp = W.partitionBy("o_orderpriority")
+    total = o.agg(F.sum("o_totalprice").alias("__tot"))
+    return (
+        o.crossJoin(F.broadcast(total))
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round(
+                F.col("o_totalprice") / F.sum("o_totalprice").over(w_grp), 9
+            ).alias("share"),
+            F.round(F.col("o_totalprice") / F.col("__tot"), 9).alias(
+                "share_global"
+            ),
+        )
     )
