@@ -547,3 +547,91 @@ def zorder_key_2d(x: Column, y: Column, bits: int = 16) -> Column:
         )
         z = z.bitwiseOR(xb).bitwiseOR(yb)
     return z
+
+
+def approx_heavy_hitters(
+    df: DataFrame, col: str, k: int = 100, weight_col: str | None = None
+) -> DataFrame:
+    """Mergeable frequent-items summary (Misra-Gries / space-saving).
+
+    Each partition keeps at most ``k`` counters via the classic
+    decrement rule (Arrow-batched pandas, one pass, O(k) memory); the
+    per-partition summaries then merge with a plain groupBy-sum. The
+    guarantee composes: per partition the undercount is <= n_p/(k+1),
+    so after the merge every item's reported count is a LOWER bound
+    within N/(k+1) of its true frequency, and ANY item with true
+    frequency > N/(k+1) is guaranteed to survive into the output.
+
+    This is the mergeable-summary pattern for 100 TB frequency
+    questions: persist per-day/per-shard summaries (k rows each),
+    merge later — the frequent-items counterpart of the HLL sketch
+    row (agg_hll_sketch_union). Exact top-k (doc_token_heavy_hitters)
+    needs a full shuffle of all distinct items; this needs k rows per
+    partition, full stop.
+
+    Returns (item, count_lb, n_total, err_bound) — count_lb is the
+    summed lower bound, err_bound = floor(N/(k+1)) the worst-case
+    undercount.
+    """
+    from collections.abc import Iterable
+
+    import pandas as pd
+
+    def summarize(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            # vectorized pre-aggregation: the python-side MG merge then
+            # touches each DISTINCT item once per batch, not each row
+            if weight_col:
+                vc = pdf.groupby(col, sort=False)[weight_col].sum()
+            else:
+                vc = pdf[col].value_counts(sort=False)
+            n += int(vc.sum())
+            for item, w in vc.items():
+                w = int(w)
+                if item in counters:
+                    counters[item] += w
+                elif len(counters) < k:
+                    counters[item] = w
+                else:
+                    # weighted Misra-Gries decrement: remove the min
+                    # counter's worth from everyone (dropping zeros
+                    # frees a slot), keep the remainder of the newcomer
+                    dec = min(w, min(counters.values()))
+                    counters = {
+                        it: c - dec for it, c in counters.items() if c > dec
+                    }
+                    if w > dec:
+                        counters[item] = w - dec
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [0],
+                "n_part": [0] * len(counters) + [n],
+            }
+        )
+
+    item_type = dict(df.dtypes)[col]
+    partials = df.select(
+        *( [col, weight_col] if weight_col else [col] )
+    ).mapInPandas(
+        summarize, schema=f"item {item_type}, cnt long, n_part long"
+    )
+    totals = partials.agg(
+        F.sum("n_part").alias("n_total"), F.sum(F.lit(0)).alias("_z")
+    ).select("n_total")
+    merged = (
+        partials.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("count_lb"))
+    )
+    return (
+        merged.crossJoin(F.broadcast(totals))
+        .select(
+            "item",
+            "count_lb",
+            "n_total",
+            F.floor(F.col("n_total") / (k + 1)).cast("long").alias("err_bound"),
+        )
+    )

@@ -46,7 +46,6 @@ _WINDOW_PRIORITY = [
     "simhash_near_dup",
     # --- new in round 4: training-data pipeline ops ---
     # --- new in round 4 (late): corpus part 2 + PQ ANN tier ---
-    "corpus_mix_weights",
     "doc_global_shuffle",
     "jaccard_dup_clusters",
     "ann_pq_topk",
@@ -90,6 +89,7 @@ _WINDOW_PRIORITY = [
     "agg_corr_matrix",
     "fn_format_suite",
     "win_percent_of_total",
+    "doc_token_heavy_hitters_sketch",
 ]
 
 

@@ -956,3 +956,28 @@ def emb_pca_project(spark, sf_dir):
         "label",
         *[F.round(F.col(f"p{j}"), 6).alias(f"p{j}") for j in range(8)],
     )
+
+
+@query("doc_token_heavy_hitters_sketch", oracle=None)  # partitioning-dependent counts
+def doc_token_heavy_hitters_sketch(spark, sf_dir):
+    """Mergeable Misra-Gries frequent-tokens summary (ops.
+    approx_heavy_hitters, k=200) over the exploded corpus vocabulary —
+    the bounded-memory counterpart of the exact doc_token_heavy_hitters
+    (which shuffles every distinct token). Per-partition state is 200
+    counters regardless of vocabulary size; lower bounds are within
+    N/(k+1) of true frequency and every token above that threshold is
+    guaranteed present (bounds pinned in tests/test_heavy_hitters.py).
+    Output depends on partition boundaries -> rows-only driver check."""
+    from ..ops import approx_heavy_hitters
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    res = approx_heavy_hitters(toks, "tok", k=200)
+    return (
+        res.orderBy(F.col("count_lb").desc(), "item")
+        .limit(20)
+        .select("item", "count_lb", "n_total", "err_bound")
+    )
