@@ -1,0 +1,111 @@
+"""Degenerate-input robustness: every core operator must return an
+EMPTY result with the right schema (not crash) on empty input, and
+behave sanely on a single row — the failure mode that bites real
+pipelines when a filter or a partition predicate matches nothing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_stream_aggregator_spark.indicators import (
+    ewma_alpha,
+    windowed_ewma,
+    windowed_ewma_closed_form,
+)
+from kafka_stream_aggregator_spark.ops import (
+    approx_heavy_hitters,
+    asof_join,
+    dedup_keep_first,
+    exact_percentiles,
+    sessionize,
+    top_k_per_group,
+    zorder_key_2d,
+)
+from kafka_stream_aggregator_spark.tables import load_table
+
+
+def _empty_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").filter(F.lit(False))
+
+
+def test_windowed_ewma_empty(spark, sf_dir):
+    e = _empty_events(spark, sf_dir)
+    out = windowed_ewma(e, group_cols=("event_type",), period_minutes=5)
+    assert out.count() == 0
+    out2 = windowed_ewma_closed_form(
+        e, group_cols=("event_type",), period_minutes=5
+    )
+    assert out2.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        f.name for f in out2.schema.fields
+    ]
+
+
+def test_sessionize_empty_and_single(spark, sf_dir):
+    e = _empty_events(spark, sf_dir)
+    assert sessionize(e).count() == 0
+    one = load_table(spark, sf_dir, "events").limit(1)
+    rows = sessionize(one).collect()
+    assert len(rows) == 1 and rows[0]["session_id"] == 1
+
+
+def test_asof_join_empty_sides(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    right_empty = e.filter(F.lit(False)).select(
+        F.col("user_id").alias("ru"), F.col("ts").alias("rts"),
+        F.col("event_id").alias("rid"), F.col("value").alias("rv"),
+    )
+    # empty right: every left row survives with NULL payload
+    out = asof_join(
+        left.limit(100), right_empty, "ts", "rts", "user_id", "ru", "rid", ["rv"]
+    )
+    got = out.collect()
+    assert len(got) == 100 and all(r["rv"] is None for r in got)
+    # empty left: empty result
+    out2 = asof_join(
+        left.filter(F.lit(False)), right_empty, "ts", "rts",
+        "user_id", "ru", "rid", ["rv"],
+    )
+    assert out2.count() == 0
+
+
+def test_percentiles_empty_group_cols(spark, sf_dir):
+    e = _empty_events(spark, sf_dir)
+    out = exact_percentiles(
+        e, "value", [(0.5, "p50")], group_cols=("event_type",)
+    )
+    assert out.count() == 0
+
+
+def test_dedup_and_topk_empty(spark, sf_dir):
+    e = _empty_events(spark, sf_dir)
+    assert dedup_keep_first(e, ["event_type"], ["ts", "event_id"]).count() == 0
+    assert top_k_per_group(e, ["event_type"], [F.col("value").desc()], 3).count() == 0
+
+
+def test_heavy_hitters_empty(spark, sf_dir):
+    e = _empty_events(spark, sf_dir).select("event_type")
+    assert approx_heavy_hitters(e, "event_type", k=10).count() == 0
+
+
+def test_zorder_key_bounds(spark):
+    """Corners of the 2-D domain map to the right Morton codes."""
+    df = spark.createDataFrame(
+        [(0, 0), (1023, 1023), (1, 0), (0, 1)], "x int, y int"
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key_2d(F.col("x"), F.col("y"), bits=10).alias("z")
+        ).collect()
+    }
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1          # x bit 0 -> z bit 0
+    assert got[(0, 1)] == 2          # y bit 0 -> z bit 1
+    assert got[(1023, 1023)] == (1 << 20) - 1  # all 20 bits set
+
+
+def test_ewma_alpha_matches_reference_rule(spark):
+    # alpha = 2/(n+1), n = minutes*60 (reference indicators.rs:17)
+    assert ewma_alpha(5) == 2.0 / 301.0
