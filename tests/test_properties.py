@@ -237,3 +237,72 @@ def test_stratified_sample_subset_and_monotone(spark, rate, ids):
         ).collect()
     }
     assert kept <= higher
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_zorder_key_bijective_and_matches_python(spark, pairs):
+    """The Morton key is injective on the 2^10 x 2^10 domain and the
+    Catalyst expression agrees bit-for-bit with a python reference."""
+    from kafka_stream_aggregator_spark.ops import zorder_key_2d
+
+    def ref(x, y):
+        z = 0
+        for i in range(10):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key_2d(F.col("x"), F.col("y"), bits=10).alias("z")
+        ).collect()
+    }
+    zs = set()
+    for (x, y), z in got.items():
+        assert z == ref(x, y)
+        zs.add(z)
+    assert len(zs) == len(pairs)  # injective
+
+
+@given(
+    stream=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(1, 5)),  # (item, weight)
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(2, 6),
+)
+@SETTINGS
+def test_heavy_hitters_bounds_on_random_streams(spark, stream, k):
+    """MG invariants on arbitrary weighted streams: lower bounds never
+    overcount, undercount composes to <= N/(k+1), and every item above
+    the threshold is present — regardless of item order or partitioning."""
+    from kafka_stream_aggregator_spark.ops import approx_heavy_hitters
+
+    df = spark.createDataFrame(stream, "item long, w long").repartition(3)
+    exact: dict = {}
+    for item, w in stream:
+        exact[item] = exact.get(item, 0) + w
+    n_total = sum(exact.values())
+    got = {
+        r["item"]: r["count_lb"]
+        for r in approx_heavy_hitters(df, "item", k=k, weight_col="w").collect()
+    }
+    # composed MG bound: total decrement <= sum_p n_p/(k+1) <= N/(k+1)
+    err = n_total // (k + 1)
+    for item, lb in got.items():
+        assert lb <= exact[item]
+        assert lb >= exact[item] - err
+    for item, f in exact.items():
+        if f > n_total // (k + 1):
+            assert item in got
