@@ -570,12 +570,20 @@ def approx_heavy_hitters(
     partition, full stop.
 
     Returns (item, count_lb, n_total, err_bound) — count_lb is the
-    summed lower bound, err_bound = floor(N/(k+1)) the worst-case
-    undercount.
+    summed lower bound, err_bound = N/(k+1) the worst-case undercount
+    (floored to long for integral weights, exact double for float
+    weights: truncating a float weight to int would silently break the
+    N/(k+1) lower-bound guarantee, so float weights keep float
+    arithmetic end to end).
     """
     from collections.abc import Iterable
 
     import pandas as pd
+
+    is_float_w = weight_col is not None and (
+        dict(df.dtypes)[weight_col].startswith(("float", "double", "decimal"))
+    )
+    num = float if is_float_w else int
 
     def summarize(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         counters: dict = {}
@@ -587,9 +595,9 @@ def approx_heavy_hitters(
                 vc = pdf.groupby(col, sort=False)[weight_col].sum()
             else:
                 vc = pdf[col].value_counts(sort=False)
-            n += int(vc.sum())
+            n += num(vc.sum())
             for item, w in vc.items():
-                w = int(w)
+                w = num(w)
                 if item in counters:
                     counters[item] += w
                 elif len(counters) < k:
@@ -613,25 +621,26 @@ def approx_heavy_hitters(
         )
 
     item_type = dict(df.dtypes)[col]
+    cnt_type = "double" if is_float_w else "long"
     partials = df.select(
         *( [col, weight_col] if weight_col else [col] )
     ).mapInPandas(
-        summarize, schema=f"item {item_type}, cnt long, n_part long"
+        summarize, schema=f"item {item_type}, cnt {cnt_type}, n_part {cnt_type}"
     )
-    totals = partials.agg(
-        F.sum("n_part").alias("n_total"), F.sum(F.lit(0)).alias("_z")
-    ).select("n_total")
+    # Both output branches (totals + merged) read partials; checkpoint
+    # eagerly so the full MG input scan runs ONCE, not once per branch
+    # (same rationale as pca_fit's moment checkpoint).
+    partials = partials.localCheckpoint(eager=True)
+    totals = partials.agg(F.sum("n_part").alias("n_total"))
     merged = (
         partials.filter(F.col("item").isNotNull())
         .groupBy("item")
         .agg(F.sum("cnt").alias("count_lb"))
     )
+    err = F.col("n_total") / (k + 1)
+    if not is_float_w:
+        err = F.floor(err).cast("long")
     return (
         merged.crossJoin(F.broadcast(totals))
-        .select(
-            "item",
-            "count_lb",
-            "n_total",
-            F.floor(F.col("n_total") / (k + 1)).cast("long").alias("err_bound"),
-        )
+        .select("item", "count_lb", "n_total", err.alias("err_bound"))
     )

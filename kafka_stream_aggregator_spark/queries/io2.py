@@ -70,12 +70,27 @@ def io_partitioned_pruning(spark, sf_dir):
     rest. This is the coarse-grained pruning tier that sits above
     parquet row-group min/max skipping.
 
-    The write is cached per (sf_dir) so repeated calls (bench passes,
-    parity runs) re-measure the pruned READ, not the write.
+    The write is cached so repeated calls (bench passes, parity runs)
+    re-measure the pruned READ, not the write. The cache tag folds in a
+    CONTENT fingerprint of the source files (name, size, mtime), not
+    just the path — if the dataset at sf_dir is regenerated, the tag
+    changes and the partitioned copy is rewritten instead of silently
+    serving stale data.
     """
     import hashlib
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    fp = hashlib.md5(sf_dir.encode())
+    paths = [src]
+    if os.path.isdir(src):
+        paths = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if not f.startswith(".")
+        )
+    for p in paths:
+        if os.path.exists(p):
+            st = os.stat(p)
+            fp.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
+    tag = fp.hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"ksa_part_lineitem_{tag}")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):

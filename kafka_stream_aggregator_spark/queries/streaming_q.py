@@ -209,10 +209,13 @@ def stream_neardup_pairs(spark, sf_dir):
     "stream_ohlc_5min",
     # Batch OHLC restricted to stream-finalized windows (append mode
     # emits a candle once the watermark — max event time minus 10 min —
-    # passes its end), same horizon rule as stream_ewma_5min.
+    # passes its end). 60 s boundary slack on BOTH sides (as in
+    # stream_session_stats): a window whose end lands exactly on the
+    # watermark can be emitted-vs-excluded differently by append mode
+    # than by the oracle's <= cut, so both cut 60 s earlier.
     oracle="""
     WITH h AS (
-      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 AS horizon FROM events
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 660 AS horizon FROM events
     ), r AS (
       SELECT event_type,
              CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
@@ -256,14 +259,24 @@ def stream_ohlc_5min(spark, sf_dir):
         )
     )
     out = _run_to_df(spark, agg)
-    return out.select(
-        "event_type",
-        F.unix_timestamp(F.col("window.start")).cast("long").alias("window_start"),
-        "open",
-        "high",
-        "low",
-        "close",
-        "n_trades",
+    horizon = (
+        t(spark, sf_dir, "events")
+        .agg((F.floor(F.unix_timestamp(F.max("ts"))) - 660).alias("h"))
+    )
+    return (
+        out.crossJoin(F.broadcast(horizon))
+        .filter(F.unix_timestamp("window.end") <= F.col("h"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("window.start"))
+            .cast("long")
+            .alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_trades",
+        )
     )
 
 
@@ -395,8 +408,10 @@ def stream_static_enrich(spark, sf_dir):
       SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 660 AS horizon FROM events
     ), s AS (
       SELECT user_id, ts, value,
+             -- >= 1800: session_window(gap) is a half-open interval, so
+             -- an event at exactly last_ts + gap starts a NEW session.
              CASE WHEN lag(epoch(ts)) OVER w IS NULL
-                       OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                       OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -508,10 +523,11 @@ def stream_sliding_counts(spark, sf_dir):
     # Chained stateful aggregations (sub-window partials -> window
     # recombination): the SECOND stateful operator's watermark trails
     # the first by one extra delay, so the finalized horizon is
-    # max(ts) - 2*watermark - sub_window; both sides cut there.
+    # max(ts) - 2*watermark - sub_window, minus the same 60 s boundary
+    # slack as the session/sliding twins; both sides cut there.
     oracle=f"""
     WITH h AS (
-      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 1500 AS horizon FROM events
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 1560 AS horizon FROM events
     ), r AS (
       SELECT event_type,
              CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
@@ -554,7 +570,7 @@ def stream_ewma_5min_twolevel(spark, sf_dir):
     out = _run_to_df(spark, sdf)
     horizon = (
         t(spark, sf_dir, "events")
-        .agg((F.floor(F.unix_timestamp(F.max("ts"))) - 1500).alias("h"))
+        .agg((F.floor(F.unix_timestamp(F.max("ts"))) - 1560).alias("h"))
     )
     return (
         out.crossJoin(F.broadcast(horizon))

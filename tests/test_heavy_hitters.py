@@ -85,3 +85,32 @@ def test_weighted_variant(spark, sf_dir):
         if f > n_total // 21:
             assert item in res
             assert exact[item] - n_total // 21 <= res[item] <= exact[item]
+
+
+def test_float_weights_keep_float_arithmetic(spark, sf_dir):
+    """A DOUBLE weight column must not be silently truncated to int:
+    counts come back as doubles and the N/(k+1) lower-bound guarantee
+    holds in exact float arithmetic (weights of 0.5 would previously
+    all truncate to 0 and every bound would be vacuous or wrong)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.lit(0.5).alias("w")
+    )
+    exact = {
+        r["o_orderpriority"]: r["n"] * 0.5
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(exact.values())
+    rows = approx_heavy_hitters(o, "o_orderpriority", k=20, weight_col="w").collect()
+    assert rows
+    err = n_total / 21
+    for r in rows:
+        assert isinstance(r["count_lb"], float)
+        assert abs(r["n_total"] - n_total) < 1e-6
+        assert abs(r["err_bound"] - err) < 1e-6
+    res = {r["item"]: r["count_lb"] for r in rows}
+    for item, f in exact.items():
+        if f > err:
+            assert item in res
+            assert exact[item] - err - 1e-6 <= res[item] <= exact[item] + 1e-6
