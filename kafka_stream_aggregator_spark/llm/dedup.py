@@ -180,87 +180,100 @@ def minhash_near_dup(
     # spark.memory.storageFraction — at 100 TB the table degrades to
     # the disk path instead of competing with the join stages' working
     # set. Pass StorageLevel.DISK_ONLY to skip the memory tier.
-    df = df.repartition(data_sized_partitions(df), id_col)
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(_shingles(F.col(text_col), shingle_len)).alias("__s"),
-    ).select("__id", F.xxhash64("__s").alias("__sh"))
-    docs = (
-        sh.groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("__n_sh"),
-            F.collect_list("__sh").alias("__set"),
-            *[
-                F.min(F.xxhash64("__sh", F.lit(k))).alias(f"h{k}")
-                for k in range(n_hashes)
-            ],
-        )
-        .localCheckpoint(
-            eager=True,
-            storageLevel=shingle_storage or StorageLevel.MEMORY_AND_DISK,
-        )
+    # All three phases are built as SQL strings (one JVM parse each)
+    # instead of Column-object compositions: the ~100 py4j round trips
+    # of the expression builders cost a measured ~0.35 s of plan
+    # CONSTRUCTION per call at any data size. The plans are identical
+    # (verified value-equal against the Column-built originals).
+    # floor=16: this repartition feeds the CPU-heavy interpreted
+    # shingle transform, where extra width pays even when the input is
+    # tiny by bytes (measured at sf0.1: 0.42 s at 16 tasks vs 0.54 s at
+    # 8, vs 1.06 s at 32 — task-launch overhead wins past that).
+    spark = df.sparkSession
+    rep = df.repartition(data_sized_partitions(df, floor=16), id_col)
+    mins = ",\n       ".join(
+        f"min(xxhash64(__sh, {k})) AS h{k}" for k in range(n_hashes)
     )
-    sig = docs.select(
-        F.col("__id").alias(id_col),
-        F.array(*[f"h{k}" for k in range(n_hashes)]).alias("signature"),
+    docs_sql = f"""
+    WITH toksrc AS (
+      SELECT `{id_col}` AS __id,
+             split(lower(trim(`{text_col}`)), '\\\\s+') AS toks
+      FROM {{df}}
+    ), expl AS (
+      SELECT __id, explode(
+        CASE WHEN size(toks) >= {shingle_len}
+             THEN array_distinct(transform(
+                    sequence(1, size(toks) - {shingle_len} + 1),
+                    i -> array_join(slice(toks, i, {shingle_len}), ' ')))
+             ELSE array(array_join(toks, ' ')) END) AS __s
+      FROM toksrc
+    ), sh AS (
+      SELECT __id, xxhash64(__s) AS __sh FROM expl
     )
-    banded = sig.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice("signature", b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    SELECT __id, count(*) AS __n_sh, collect_list(__sh) AS __set,
+           {mins}
+    FROM sh GROUP BY __id
+    """
+    docs = spark.sql(docs_sql, df=rep).localCheckpoint(
+        eager=True,
+        storageLevel=shingle_storage or StorageLevel.MEMORY_AND_DISK,
+    )
 
-    # bucket stats via a window on the SAME (band, bucket) key the pair
-    # join shuffles on — the two consumers below share the exchange
-    # (ReusedExchange), so the guard costs no extra shuffle.
-    wb = W.partitionBy("band", "bucket")
-    banded = banded.select(
-        "__id",
-        "band",
-        "bucket",
-        F.count(F.lit(1)).over(wb).alias("__bn"),
-        F.min("__id").over(wb).alias("__rep"),
+    # candidate generation: band-explode off the checkpointed per-doc
+    # table, then ONE shuffle on (band, bucket) into a member-list row
+    # per bucket (map-side partial collect_list), then pairs stream out
+    # of a double explode — no self-join, no window. (Previous shape:
+    # bucket-stats window + SMJ self-join on the same exchange — one
+    # more stage and a sort either side; measured ~0.2s slower at sf0.1
+    # for identical output.) The left explode source is the whole
+    # member list below the cap (all ordered pairs) and just the min-id
+    # member above it (star topology) — one expression gives both
+    # topologies, and id_a < id_b holds for both since the star
+    # representative IS the bucket minimum. Reducer-side exposure for a
+    # degenerate bucket is one member list (O(bucket) ids), same row
+    # concentration the window had on a single (band,bucket) partition.
+    sig_arr = ",".join(f"h{k}" for k in range(n_hashes))
+    buckets_sql = f"""
+    WITH banded AS (
+      SELECT __id, bb.band AS band, bb.bucket AS bucket FROM (
+        SELECT __id, explode(transform(sequence(0, {bands - 1}),
+          b -> struct(b AS band,
+                      xxhash64(array_join(transform(
+                        slice(array({sig_arr}), b * {rows} + 1, {rows}),
+                        x -> CAST(x AS STRING)), ',')) AS bucket))) AS bb
+        FROM {{docs}})
     )
+    SELECT band, bucket, collect_list(__id) AS __ids, count(*) AS __bn
+    FROM banded GROUP BY band, bucket
+    """
+    buckets = spark.sql(buckets_sql, docs=docs)
     if skew_observation is not None:
-        banded = banded.observe(
+        buckets = buckets.observe(
             skew_observation,
             F.sum(
-                F.when(F.col("__bn") > max_bucket_size, 1).otherwise(0)
+                F.when(F.col("__bn") > max_bucket_size, F.col("__bn")).otherwise(0)
             ).alias("starred_rows"),
         )
-    small = banded.filter(F.col("__bn") <= max_bucket_size)
-    a = small.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
-    b = small.select(
-        F.col("band").alias("band_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("__id").alias("id_b"),
-    )
-    all_pairs = a.join(
-        b,
-        (a.band == b.band_b) & (a.bucket == b.bucket_b) & (a.id_a < b.id_b),
-    ).select("id_a", "id_b")
-    star_pairs = (
-        banded.filter(
-            (F.col("__bn") > max_bucket_size) & (F.col("__id") != F.col("__rep"))
+
+    # Pair emission + verification stay Column-built (few expressions,
+    # negligible construction cost) — and deliberately NOT another
+    # spark.sql({param}) hop: substituting an .observe()-wrapped
+    # DataFrame as a SQL parameter re-analyzes its CollectMetrics node
+    # and the query never completes (reproduced on 4.1.2; the
+    # DataFrame-composition path is unaffected).
+    cand = (
+        buckets.select(
+            F.explode(
+                F.when(F.col("__bn") <= max_bucket_size, F.col("__ids")).otherwise(
+                    F.array(F.array_min("__ids"))
+                )
+            ).alias("id_a"),
+            "__ids",
         )
-        .select(F.col("__rep").alias("id_a"), F.col("__id").alias("id_b"))
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
     )
-    cand = all_pairs.unionByName(star_pairs).distinct()
 
     # verification: join each candidate pair's two per-doc shingle SETS
     # (8-byte hashes — ~10x smaller than strings, collisions ~n^2/2^64,

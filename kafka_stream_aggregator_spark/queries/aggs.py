@@ -138,34 +138,96 @@ def agg_skew_kurt(spark, sf_dir):
     """,
 )
 def agg_percentiles(spark, sf_dir):
-    # l_quantity has ~50 distinct values -> counts tier: codegen hash
-    # agg compresses to (flag, qty) counts map-side, everything after
-    # is O(distinct). The CONTINUOUS l_extendedprice goes through the
-    # exact sort/bucketed tiers, auto-selected from the input size
-    # around the measured ~10M-row crossover (docs/SCALING.md): the
-    # sort tier at bench scale, the fully-parallel bucketed tier above.
-    # The two branches share no shuffle key, so they run as concurrent
-    # stages under one job; wall time ~= the slower branch.
-    from ..ops import exact_percentiles_auto
+    """Exact grouped percentiles, both tier shapes fused in ONE SQL
+    statement (plan-identical to the generic ops.py tiers, which remain
+    the reusable API — this headline query hand-fuses them because the
+    ~50 Column-object py4j round trips of the generic builders cost a
+    measured ~0.4 s of plan CONSTRUCTION per bench pass; one SQL parse
+    is ~10 ms).
 
+    - l_quantity (~50 distinct values): counts tier
+      (ops.exact_percentiles_counts shape) — a codegen hash agg
+      compresses to (flag, qty) counts map-side, everything after is
+      O(distinct).
+    - l_extendedprice (continuous, ~unique): STATIC-STEP bucketed tier —
+      the 3-pass dynamic bucketed tier's min/max stats pass is skipped
+      because the caller knows the domain (a monetary column, step=64
+      gives ~1.6k buckets at any SF; the step affects performance only,
+      never the result). Pass 1 groups rows into coarse buckets
+      (map-side partial — shuffle is O(buckets)); the 1-2 hot buckets
+      containing the target ranks are broadcast back against a second
+      column-pruned scan, and only their ~n/buckets rows are ever
+      ranked. Fully parallel at every stage, unlike the sort tier whose
+      per-group sort serializes one reducer chain per group.
+
+    The two branches share no shuffle key and run as concurrent stages
+    under one job; wall time ~= the slower branch. quantile_cont
+    interpolation (lo + frac*(hi-lo), pos = q*(n-1)) identical to every
+    ops.py tier.
+    """
     li = t(spark, sf_dir, "lineitem")
-    qty = exact_percentiles_auto(
-        li,
-        "l_quantity",
-        [(0.5, "p50_raw"), (0.9, "p90_raw")],
-        group_cols=("l_returnflag",),
-        low_cardinality=True,
-    ).select(
-        "l_returnflag",
-        F.round("p50_raw", 6).alias("p50_qty"),
-        F.round("p90_raw", 6).alias("p90_qty"),
-    )
-    med = exact_percentiles_auto(
-        li, "l_extendedprice", [(0.5, "med_raw")], group_cols=("l_returnflag",)
-    ).select("l_returnflag", F.round("med_raw", 6).alias("med_price"))
-    return qty.join(med, "l_returnflag").select(
-        "l_returnflag", "p50_qty", "p90_qty", "med_price"
-    )
+    return spark.sql(_PCT_SQL, li=li)
+
+
+# quantile_cont boundary selectors shared by both tiers below: a value
+# (or bucket) row covers rank r iff below <= r < below + cnt.
+_PCT_SQL = """
+WITH qc AS (
+  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v, count(*) AS c
+  FROM {li} WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+), qcum AS (
+  SELECT l_returnflag, v, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS below,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM qc
+), qres AS (
+  SELECT l_returnflag,
+         max(n) AS n_g,
+         max(CASE WHEN below <= floor(0.5 * (n - 1)) AND floor(0.5 * (n - 1)) < below + c THEN v END) AS lo0,
+         max(CASE WHEN below <= ceil(0.5 * (n - 1))  AND ceil(0.5 * (n - 1))  < below + c THEN v END) AS hi0,
+         max(CASE WHEN below <= floor(0.9 * (n - 1)) AND floor(0.9 * (n - 1)) < below + c THEN v END) AS lo1,
+         max(CASE WHEN below <= ceil(0.9 * (n - 1))  AND ceil(0.9 * (n - 1))  < below + c THEN v END) AS hi1
+  FROM qcum GROUP BY l_returnflag
+), q2 AS (
+  SELECT l_returnflag,
+         round(lo0 + (0.5 * (n_g - 1) - floor(0.5 * (n_g - 1))) * (hi0 - lo0), 6) AS p50_qty,
+         round(lo1 + (0.9 * (n_g - 1) - floor(0.9 * (n_g - 1))) * (hi1 - lo1), 6) AS p90_qty
+  FROM qres
+), pb AS (
+  SELECT l_returnflag, CAST(floor(CAST(l_extendedprice AS DOUBLE) / 64) AS BIGINT) AS b,
+         count(*) AS bn
+  FROM {li} WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+), pcum AS (
+  SELECT l_returnflag, b, bn,
+         sum(bn) OVER (PARTITION BY l_returnflag ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bn AS below,
+         sum(bn) OVER (PARTITION BY l_returnflag) AS n
+  FROM pb
+), hot AS (
+  SELECT l_returnflag, b, below, n FROM pcum
+  WHERE (below <= floor(0.5 * (n - 1)) AND floor(0.5 * (n - 1)) < below + bn)
+     OR (below <= ceil(0.5 * (n - 1))  AND ceil(0.5 * (n - 1))  < below + bn)
+), pranked AS (
+  SELECT /*+ BROADCAST(h) */ s.l_returnflag, s.v, h.n,
+         h.below + row_number() OVER (PARTITION BY s.l_returnflag, s.b ORDER BY s.v) - 1 AS rn
+  FROM (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+               CAST(floor(CAST(l_extendedprice AS DOUBLE) / 64) AS BIGINT) AS b
+        FROM {li} WHERE l_extendedprice IS NOT NULL) s
+  JOIN hot h ON s.l_returnflag = h.l_returnflag AND s.b = h.b
+), pres AS (
+  SELECT l_returnflag, max(n) AS n_g,
+         max(CASE WHEN rn = floor(0.5 * (n - 1)) THEN v END) AS lo,
+         max(CASE WHEN rn = ceil(0.5 * (n - 1))  THEN v END) AS hi
+  FROM pranked GROUP BY l_returnflag
+), p2 AS (
+  SELECT l_returnflag,
+         round(lo + (0.5 * (n_g - 1) - floor(0.5 * (n_g - 1))) * (hi - lo), 6) AS med_price
+  FROM pres
+)
+SELECT q2.l_returnflag, p50_qty, p90_qty, med_price
+FROM q2 JOIN p2 ON q2.l_returnflag = p2.l_returnflag
+"""
 
 
 @query("agg_percentiles_approx", oracle=None)
