@@ -306,3 +306,60 @@ def test_heavy_hitters_bounds_on_random_streams(spark, stream, k):
     for item, f in exact.items():
         if f > n_total // (k + 1):
             assert item in got
+
+
+@given(
+    groups=st.lists(
+        st.lists(
+            st.one_of(
+                st.floats(-1000.0, 1000.0, allow_nan=False, width=32),
+                st.sampled_from([0.0, 7.0, 7.0, 7.0, -3.5]),  # massive ties
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    qs=st.lists(st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0]),
+                min_size=1, max_size=2, unique=True),
+)
+@SETTINGS
+def test_percentile_tiers_agree(spark, groups, qs):
+    """The three exact percentile tiers (counts / sort-rank / bucketed)
+    are interchangeable: on arbitrary grouped data — including massive
+    ties and all-equal groups (span == 0, the bucketed tier's
+    degenerate bucket-width branch) — all three agree with each other
+    and with numpy's linear-interpolation quantile to 6dp."""
+    import numpy as np
+
+    from kafka_stream_aggregator_spark.ops import (
+        exact_percentiles,
+        exact_percentiles_bucketed,
+        exact_percentiles_counts,
+    )
+
+    rows = [(g, float(v)) for g, vals in enumerate(groups) for v in vals]
+    # force a span==0 group alongside the random ones
+    rows += [(99, 5.0), (99, 5.0), (99, 5.0)]
+    df = spark.createDataFrame(rows, "g long, v double").repartition(3)
+    spec = [(q, f"p{i}") for i, q in enumerate(qs)]
+    tiers = {
+        "counts": exact_percentiles_counts(df, "v", spec, group_cols=("g",)),
+        "sort": exact_percentiles(df, "v", spec, group_cols=("g",)),
+        "bucketed": exact_percentiles_bucketed(
+            df, "v", spec, group_cols=("g",), n_buckets=16
+        ),
+    }
+    expect = {}
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        expect[g] = [float(np.quantile(np.array(vals), q)) for q in qs]
+    for tier, tdf in tiers.items():
+        got = {r["g"]: [r[f"p{i}"] for i in range(len(qs))] for r in tdf.collect()}
+        assert set(got) == set(expect), tier
+        for g in expect:
+            for a, b in zip(got[g], expect[g]):
+                assert abs(a - b) < 1e-6, (tier, g, got[g], expect[g])

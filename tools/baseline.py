@@ -13,7 +13,10 @@ comparable ratio (Spark total over DuckDB total, restricted to queries
 that HAVE an oracle — probabilistic/self-checked queries are reported
 under "spark_only" and excluded from the ratio).
 
-Usage: python tools/baseline.py [--passes N]
+Usage: python tools/baseline.py [sf_dir] [--passes N]
+(positional sf_dir overrides $SPARK_GRAFT_SF_DIR — used by
+tools/ratio_curve.py to sweep the scale tiers from
+tools/scale_testdata.py)
 """
 
 from __future__ import annotations
@@ -40,7 +43,10 @@ def main() -> None:
     passes = 2
     if "--passes" in sys.argv:
         passes = int(sys.argv[sys.argv.index("--passes") + 1])
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    pos = [a for a in sys.argv[1:] if not a.startswith("--") and not a.isdigit()]
+    sf_dir = (
+        pos[0] if pos else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
     names = [n for n, s in REGISTRY.items() if s.bench]
     comparable = [n for n in names if REGISTRY[n].oracle is not None]
 
