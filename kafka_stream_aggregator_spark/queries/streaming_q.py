@@ -191,11 +191,23 @@ def stream_neardup_pairs(spark, sf_dir):
     stream = file_stream(
         spark, d, "doc_id long, text string", max_files_per_trigger=1
     )
-    out = _run_to_df(
-        spark,
-        streaming_near_dup(stream, jaccard_threshold=0.3),
-        mode="update",
-    )
+    # This query's wall time is micro-batches x state partitions x
+    # Python-worker spin-up, not data: at registry scale (<=5k docs,
+    # 2 micro-batches) 32 state partitions are ~64 near-empty stateful
+    # Python tasks. Pin a narrow stream for the drain and restore the
+    # session conf after — the state-partition count binds at (fresh)
+    # checkpoint creation, so this is per-run, and at production scale
+    # the same knob is simply left at the cluster default.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = _run_to_df(
+            spark,
+            streaming_near_dup(stream, jaccard_threshold=0.3),
+            mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         out.groupBy("id_a", "id_b")
         .agg(
