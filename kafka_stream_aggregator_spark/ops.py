@@ -236,6 +236,7 @@ def exact_percentiles_bucketed(
     qs: Sequence[tuple[float, str]],
     group_cols: Sequence[str] = (),
     n_buckets: int = 8192,
+    static_step: float | None = None,
 ) -> DataFrame:
     """Exact percentiles without a per-group sort: histogram bucketing
     locates each target rank's bucket, and only the rows of those
@@ -248,42 +249,69 @@ def exact_percentiles_bucketed(
     (group, bucket): thousands of tiny partitions, embarrassingly
     parallel. Same quantile_cont interpolation, exact at any value
     cardinality; the scale-preferred exact tier (docs/SCALING.md).
+
+    ``static_step``: when the caller knows the value column's scale (a
+    monetary column, a bounded score), pass a fixed bucket width and
+    the min/max stats pass — one full scan plus a stage barrier — is
+    skipped entirely: bucket = floor(v / step), group counts come from
+    the bucket-count window. Two scans instead of three; the step
+    affects only how many rows the refinement ranks (aim for
+    ~n/4096 per bucket), never the result. This is the plan shape the
+    fused agg_percentiles bench query uses.
     """
     g = list(group_cols)
     v = F.col(value_col).cast("double")
     df0 = df.select(*g, v.alias("__v")).filter(F.col("__v").isNotNull())
-
-    # pass 1: per-group range + count (drives bucket width and ranks)
-    stats = df0.groupBy(*g).agg(
-        F.min("__v").alias("__lo"),
-        F.max("__v").alias("__hi"),
-        F.count(F.lit(1)).alias("__n"),
-    )
-
-    def bucket_of(val):
-        span = F.col("__hi") - F.col("__lo")
-        raw = F.floor((val - F.col("__lo")) / span * n_buckets)
-        return F.when(span == 0.0, F.lit(0)).otherwise(
-            F.least(raw, F.lit(n_buckets - 1))
-        ).cast("long")
-
-    withb = df0.join(F.broadcast(stats), g) if g else df0.crossJoin(
-        F.broadcast(stats)
-    )
-    withb = withb.withColumn("__b", bucket_of(F.col("__v")))
-
-    # pass 2: per-(group, bucket) counts -> cumulative rows below bucket
-    bcounts = withb.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__bn"))
     w = (W.partitionBy(*g) if g else W.partitionBy(F.lit(1))).orderBy("__b")
-    cum = bcounts.withColumn(
-        "__below",
-        F.sum("__bn").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
-        - F.col("__bn"),
-    )
-    # a bucket is hot if it contains floor/ceil of any target rank
-    cum = cum.join(F.broadcast(stats.select(*g, "__n")), g) if g else (
-        cum.crossJoin(F.broadcast(stats.select("__n")))
-    )
+    w_all = W.partitionBy(*g) if g else W.partitionBy(F.lit(1))
+
+    if static_step is not None:
+        # caller-known scale: no stats pass, fixed-width buckets
+        withb = df0.withColumn(
+            "__b", F.floor(F.col("__v") / F.lit(float(static_step))).cast("long")
+        )
+        bcounts = withb.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__bn"))
+        cum = bcounts.select(
+            *g,
+            "__b",
+            "__bn",
+            (
+                F.sum("__bn").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                - F.col("__bn")
+            ).alias("__below"),
+            F.sum("__bn").over(w_all).alias("__n"),
+        )
+    else:
+        # pass 1: per-group range + count (drives bucket width and ranks)
+        stats = df0.groupBy(*g).agg(
+            F.min("__v").alias("__lo"),
+            F.max("__v").alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+
+        def bucket_of(val):
+            span = F.col("__hi") - F.col("__lo")
+            raw = F.floor((val - F.col("__lo")) / span * n_buckets)
+            return F.when(span == 0.0, F.lit(0)).otherwise(
+                F.least(raw, F.lit(n_buckets - 1))
+            ).cast("long")
+
+        withb = df0.join(F.broadcast(stats), g) if g else df0.crossJoin(
+            F.broadcast(stats)
+        )
+        withb = withb.withColumn("__b", bucket_of(F.col("__v")))
+
+        # pass 2: per-(group, bucket) counts -> cumulative rows below bucket
+        bcounts = withb.groupBy(*g, "__b").agg(F.count(F.lit(1)).alias("__bn"))
+        cum = bcounts.withColumn(
+            "__below",
+            F.sum("__bn").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            - F.col("__bn"),
+        )
+        # a bucket is hot if it contains floor/ceil of any target rank
+        cum = cum.join(F.broadcast(stats.select(*g, "__n")), g) if g else (
+            cum.crossJoin(F.broadcast(stats.select("__n")))
+        )
     hot_pred = F.lit(False)
     for q, _ in qs:
         pos = F.lit(float(q)) * (F.col("__n") - 1)
@@ -291,7 +319,8 @@ def exact_percentiles_bucketed(
             hot_pred = hot_pred | (
                 (F.col("__below") <= r) & (r < F.col("__below") + F.col("__bn"))
             )
-    hot_buckets = cum.filter(hot_pred).select(*g, "__b", "__below")
+    hot_cols = [*g, "__b", "__below"] + (["__n"] if static_step is not None else [])
+    hot_buckets = cum.filter(hot_pred).select(*hot_cols)
 
     # pass 3: rank ONLY the hot buckets' rows (tiny, parallel
     # partitions); __n already rides along from the stats join above
