@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     llm,
     scalars,
     setops,
+    sketches,
     surface2,
     streaming_q,
     tpch,
@@ -23,36 +24,57 @@ from . import (  # noqa: F401
 from .base import REGISTRY, QuerySpec
 
 # The correctness driver samples the FIRST 50 registry entries (in dict
-# iteration order) for its oracle gate. Rounds 1-3 rotated through the
-# whole registry (every query has at least one driver verdict; all 135
-# re-verified locally against the current testdata in
-# docs/PARITY_r04_sf001.txt after the r3 encoding drift).
+# iteration order) for its oracle gate. Rounds 1-4 rotated through the
+# whole registry; cumulatively every query has a green verdict from the
+# driver or the round-4 judge's own parity run.
 #
-# ROUND-4 WINDOW, highest drift-risk first: (a) the three queries the
-# r3 TIMESTAMP_NTZ testdata change broke (stale r01/r02 greens — the
-# proof old verdicts can rot), (b) everything whose plan changed this
-# round (percentile counts tier, data-sized repartitions), (c) the new
-# training-pipeline ops, then (d) the oldest-verified r01 greens as
-# rotation so every verdict stays fresh.
+# ROUND-5 WINDOW, highest value first: (a) the 12 queries that have
+# never received a DRIVER verdict (judge-green in r4, but a driver row
+# is the durable record — VERDICT r4 item 4), (b) every query whose
+# plan changed this round (percentile shared-scan, minhash stage fold,
+# streaming near-dup drain, partition-pruning cache fingerprint, MG
+# float weights, streaming horizon slack), (c) the new sketch suite
+# (bloom / CMS / reservoir sample / hashed classifier — all with exact
+# oracles), then (d) oldest-verified greens as rotation.
 _WINDOW_PRIORITY = [
-    # --- broken by r3 testdata drift, fixed this round ---
+    # --- never driver-sampled (judge-green J4) ---
+    "corpus_mix_weights",
+    "doc_chunk_dedup",
+    "doc_decontaminate",
+    "doc_filter_pipeline",
+    "doc_pack_sequences",
+    "doc_repeated_ngram_frac",
+    "doc_repetition_signals",
+    "doc_stratified_sample",
+    "doc_tfidf_topterms",
+    "doc_unigram_logprob",
+    "io_bucketed_join",
+    "stream_neardup_pairs",
+    # --- plans changed in round 5 ---
+    "agg_percentiles",              # shared-scan tier fusion
+    "agg_percentiles_approx",
+    "minhash_near_dup",             # band-explode folded into doc agg
+    "io_partitioned_pruning",       # content-fingerprinted cache tag
+    "doc_token_heavy_hitters_sketch",  # float-weight MG arithmetic
+    "stream_ohlc_5min",             # 60s horizon boundary slack
+    "stream_ewma_5min_twolevel",
+    "stream_session_stats",         # >= gap oracle predicate
+    # --- new in round 5: sketch suite (exact oracles incl. the
+    #     probabilistic ones — the oracle replays the sketch) ---
+    "sketch_bloom_decontaminate",
+    "sketch_cms_user_counts",
+    "doc_sample_per_group",
+    "doc_quality_classifier",
+    # --- rotation: oldest-verified greens ---
     "sessionize_gap",
     "events_funnel",
     "join_interval_overlap",
-    # --- plans changed in round 4 ---
-    "agg_percentiles",              # counts tier for l_quantity
-    "agg_percentiles_approx",
-    "minhash_near_dup",
     "simhash_near_dup",
-    # --- new in round 4: training-data pipeline ops ---
-    # --- new in round 4 (late): corpus part 2 + PQ ANN tier ---
     "doc_global_shuffle",
     "jaccard_dup_clusters",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
-    # --- new in round 4 (final session): storage layout + corpus split ---
     "io_orc_roundtrip",
-    "io_partitioned_pruning",
     "io_text_roundtrip",
     "doc_train_split",
     "fn_unpivot",
@@ -64,32 +86,12 @@ _WINDOW_PRIORITY = [
     "agg_mad",
     "ind_ohlc_5min",
     "ind_rolling_corr",
-    "stream_ohlc_5min",
     "fn_bitwise_suite",
     "fn_url_suite",
     "io_schema_evolution_merge",
     "agg_bool_suite",
-    "fn_try_arithmetic",
     "win_gap_islands",
     "fn_zorder_key",
-    "fn_explode_outer",
-    "emb_pca_project",
-    "agg_count_if",
-    "fn_interval_suite",
-    "agg_listagg",
-    "io_zstd_roundtrip",
-    "fn_collation_suite",
-    "stream_join_purchase_click",
-    "stream_static_enrich",
-    "stream_session_stats",
-    "stream_sliding_counts",
-    "stream_ewma_5min_twolevel",
-    "stream_complete_topk",
-    "win_moving_median",
-    "agg_corr_matrix",
-    "fn_format_suite",
-    "win_percent_of_total",
-    "doc_token_heavy_hitters_sketch",
 ]
 
 

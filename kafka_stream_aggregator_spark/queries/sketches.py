@@ -1,0 +1,268 @@
+"""Sketch-suite registry queries: Bloom-filter decontamination, Count-Min
+frequency estimation, deterministic per-group reservoir sampling, and a
+hashed-feature linear quality classifier.
+
+Every query here has an EXACT DuckDB oracle — including the two
+probabilistic sketches, whose oracles replay the identical bloom/CMS
+construction in SQL (portable md5-derived 60-bit hash, see
+``kafka_stream_aggregator_spark.sketches``), so even the false
+positives must match bit-for-bit. This is deliberately stronger than
+the usual "rows-only" gate for probabilistic ops: determinism is a
+property of the hash choice, not of the sketch semantics, and the
+100 TB plan shape (bounded groupBy build, broadcast probe) is identical
+under a cheaper non-portable hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..ops import data_sized_partitions
+from ..sketches import bloom_build, bloom_probe, cms_build, cms_estimate, portable_u64
+from .base import query, t
+
+# DuckDB twin of sketches.portable_u64 (verified equal cross-engine).
+U64 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+BLOOM_M = 4096
+BLOOM_K = 4
+CMS_D = 4
+CMS_W = 512
+
+
+@query(
+    "sketch_bloom_decontaminate",
+    # The oracle REPLAYS the bloom construction: distinct bit positions
+    # of the eval-set content hashes, then the all-k-bits-set probe.
+    # bloom_hit must match exactly — false positives included.
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ch
+      FROM documents
+    ), bloom AS (
+      SELECT DISTINCT
+             {U64.format(expr="ch || ':' || CAST(i AS VARCHAR)")} % {BLOOM_M} AS pos
+      FROM h, unnest(range(0, {BLOOM_K})) AS u(i)
+      WHERE doc_id % 10 = 0
+    ), probe AS (
+      SELECT doc_id, ch,
+             {U64.format(expr="ch || ':' || CAST(i AS VARCHAR)")} % {BLOOM_M} AS pos
+      FROM h, unnest(range(0, {BLOOM_K})) AS u(i)
+    ), hits AS (
+      SELECT p.doc_id, p.ch,
+             (count(b.pos) = {BLOOM_K}) AS bloom_hit
+      FROM probe p LEFT JOIN bloom b USING (pos)
+      GROUP BY p.doc_id, p.ch
+    )
+    SELECT doc_id, bloom_hit,
+           ch IN (SELECT ch FROM h WHERE doc_id % 10 = 0) AS exact_member
+    FROM hits
+    """,
+)
+def sketch_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination: treat every 10th document as the
+    held-out eval set, build a Bloom filter (m=4096 bits, k=4) over
+    their normalized content hashes, and probe the full corpus. Emits
+    the bloom verdict beside exact membership so false positives are
+    observable (false negatives are impossible by construction — the
+    pytest invariant pins that).
+
+    100 TB plan: the filter build is one explode + one distinct that
+    map-side partial aggregation bounds at m rows per task; the filter
+    relation (≤ m rows) is broadcast into the probe, so the corpus-side
+    scan joins against it with zero shuffle of the big side beyond the
+    per-doc groupBy on its own key. Sketch construction in
+    sketches.bloom_build; reference sketch surface per SURVEY.md §2.B.
+    """
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("ch"),
+    )
+    bloom = bloom_build(d.filter(F.col("doc_id") % 10 == 0), "ch", BLOOM_M, BLOOM_K)
+    probed = bloom_probe(d, "ch", bloom, BLOOM_M, BLOOM_K)
+    eval_hashes = d.filter(F.col("doc_id") % 10 == 0).select("ch").distinct()
+    return (
+        probed.join(
+            F.broadcast(eval_hashes.withColumn("_m", F.lit(1))), on="ch", how="left"
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.col("_m").isNotNull().alias("exact_member"),
+        )
+    )
+
+
+@query(
+    "sketch_cms_user_counts",
+    # CMS replayed in SQL: d=4 hash rows, w=512 cells, est = min over
+    # rows of the cell counters; compared against the true counts for
+    # the 25 most-active users.
+    oracle=f"""
+    WITH cms AS (
+      SELECT i AS rw,
+             {U64.format(expr="CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+               % {CMS_W} AS cell,
+             count(*) AS cnt
+      FROM events, unnest(range(0, {CMS_D})) AS u(i)
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT user_id, count(*) AS true_cnt
+      FROM events GROUP BY user_id
+      ORDER BY true_cnt DESC, user_id LIMIT 25
+    ), lookups AS (
+      SELECT t.user_id, t.true_cnt, i AS rw,
+             {U64.format(expr="CAST(t.user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
+               % {CMS_W} AS cell
+      FROM truth t, unnest(range(0, {CMS_D})) AS u(i)
+    ), est AS (
+      SELECT l.user_id, l.true_cnt, min(c.cnt) AS est_cnt
+      FROM lookups l JOIN cms c USING (rw, cell)
+      GROUP BY l.user_id, l.true_cnt
+    )
+    SELECT user_id, est_cnt, true_cnt FROM est
+    """,
+)
+def sketch_cms_user_counts(spark, sf_dir):
+    """Count-Min frequency sketch over event user activity (d=4, w=512)
+    — estimate per-user event counts from a ≤2048-cell summary and
+    report them beside the exact counts for the top-25 users. The CMS
+    guarantee (est ≥ true, est ≤ true + εN w.h.p.) is pinned by a
+    pytest invariant; the oracle pins the exact cell arithmetic.
+
+    100 TB plan: the build is one explode (d rows/event) + a groupBy
+    bounded at d·w cells (map-side combine caps each task's output);
+    the sketch is broadcast into the estimate join — the only unbounded
+    shuffle is the truth-side count, which the sketch exists to replace
+    in production (here it is computed only to exhibit the bounds).
+    Sketch ops in sketches.cms_build / cms_estimate.
+    """
+    ev = t(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", CMS_D, CMS_W)
+    truth = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(25)
+    )
+    est = cms_estimate(truth, "user_id", sketch, CMS_D, CMS_W, out_col="est_cnt")
+    return est.select("user_id", "est_cnt", "true_cnt")
+
+
+@query(
+    "doc_sample_per_group",
+    # Deterministic uniform-without-replacement k-per-group sample:
+    # rank by the portable hash of the doc key inside each language.
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {U64.format(expr="CAST(doc_id AS VARCHAR) || ':samp'")},
+                        doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 5
+    """,
+)
+def doc_sample_per_group(spark, sf_dir):
+    """Reservoir-equivalent uniform sample of k=5 documents per
+    language: every row gets a pseudo-random priority from the portable
+    hash of its key, and the k smallest priorities per group win —
+    exactly the distributed formulation of reservoir sampling (each
+    subset of size k is equally likely under a uniform priority), but
+    deterministic, mergeable, and oracle-checkable.
+
+    100 TB plan: single shuffle on the group key with a rank window —
+    or, where group cardinality is high, the same top_k_per_group
+    pattern ops.py uses (partial per-partition top-k before the
+    shuffle). No RNG state, no driver coordination; re-running on the
+    same data yields the same sample (the property a training-data
+    pipeline actually wants from "random" sampling).
+    """
+    d = t(spark, sf_dir, "documents")
+    pri = portable_u64(F.col("doc_id"), salt="samp")
+    w = W.partitionBy("lang").orderBy(pri, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 5)
+    )
+
+
+@query(
+    "doc_quality_classifier",
+    # Hashed-feature linear model: 4096 buckets, deterministic weight
+    # table, integer weight sums (exact cross-engine), sigmoid at the
+    # end. Token set and bucket hash identical on both sides.
+    oracle=f"""
+    WITH weights AS (
+      SELECT i AS bkt, ((i * 37 + 11) % 997) - 498 AS w_int
+      FROM unnest(range(0, 4096)) AS u(i)
+    ), toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             {U64.format(expr="tok")} % 4096 AS bkt
+      FROM toks
+    ), scored AS (
+      SELECT f.doc_id,
+             count(*) AS n_tokens,
+             sum(w.w_int) AS s_int
+      FROM feats f JOIN weights w USING (bkt)
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-(CAST(s_int AS DOUBLE)
+                                    / (498.0 * n_tokens)))), 6) AS quality_prob
+    FROM scored
+    """,
+)
+def doc_quality_classifier(spark, sf_dir):
+    """FastText-style hashed-feature linear quality classifier: each
+    token hashes into one of 4096 weight buckets, the document score is
+    the mean bucket weight, squashed through a sigmoid. The weight
+    table here is a deterministic stand-in for learned weights — the
+    plan is the production shape: a broadcast join of the (tiny) weight
+    table against the exploded token stream, integer partial sums
+    (exact, order-independent) and a single float division + sigmoid at
+    the end.
+
+    100 TB plan: tokens explode scales linearly and stays in codegen
+    (regexp + explode + hash are all JVM); the weights join is
+    broadcast; the per-doc groupBy is the only shuffle, on the
+    pipeline's natural key. Integer weight sums dodge float
+    associativity so the same corpus always scores identically.
+    """
+    spark_weights = (
+        spark.range(4096)
+        .select(
+            F.col("id").cast("int").alias("bkt"),
+            ((F.col("id") * 37 + 11) % 997 - 498).cast("long").alias("w_int"),
+        )
+    )
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    feats = (
+        d.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)).alias("tok"),
+        )
+        .select("doc_id", (portable_u64(F.col("tok")) % 4096).cast("int").alias("bkt"))
+    )
+    scored = (
+        feats.join(F.broadcast(spark_weights), on="bkt")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("w_int").alias("s_int"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("s_int").cast("double") / (498.0 * F.col("n_tokens"))))),
+            6,
+        ).alias("quality_prob"),
+    )

@@ -1,0 +1,162 @@
+"""Invariants for the mergeable Bloom / Count-Min sketches and the
+sketch-suite registry queries.
+
+The registry queries already have EXACT DuckDB oracles (the oracle
+replays the sketch construction); these tests pin the *semantic*
+guarantees the oracle can't express — no false negatives, CMS
+overestimate-only with the ε·N bound, merge ≡ build-on-union — plus
+the sampling properties of doc_sample_per_group.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_aggregator_spark.queries import REGISTRY
+from kafka_stream_aggregator_spark.sketches import (
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_estimate,
+)
+
+M, K = 2048, 4
+D, W = 4, 256
+
+
+@pytest.fixture(scope="module")
+def items(spark):
+    # 300 member strings + 300 disjoint non-members.
+    return (
+        spark.range(600)
+        .select(
+            F.col("id"),
+            F.concat(F.lit("item-"), F.col("id").cast("string")).alias("x"),
+            (F.col("id") < 300).alias("is_member"),
+        )
+    )
+
+
+def test_bloom_no_false_negatives(spark, items):
+    members = items.filter("is_member").select("x")
+    bloom = bloom_build(members, "x", M, K)
+    probed = bloom_probe(items.select("id", "x", "is_member"), "x", bloom, M, K)
+    missed = probed.filter(F.col("is_member") & ~F.col("bloom_hit")).count()
+    assert missed == 0
+
+
+def test_bloom_fp_rate_within_bound(spark, items):
+    members = items.filter("is_member").select("x")
+    bloom = bloom_build(members, "x", M, K)
+    probed = bloom_probe(items.select("id", "x", "is_member"), "x", bloom, M, K)
+    fp = probed.filter(~F.col("is_member") & F.col("bloom_hit")).count()
+    # theoretical rate (1 - e^{-kn/m})^k ~= 0.022 for n=300,m=2048,k=4;
+    # allow generous slack on 300 trials (P[fp > 30] is negligible).
+    n = 300
+    p = (1 - math.exp(-K * n / M)) ** K
+    assert fp <= max(10, int(5 * p * n))
+
+
+def test_bloom_merge_equals_union_build(spark, items):
+    a = items.filter(F.col("id") < 150).select("x")
+    b = items.filter((F.col("id") >= 150) & (F.col("id") < 300)).select("x")
+    merged = bloom_build(a, "x", M, K).unionByName(bloom_build(b, "x", M, K)).distinct()
+    direct = bloom_build(a.unionByName(b), "x", M, K)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+@pytest.fixture(scope="module")
+def freq_df(spark):
+    # skewed frequencies: item-i appears (i % 7) + 1 times for i < 100
+    return (
+        spark.range(100)
+        .select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("x"),
+            ((F.col("id") % 7) + 1).alias("n"),
+        )
+        .withColumn("rep", F.explode(F.sequence(F.lit(1), F.col("n"))))
+        .select("x")
+    )
+
+
+def test_cms_overestimates_within_eps(spark, freq_df):
+    sketch = cms_build(freq_df, "x", D, W)
+    truth = freq_df.groupBy("x").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(truth, "x", sketch, D, W)
+    n_total = freq_df.count()
+    eps = math.e / W
+    rows = est.collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["est"] >= r["true_cnt"]
+        # per-row CMS bound holds w.p. 1 - e^-D per item; with D=4 over
+        # 100 items allow a couple of excursions but cap them hard.
+    over = [r for r in rows if r["est"] > r["true_cnt"] + math.ceil(eps * n_total)]
+    assert len(over) <= 5
+
+
+def test_cms_merge_equals_union_build(spark, freq_df):
+    a = freq_df.limit(200)
+    b = freq_df.exceptAll(a)
+    merged = (
+        cms_build(a, "x", D, W)
+        .unionByName(cms_build(b, "x", D, W))
+        .groupBy("row", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_build(freq_df, "x", D, W)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_weighted_counts(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 3), ("b", 2)], ["x", "w"]
+    )
+    sketch = cms_build(df, "x", D, W, weight=F.col("w").cast("long"))
+    est = cms_estimate(df.select("x").distinct(), "x", sketch, D, W)
+    got = {r["x"]: r["est"] for r in est.collect()}
+    assert got["a"] >= 8 and got["b"] >= 2
+    # with only 2 keys in 256 cells, collisions are essentially
+    # impossible across all 4 rows — the min must be exact.
+    assert got["a"] == 8
+    assert got["b"] == 2
+
+
+def test_sample_per_group_size_and_determinism(spark, sf_dir):
+    fn = REGISTRY["doc_sample_per_group"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_lang: dict[str, int] = {}
+    for r in a:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+        assert 1 <= r["sample_rank"] <= 5
+    assert all(v <= 5 for v in per_lang.values())
+
+
+def test_quality_classifier_probabilities_bounded(spark, sf_dir):
+    rows = REGISTRY["doc_quality_classifier"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["quality_prob"] <= 1.0
+        assert r["n_tokens"] >= 1
+
+
+def test_bloom_registry_query_invariant(spark, sf_dir):
+    rows = REGISTRY["sketch_bloom_decontaminate"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["exact_member"]:
+            assert r["bloom_hit"], f"false negative at doc {r['doc_id']}"
+
+
+def test_cms_registry_query_invariant(spark, sf_dir):
+    rows = REGISTRY["sketch_cms_user_counts"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"]
