@@ -636,3 +636,41 @@ def stream_complete_topk(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("event_type", "user_id", "n", "total", "rk")
     )
+
+
+@query("stream_heavy_hitters", oracle=None)
+def stream_heavy_hitters_q(spark, sf_dir):
+    """Per-shard Misra-Gries heavy-hitter summaries maintained in stream
+    state across two micro-batches (streaming.heavyhitters) — the
+    streaming twin of the batch mergeable MG summary
+    (doc_token_heavy_hitters_sketch). State is O(k) per shard
+    regardless of stream length or user cardinality. MG output is
+    arrival-order-dependent (not SQL-expressible) -> rows-only driver
+    check; the lower-bound / err-bound / guaranteed-presence invariants
+    are pinned in tests/test_stream_heavyhitters.py."""
+    from ..streaming.heavyhitters import latest_snapshot, stream_heavy_hitters
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("uid")
+    )
+    d = tempfile.mkdtemp(prefix="stream_hh_")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    stream = file_stream(
+        spark, d, "event_id long, uid string", max_files_per_trigger=1
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = _run_to_df(
+            spark,
+            stream_heavy_hitters(stream, "uid", k=16, n_shards=4),
+            mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return latest_snapshot(out).orderBy("shard", "item")
