@@ -351,3 +351,74 @@ def pack_sequences(
         .alias("__shard"),
     )
     return prepped.groupBy("__shard").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Interpolated bigram corpus-LM quality proxy — the next signal
+    tier above :func:`unigram_logprob`: each doc's mean
+    ``ln(lam * P(w|prev) + (1-lam) * P(w))`` under the corpus' own
+    counts. Catches locally-incoherent text (shuffled words, keyword
+    stuffing) that unigram frequency alone scores as fluent; the real
+    CCNet uses a KenLM 5-gram — this is the same backoff structure at
+    n=2 with no external model artifact.
+
+    Scale shape: unigram counts are vocabulary-sized and broadcast;
+    bigram counts join on the (prev, word) hash pair — a shuffle join
+    at web scale (the bigram table is too big to broadcast), which AQE
+    downgrades to broadcast when it isn't. Word identity travels as
+    8-byte hashes; docs with fewer than 2 tokens have no bigram and
+    drop out on both engines.
+    """
+    df = df.repartition(data_sized_partitions(df), id_col)
+    ws = df.select(F.col(id_col), _words(F.col(text_col)).alias("__ws"))
+    words = ws.select(
+        id_col, F.explode("__ws").alias("__w")
+    ).select(id_col, F.xxhash64("__w").alias("__wh"))
+    vocab = words.groupBy("__wh").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    # 0-based Spark indexing: pairs (__ws[i-1], __ws[i]) for i=1..n-1.
+    # sequence(1, 0) would generate DESCENDING [1,0] — guard len >= 2.
+    bi = (
+        ws.filter(F.size("__ws") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__ws) - 1),"
+                    " i -> struct(__ws[i-1] AS p, __ws[i] AS w))"
+                )
+            ).alias("__b"),
+        )
+        .select(
+            id_col,
+            F.xxhash64("__b.p").alias("__ph"),
+            F.xxhash64("__b.w").alias("__wh"),
+        )
+    )
+    bc = bi.groupBy("__ph", "__wh").agg(F.count(F.lit(1)).alias("__cb"))
+    scored = (
+        bi.join(bc, ["__ph", "__wh"])
+        .join(F.broadcast(vocab.withColumnRenamed("__c", "__cw")), "__wh")
+        .join(
+            F.broadcast(
+                vocab.withColumnRenamed("__wh", "__ph").withColumnRenamed(
+                    "__c", "__cp"
+                )
+            ),
+            "__ph",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.log(
+                F.lit(lam) * F.col("__cb") / F.col("__cp")
+                + F.lit(1.0 - lam) * F.col("__cw") / F.col("__n")
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )

@@ -7,6 +7,7 @@ aggregates. Column-returning helpers compose into any pipeline.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -117,3 +118,36 @@ def fingerprint(text: Column) -> Column:
     duplicates that exact hashing misses)."""
     norm = F.regexp_replace(F.lower(text), r"[^\w\s]", "")
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(norm))), " "))
+
+
+def nfc_normalize_udf():
+    """Arrow-batched Unicode NFC normalization + lowercase + control
+    strip + whitespace collapse — the canonical pre-dedup text
+    cleanup. NFC has no Spark built-in (this is the one genuinely
+    Python-requiring step in the text-hygiene family, per the UDF
+    policy: built-ins first, Pandas UDF only where the JVM can't
+    express it); everything around it stays vectorized in one batch
+    pass. DuckDB's nfc_normalize implements the same Unicode standard,
+    so the registry query is exactly oracle-checkable.
+    """
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = _re.compile(r"[\x00-\x1f\x7f]")
+    wsp = _re.compile(r"\s+")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def f(x):
+            if x is None:
+                return None
+            x = unicodedata.normalize("NFC", x).lower()
+            x = ctrl.sub(" ", x)
+            return wsp.sub(" ", x).strip()
+
+        return s.map(f)
+
+    return _norm

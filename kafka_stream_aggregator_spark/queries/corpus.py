@@ -577,3 +577,86 @@ def doc_char_entropy(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "doc_bigram_logprob",
+    # (1.0 - 0.7) is written as the SUBTRACTION on both sides so the
+    # interpolation weight is the identical IEEE double (0.30000...04),
+    # not the closer-to-3/10 literal 0.3.
+    oracle=r"""
+    WITH ws AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(ws) AS w FROM ws
+    ), uc AS (
+      SELECT w, count(*) AS c FROM w GROUP BY w
+    ), tot AS (
+      SELECT sum(c) AS n FROM uc
+    ), bi AS (
+      SELECT doc_id, ws[i] AS p, ws[i+1] AS w
+      FROM ws, unnest(range(1, len(ws))) AS u(i)
+      WHERE len(ws) >= 2
+    ), bc AS (
+      SELECT p, w, count(*) AS cb FROM bi GROUP BY p, w
+    )
+    SELECT bi.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(0.7 * bc.cb / cp.c + (1.0 - 0.7) * cw.c / tot.n)), 6)
+             AS mean_logprob
+    FROM bi
+    JOIN bc ON bc.p = bi.p AND bc.w = bi.w
+    JOIN uc cw ON cw.w = bi.w
+    JOIN uc cp ON cp.w = bi.p
+    CROSS JOIN tot
+    GROUP BY bi.doc_id
+    """,
+)
+def doc_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram corpus-LM scoring (llm.pipeline
+    bigram_logprob): mean ln(0.7*P(w|prev) + 0.3*P(w)) per doc under
+    the corpus' own counts — the coherence tier above
+    doc_unigram_logprob. Unigram table broadcast, bigram counts joined
+    on the hash pair (shuffle join at web scale, AQE-downgradable)."""
+    from ..llm.pipeline import bigram_logprob
+
+    return bigram_logprob(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "doc_normalize_text",
+    # DuckDB nfc_normalize implements the same Unicode NFC standard as
+    # Python's unicodedata -- the oracle runs the identical cleanup
+    # chain and must agree on the md5 of every normalized doc.
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+                 regexp_replace(lower(nfc_normalize(text)),
+                                '[\x00-\x1f\x7f]', ' ', 'g'),
+                 '\s+', ' ', 'g'))) AS norm_hash,
+           length(trim(regexp_replace(
+                 regexp_replace(lower(nfc_normalize(text)),
+                                '[\x00-\x1f\x7f]', ' ', 'g'),
+                 '\s+', ' ', 'g'))) AS n_chars_norm
+    FROM documents
+    """,
+)
+def doc_normalize_text(spark, sf_dir):
+    """Unicode-NFC text normalization (llm.text.nfc_normalize_udf):
+    NFC + lowercase + control-char strip + whitespace collapse, the
+    canonical cleanup before content-hash dedup. NFC is the one step
+    with no Spark built-in, so it runs as an Arrow-batched pandas UDF;
+    the unicode behavior itself is pinned against DuckDB's
+    nfc_normalize both here (full-corpus md5 parity) and on accented
+    fixtures in tests/test_corpus.py."""
+    from ..llm.text import nfc_normalize_udf
+
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    norm = nfc_normalize_udf()(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("n_chars_norm"),
+    )

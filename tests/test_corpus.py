@@ -120,3 +120,63 @@ def test_jaccard_clusters_min_size(spark, sf_dir):
     assert rows, "expected at least one cluster on the test corpus"
     for r in rows:
         assert r["n_docs"] >= 2, "clusters only form from edges"
+
+
+def test_nfc_normalize_matches_duckdb_on_unicode(spark):
+    """Accented/composed/decomposed fixtures through the pandas-UDF NFC
+    path vs DuckDB's nfc_normalize — engines must agree beyond the
+    ASCII corpus the registry query covers."""
+    import duckdb
+
+    from kafka_stream_aggregator_spark.llm.text import nfc_normalize_udf
+
+    fixtures = [
+        "Café au lait",                      # precomposed é
+        "Café au lait",                     # decomposed e + combining ´
+        "straße  und   \tWEGE",              # ß + messy whitespace
+        "Å ring Å",              # decomposed Å
+        "control\x00chars\x1fhere",
+        "  mixed Ümläut Ñ case  ",
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(fixtures)],
+                               "i long, s string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", nfc_normalize_udf()(F.col("s")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(fixtures):
+        want = con.execute(
+            """SELECT trim(regexp_replace(regexp_replace(
+                   lower(nfc_normalize(?)), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                   '\\s+', ' ', 'g'))""",
+            [s],
+        ).fetchone()[0]
+        assert got[i] == want, f"fixture {i}: {got[i]!r} != {want!r}"
+
+
+def test_bigram_logprob_ranks_coherent_above_shuffled(spark):
+    """A doc whose bigrams all recur scores higher than one assembled
+    from the same unigrams in never-repeated orders."""
+    from kafka_stream_aggregator_spark.llm.pipeline import bigram_logprob
+
+    coherent = "the cat sat on the mat " * 10
+    rows = [(i, coherent.strip()) for i in range(4)]
+    # same vocabulary, scrambled order per doc -> unseen bigrams
+    words = ("the cat sat on the mat " * 10).split()
+    import random
+
+    rng = random.Random(7)
+    for i in range(4, 8):
+        w = words[:]
+        rng.shuffle(w)
+        rows.append((i, " ".join(w)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["mean_logprob"]
+           for r in bigram_logprob(df, "doc_id", "text").collect()}
+    coh = sum(out[i] for i in range(4)) / 4
+    shuf = sum(out[i] for i in range(4, 8)) / 4
+    assert coh > shuf
+    assert all(v < 0 for v in out.values())  # log-probs
