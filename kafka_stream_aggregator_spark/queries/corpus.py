@@ -660,3 +660,76 @@ def doc_normalize_text(spark, sf_dir):
         F.md5(norm).alias("norm_hash"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+@query(
+    "emb_matryoshka_recall",
+    # Truncate-and-renormalize retrieval quality curve: top-10 by
+    # cosine of the d-dim prefix vs the full 64-dim ranking. Exact
+    # oracle: same slices, same fold order, same tiebreaks.
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dims AS (SELECT unnest([64, 32, 16]) AS d),
+    scored AS (
+      SELECT d, q.vec_id AS q_id, c.vec_id AS c_id,
+             list_dot_product(q.v[1:d], c.v[1:d])
+               / (sqrt(list_dot_product(q.v[1:d], q.v[1:d]))
+                  * sqrt(list_dot_product(c.v[1:d], c.v[1:d]))) AS cs
+      FROM e q CROSS JOIN e c CROSS JOIN dims
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY d, q_id
+                                   ORDER BY cs DESC, c_id) AS rk
+      FROM scored
+    ), topk AS (
+      SELECT d, q_id, c_id FROM ranked WHERE rk <= 10
+    ), fullset AS (
+      SELECT q_id, c_id FROM topk WHERE d = 64
+    )
+    SELECT t.d AS trunc_dim, t.q_id,
+           round(CAST(count(f.c_id) AS DOUBLE) / 10, 6) AS recall_at_10
+    FROM topk t LEFT JOIN fullset f
+      ON f.q_id = t.q_id AND f.c_id = t.c_id
+    GROUP BY t.d, t.q_id
+    """,
+)
+def emb_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-style truncation quality curve: retrieval recall@10
+    when embeddings are truncated to their first 32 / 16 dimensions
+    (cosine renormalizes implicitly) against the full 64-dim ranking.
+    The production question this answers: how many prefix dims does the
+    ANN tier need before exact rerank — shorter vectors cut the
+    dominant cost (bytes shuffled + dot-product flops) linearly.
+
+    Plan: one embeddings scan, the slice is a zero-copy array prefix,
+    brute-force tier reuses llm.similarity (broadcast query side,
+    hoisted norms); recall join is per-query top-10 sets — tiny."""
+    from ..llm.similarity import as_double, brute_force_topk
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    tops = None
+    for d in (64, 32, 16):
+        q = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), F.slice("v", 1, d).alias("q_vec")
+        )
+        c = e.select(F.col("vec_id").alias("c_id"), F.slice("v", 1, d).alias("c_vec"))
+        tk = brute_force_topk(q, c, k=10).select(
+            F.lit(d).alias("trunc_dim"), "q_id", "c_id"
+        )
+        tops = tk if tops is None else tops.unionByName(tk)
+    fullset = (
+        tops.filter(F.col("trunc_dim") == 64)
+        .select(F.col("q_id").alias("fq"), F.col("c_id").alias("fc"))
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        tops.join(
+            fullset,
+            (F.col("q_id") == F.col("fq")) & (F.col("c_id") == F.col("fc")),
+            "left",
+        )
+        .groupBy("trunc_dim", "q_id")
+        .agg(F.round(F.count("__hit").cast("double") / 10, 6).alias("recall_at_10"))
+    )

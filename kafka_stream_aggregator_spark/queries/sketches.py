@@ -266,3 +266,46 @@ def doc_quality_classifier(spark, sf_dir):
             6,
         ).alias("quality_prob"),
     )
+
+
+@query(
+    "join_bloom_prefilter",
+    # The bloom is a pure pre-filter here: survivors go through the
+    # exact join, so false positives drop out and the result equals the
+    # plain join — which is exactly what the oracle runs.
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark, sf_dir):
+    """Bloom-accelerated selective join (semi-join reduction): build a
+    Bloom filter over the keys of a selective dimension slice
+    (orders with totalprice > 400k), pre-filter the fact table with k
+    chained broadcast semi-probes (sketches.bloom_prefilter — no
+    explode, no fact-side shuffle), THEN run the exact join on the
+    survivors. Result is identical to the plain join (bloom is sound;
+    the join removes false positives) — the payoff at 100 TB is the
+    shuffle: it carries |matches| + fp-rate x |non-matches| rows
+    instead of the whole fact table. This is the engine-level runtime-
+    filter pattern (Spark's runtime bloom join / Trino dynamic
+    filtering) expressed as an explicit, mergeable operator."""
+    from ..sketches import bloom_build, bloom_prefilter
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = t(spark, sf_dir, "lineitem")
+    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey", 1 << 16, 4)
+    survivors = bloom_prefilter(li, "l_orderkey", bloom, 1 << 16, 4)
+    return (
+        survivors.join(o, survivors.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+    )

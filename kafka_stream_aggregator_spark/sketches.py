@@ -172,3 +172,34 @@ def cms_estimate(
         joined.groupBy(*keys)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+def bloom_prefilter(
+    df: DataFrame, col: str, bloom: DataFrame, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """Semi-join reduction: keep only rows whose key is POSSIBLY in the
+    bloom (k chained broadcast left-semi probes — no explode, no
+    groupBy, no shuffle of ``df``). Sound (never drops a true member),
+    not complete (false positives survive) — so follow with the exact
+    join, which this exists to shrink.
+
+    This is the classic 100 TB join optimization: instead of shuffling
+    the full fact table into a join against a selective dimension,
+    broadcast the dimension's Bloom positions (≤ m rows) and shuffle
+    only the survivors. Each probe is one broadcast hash semi-join on a
+    computed column; at fp rate p the downstream shuffle carries
+    |matches| + p·|non-matches| rows instead of |df|.
+    """
+    b = F.broadcast(bloom.withColumnRenamed("pos", "__bpos"))
+    out = df
+    for i in range(k_hashes):
+        pos_i = (
+            portable_u64(F.concat(F.col(col).cast("string"), F.lit(f":{i}")))
+            % m_bits
+        )
+        out = (
+            out.withColumn("__probe", pos_i)
+            .join(b, F.col("__probe") == F.col("__bpos"), "left_semi")
+            .drop("__probe")
+        )
+    return out

@@ -160,3 +160,43 @@ def test_cms_registry_query_invariant(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["est_cnt"] >= r["true_cnt"]
+
+
+def test_bloom_prefilter_sound_and_broadcast(spark, sf_dir):
+    """Prefilter must keep every true match (soundness) and probe via
+    broadcast semi-joins only — no shuffle of the fact side before the
+    exact join."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kafka_stream_aggregator_spark.sketches import bloom_build, bloom_prefilter
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = load_table(spark, sf_dir, "lineitem")
+    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey", 1 << 16, 4)
+    surv = bloom_prefilter(li, "l_orderkey", bloom, 1 << 16, 4)
+    # soundness: every lineitem of a selected order survives
+    true_keys = {r[0] for r in o.select("o_orderkey").collect()}
+    surv_keys = {r[0] for r in surv.select("l_orderkey").distinct().collect()}
+    li_keys = {r[0] for r in li.select("l_orderkey").distinct().collect()}
+    assert (true_keys & li_keys) <= surv_keys
+    # plan: the k probes are broadcast LeftSemi hash joins
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prefilter_shrinks_probe_side(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kafka_stream_aggregator_spark.sketches import bloom_build, bloom_prefilter
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    li = load_table(spark, sf_dir, "lineitem")
+    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey", 1 << 16, 4)
+    surv_n = bloom_prefilter(li, "l_orderkey", bloom, 1 << 16, 4).count()
+    li_n = li.count()
+    match_n = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
+    assert match_n <= surv_n < li_n
