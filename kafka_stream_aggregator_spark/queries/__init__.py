@@ -64,7 +64,13 @@ _WINDOW_PRIORITY = [
     "sketch_bloom_decontaminate",
     "sketch_cms_user_counts",
     "doc_sample_per_group",
+    "doc_weighted_sample",
     "doc_quality_classifier",
+    "join_bloom_prefilter",
+    "emb_matryoshka_recall",
+    "doc_bigram_logprob",
+    "doc_normalize_text",
+    "stream_heavy_hitters",
     # --- rotation: oldest-verified greens ---
     "sessionize_gap",
     "events_funnel",
@@ -86,12 +92,6 @@ _WINDOW_PRIORITY = [
     "agg_mad",
     "ind_ohlc_5min",
     "ind_rolling_corr",
-    "fn_bitwise_suite",
-    "fn_url_suite",
-    "io_schema_evolution_merge",
-    "agg_bool_suite",
-    "win_gap_islands",
-    "fn_zorder_key",
 ]
 
 

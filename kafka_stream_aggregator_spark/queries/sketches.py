@@ -309,3 +309,55 @@ def join_bloom_prefilter(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "doc_weighted_sample",
+    # Efraimidis–Spirakis weighted reservoir: priority ln(u)/w with u a
+    # portable-hash uniform in (0,1]; the k largest priorities per
+    # language form a weighted-without-replacement sample. Both engines
+    # compute identical doubles (same u, same ln, same division).
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, n_chars,
+             ln((({U64.format(expr="CAST(doc_id AS VARCHAR) || ':wsamp'")}
+                  % 9007199254740992) + 1) / 9007199254740992.0)
+               / n_chars AS priority
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY priority DESC, doc_id) AS sample_rank
+      FROM pri
+    )
+    SELECT doc_id, lang, n_chars, sample_rank FROM r WHERE sample_rank <= 5
+    """,
+)
+def doc_weighted_sample(spark, sf_dir):
+    """Weighted uniform sample (Efraimidis-Spirakis A-ES): each doc
+    gets priority u^(1/w) -- ranked equivalently via ln(u)/w --
+    with u a deterministic portable-hash uniform and w = n_chars, so
+    longer documents are proportionally more likely to be drawn; the
+    top-5 priorities per language are the sample. This is the
+    distributed, mergeable form of weighted reservoir sampling:
+    priorities are row-local, the only shuffle is the per-group top-k,
+    and two partial samples merge by taking the k largest priorities
+    of their union -- the mixture-sampling primitive (sample by
+    quality score / domain weight) of corpus construction.
+
+    Deterministic + exactly oracled (same hash, same ln, same
+    division on both engines)."""
+    d = t(spark, sf_dir, "documents")
+    # u in (0, 1]: (h % 2^53 + 1) / 2^53 — exact in doubles
+    u = (
+        (portable_u64(F.col("doc_id"), salt="wsamp") % F.lit(9007199254740992))
+        + 1
+    ) / F.lit(9007199254740992.0)
+    pri = (F.log(u) / F.col("n_chars")).alias("priority")
+    w = W.partitionBy("lang").orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", pri)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .select("doc_id", "lang", "n_chars", "sample_rank")
+    )
