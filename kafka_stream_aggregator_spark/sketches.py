@@ -62,12 +62,39 @@ def portable_u64_sql(expr: str, salt: str | int | None = None) -> str:
     return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
 
 
+
+def _pos(col_expr, seed_col, modulus: int, hasher: str):
+    """Seeded hash position in [0, modulus).
+
+    hasher="portable": md5-hex-derived 60-bit value — bit-identical in
+    DuckDB, the choice wherever an oracle replays the sketch. Costs
+    ~4 us/row (md5 + hex conv), measured at 10M rows in
+    tools/stress_sketches.py.
+    hasher="xx64": JVM xxhash64 — ~20x cheaper, the production default
+    when nothing needs to replay the hash outside Spark. Same plan
+    shape, same guarantees; sketches built with different hashers do
+    NOT merge with each other.
+    """
+    if hasher == "xx64":
+        return F.pmod(F.xxhash64(col_expr, seed_col), F.lit(modulus)).cast("long")
+    if hasher != "portable":
+        raise ValueError(f"unknown hasher {hasher!r}")
+    return (
+        portable_u64(F.concat(col_expr.cast("string"), F.lit(":"),
+                              seed_col.cast("string")))
+        % modulus
+    )
+
+
 # --------------------------------------------------------------------------
 # Bloom filter
 # --------------------------------------------------------------------------
 
 
-def bloom_build(df: DataFrame, col: str, m_bits: int, k_hashes: int) -> DataFrame:
+def bloom_build(
+    df: DataFrame, col: str, m_bits: int, k_hashes: int,
+    hasher: str = "portable",
+) -> DataFrame:
     """Build a sparse Bloom filter: the distinct set bit positions.
 
     Returns a DataFrame with a single ``pos`` column (≤ m_bits rows).
@@ -80,16 +107,14 @@ def bloom_build(df: DataFrame, col: str, m_bits: int, k_hashes: int) -> DataFram
     seeds = F.array(*[F.lit(i) for i in range(k_hashes)])
     return (
         df.select(F.explode(seeds).alias("_i"), F.col(col).alias("_x"))
-        .select((portable_u64(F.concat(F.col("_x").cast("string"), F.lit(":"),
-                                       F.col("_i").cast("string"))) % m_bits)
-                .alias("pos"))
+        .select(_pos(F.col("_x"), F.col("_i"), m_bits, hasher).alias("pos"))
         .distinct()
     )
 
 
 def bloom_probe(
     probe: DataFrame, col: str, bloom: DataFrame, m_bits: int, k_hashes: int,
-    out_col: str = "bloom_hit",
+    out_col: str = "bloom_hit", hasher: str = "portable",
 ) -> DataFrame:
     """Probe: item is a (possible) member iff all k bit positions are set.
 
@@ -102,12 +127,7 @@ def bloom_probe(
     exploded = probe.select(
         *keys,
         F.explode(seeds).alias("_i"),
-    ).withColumn(
-        "pos",
-        portable_u64(F.concat(F.col(col).cast("string"), F.lit(":"),
-                              F.col("_i").cast("string")))
-        % m_bits,
-    )
+    ).withColumn("pos", _pos(F.col(col), F.col("_i"), m_bits, hasher))
     marked = exploded.join(
         F.broadcast(bloom.withColumn("_set", F.lit(1))), on="pos", how="left"
     )
@@ -124,7 +144,7 @@ def bloom_probe(
 
 def cms_build(
     df: DataFrame, col: str, depth: int, width: int,
-    weight: Column | None = None,
+    weight: Column | None = None, hasher: str = "portable",
 ) -> DataFrame:
     """Build a sparse Count-Min sketch: rows ``(row, cell, cnt)``.
 
@@ -139,8 +159,7 @@ def cms_build(
                   F.explode(rows).alias("row"))
         .select(
             "row",
-            (portable_u64(F.concat(F.col("_x").cast("string"), F.lit(":"),
-                                   F.col("row").cast("string"))) % width).alias("cell"),
+            _pos(F.col("_x"), F.col("row"), width, hasher).alias("cell"),
             F.col("_w"),
         )
         .groupBy("row", "cell")
@@ -150,7 +169,7 @@ def cms_build(
 
 def cms_estimate(
     items: DataFrame, col: str, sketch: DataFrame, depth: int, width: int,
-    out_col: str = "est",
+    out_col: str = "est", hasher: str = "portable",
 ) -> DataFrame:
     """Point-query the sketch for each item: min over the d rows.
 
@@ -163,9 +182,7 @@ def cms_estimate(
     rows = F.array(*[F.lit(i) for i in range(depth)])
     keys = [c for c in items.columns]
     exploded = items.select(*keys, F.explode(rows).alias("row")).withColumn(
-        "cell",
-        portable_u64(F.concat(F.col(col).cast("string"), F.lit(":"),
-                              F.col("row").cast("string"))) % width,
+        "cell", _pos(F.col(col), F.col("row"), width, hasher)
     )
     joined = exploded.join(F.broadcast(sketch), on=["row", "cell"], how="left")
     return (
@@ -175,7 +192,8 @@ def cms_estimate(
 
 
 def bloom_prefilter(
-    df: DataFrame, col: str, bloom: DataFrame, m_bits: int, k_hashes: int
+    df: DataFrame, col: str, bloom: DataFrame, m_bits: int, k_hashes: int,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Semi-join reduction: keep only rows whose key is POSSIBLY in the
     bloom (k chained broadcast left-semi probes — no explode, no
@@ -193,10 +211,7 @@ def bloom_prefilter(
     b = F.broadcast(bloom.withColumnRenamed("pos", "__bpos"))
     out = df
     for i in range(k_hashes):
-        pos_i = (
-            portable_u64(F.concat(F.col(col).cast("string"), F.lit(f":{i}")))
-            % m_bits
-        )
+        pos_i = _pos(F.col(col), F.lit(i), m_bits, hasher)
         out = (
             out.withColumn("__probe", pos_i)
             .join(b, F.col("__probe") == F.col("__bpos"), "left_semi")

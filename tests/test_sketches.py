@@ -200,3 +200,21 @@ def test_bloom_prefilter_shrinks_probe_side(spark, sf_dir):
     li_n = li.count()
     match_n = li.join(o, li.l_orderkey == o.o_orderkey, "left_semi").count()
     assert match_n <= surv_n < li_n
+
+
+def test_bloom_xx64_hasher_same_guarantees(spark, items):
+    """The fast-hash (xxhash64) tier keeps the bloom guarantees; it just
+    isn't oracle-replayable."""
+    members = items.filter("is_member").select("x")
+    bloom = bloom_build(members, "x", M, K, hasher="xx64")
+    probed = bloom_probe(items.select("id", "x", "is_member"), "x", bloom, M, K,
+                         hasher="xx64")
+    assert probed.filter(F.col("is_member") & ~F.col("bloom_hit")).count() == 0
+
+
+def test_cms_xx64_hasher_overestimates(spark, freq_df):
+    sketch = cms_build(freq_df, "x", D, W, hasher="xx64")
+    truth = freq_df.groupBy("x").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(truth, "x", sketch, D, W, hasher="xx64")
+    for r in est.collect():
+        assert r["est"] >= r["true_cnt"]
