@@ -109,3 +109,47 @@ def test_zorder_key_bounds(spark):
 def test_ewma_alpha_matches_reference_rule(spark):
     # alpha = 2/(n+1), n = minutes*60 (reference indicators.rs:17)
     assert ewma_alpha(5) == 2.0 / 301.0
+
+
+def test_bloom_null_and_empty_behavior(spark):
+    """NULL keys are never members (their hash positions are NULL and
+    join nothing); an EMPTY bloom rejects everything; neither poisons
+    the filter."""
+    from kafka_stream_aggregator_spark.sketches import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([("a",), ("b",), (None,)], "x string")
+    bloom = bloom_build(members, "x", 1024, 3)
+    # the null member contributes no usable positions
+    assert bloom.filter(F.col("pos").isNull()).count() <= 1
+    probe = spark.createDataFrame(
+        [(1, "a"), (2, "zz"), (3, None)], "id long, x string"
+    )
+    got = {r["id"]: r["bloom_hit"] for r in
+           bloom_probe(probe, "x", bloom, 1024, 3).collect()}
+    assert got[1] is True
+    assert got[3] is False  # NULL never a member
+    empty = bloom_build(members.limit(0), "x", 1024, 3)
+    got2 = {r["id"]: r["bloom_hit"] for r in
+            bloom_probe(probe, "x", empty, 1024, 3).collect()}
+    assert got2 == {1: False, 2: False, 3: False}
+
+
+def test_cms_unseen_item_estimates_zero_or_collision(spark):
+    from kafka_stream_aggregator_spark.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "x string")
+    sk = cms_build(df, "x", 4, 256)
+    probe = spark.createDataFrame([("zz",)], "x string")
+    est = cms_estimate(probe, "x", sk, 4, 256).collect()[0]["est"]
+    # unseen item: min over 4 rows of (0 unless colliding) — with 2
+    # keys in 256 cells a 4-row collision is impossible
+    assert est == 0
+
+
+def test_bloom_prefilter_empty_dim_drops_everything(spark):
+    from kafka_stream_aggregator_spark.sketches import bloom_build, bloom_prefilter
+
+    fact = spark.range(100).select(F.col("id").alias("k"))
+    dim = spark.range(0).select(F.col("id").alias("k"))
+    bloom = bloom_build(dim, "k", 1024, 4)
+    assert bloom_prefilter(fact, "k", bloom, 1024, 4).count() == 0
