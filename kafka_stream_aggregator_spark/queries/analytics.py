@@ -201,3 +201,105 @@ def emb_quantize_int8(spark, sf_dir):
         .alias("q_first"),
         F.round(F.array_max(dequant_err), 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "agg_winsorized_stats",
+    # Exact per-group p05/p95 (quantile_cont == Spark percentile
+    # interpolation, pinned by agg_percentiles), then clip-and-agg.
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(least(greatest(l_extendedprice, p05), p95)), 6)
+             AS wins_mean,
+           round(stddev(least(greatest(l_extendedprice, p05), p95)), 6)
+             AS wins_std,
+           CAST(sum(CASE WHEN l_extendedprice < p05
+                           OR l_extendedprice > p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorized_stats(spark, sf_dir):
+    """Winsorized (outlier-clipped) moments: exact per-group 5th/95th
+    percentiles, values clamped into [p05, p95], then mean/std — the
+    robust-statistics screen a feature pipeline runs before training
+    on heavy-tailed columns.
+
+    Plan: percentile pass -> tiny per-group bounds relation (3 rows)
+    broadcast back into a second column-pruned scan; the clip itself
+    is pure codegen (least/greatest). At 100 TB swap the builtin
+    percentile for ops.exact_percentiles_auto's bucketed tier — same
+    bounds relation, fully parallel first pass."""
+    li = t(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+    return (
+        li.join(F.broadcast(q), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(clipped), 6).alias("wins_mean"),
+            F.round(F.stddev(clipped), 6).alias("wins_std"),
+            F.sum(
+                (
+                    (F.col("l_extendedprice") < F.col("p05"))
+                    | (F.col("l_extendedprice") > F.col("p95"))
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+    )
+
+
+@query(
+    "doc_kfold_assign",
+    # Deterministic 5-fold cross-validation assignment from the
+    # portable hash — reproducible across engines and runs, no RNG.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fold'), 1, 15)
+                  AS BIGINT) % 5 AS fold
+      FROM documents
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM f GROUP BY fold
+    """,
+)
+def doc_kfold_assign(spark, sf_dir):
+    """Deterministic k-fold CV assignment (k=5): fold = portable hash
+    of the doc key mod k — row-local, engine-portable, reproducible,
+    the same mechanism as doc_train_split's md5-nibble split
+    generalized to arbitrary k. Per-fold size/length stats confirm the
+    hash balances folds. Pure map + one bounded groupBy."""
+    from ..sketches import portable_u64
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (portable_u64(F.col("doc_id"), salt="fold") % 5).alias("fold"),
+            "doc_id",
+            "n_chars",
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
