@@ -369,3 +369,39 @@ def test_percentile_tiers_agree(spark, groups, qs):
         for g in expect:
             for a, b in zip(got[g], expect[g]):
                 assert abs(a - b) < 1e-6, (tier, g, got[g], expect[g])
+
+
+# strings whose md5-derived 60-bit hash both engines must agree on —
+# the foundation every sketch-suite oracle stands on. Exclude
+# surrogates (not encodable to UTF-8) but include everything else.
+hash_strings = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=20,
+    unique=True,
+)
+
+
+@given(strings=hash_strings)
+@SETTINGS
+def test_portable_u64_matches_duckdb(spark, strings):
+    import duckdb
+
+    from kafka_stream_aggregator_spark.sketches import portable_u64
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_u64(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        want = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [s]
+        ).fetchone()[0]
+        assert got[s] == want, f"hash mismatch for {s!r}"
+        assert 0 <= got[s] < (1 << 60)
