@@ -211,3 +211,133 @@ def fn_zorder_key(spark, sf_dir):
             F.col("l_partkey") % 1024, F.col("l_suppkey") % 1024, bits=10
         ).alias("zkey"),
     )
+
+
+@query(
+    "io_compact_small_files",
+    # Content must survive compaction exactly: the oracle aggregates
+    # the ORIGINAL table; the query aggregates the compacted copy.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    """,
+)
+def io_compact_small_files(spark, sf_dir):
+    """Small-file compaction — the table-maintenance op every
+    long-running 100 TB pipeline needs: a fragmented write (16 shards
+    of a small table here; in production, thousands of per-micro-batch
+    or per-task files) is rewritten into data-sized files. Small files
+    are the classic silent killer at scale: each adds a scan task +
+    namenode/liststore entry, and a 100k-file table schedules 100k
+    tasks to read 100 GB.
+
+    Compaction = read + repartition(target) + rewrite; the target
+    count comes from ops.data_sized_partitions (bytes-per-file), the
+    same sizing rule the CPU-heavy stages use. The query asserts the
+    file count dropped to the target AND returns content aggregates
+    the oracle checks against the ORIGINAL — compaction must be
+    byte-lossless on the data while reshaping the layout."""
+    import glob
+
+    from ..ops import data_sized_partitions
+
+    frag = os.path.join(tempfile.gettempdir(), "ksa_frag_docs")
+    d = t(spark, sf_dir, "documents")
+    d.repartition(16).write.mode("overwrite").parquet(frag)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+
+    target = data_sized_partitions(d, bytes_per_partition=4 << 20, floor=1)
+    compacted = os.path.join(tempfile.gettempdir(), "ksa_compact_docs")
+    spark.read.parquet(frag).repartition(target).write.mode("overwrite").parquet(
+        compacted
+    )
+    n_comp = len(glob.glob(os.path.join(compacted, "*.parquet")))
+    assert n_comp <= target < n_frag, (n_comp, target, n_frag)
+
+    c = spark.read.parquet(compacted)
+    return c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "io_merge_upsert",
+    # MERGE semantics replayed relationally: updates override matched
+    # keys, inserts append, untouched rows survive. The oracle builds
+    # the same update set and merges with a full outer join.
+    oracle="""
+    WITH updates AS (
+      SELECT doc_id,
+             'UPDATED:' || lang AS lang,
+             n_chars + 1000000 AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, 'new' AS lang, 42 AS n_chars
+      FROM documents WHERE doc_id % 97 = 0
+    ), merged AS (
+      SELECT coalesce(u.doc_id, b.doc_id) AS doc_id,
+             coalesce(u.lang, b.lang) AS lang,
+             coalesce(u.n_chars, b.n_chars) AS n_chars
+      FROM (SELECT doc_id, lang, n_chars FROM documents) b
+      FULL OUTER JOIN updates u USING (doc_id)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM merged GROUP BY lang
+    """,
+)
+def io_merge_upsert(spark, sf_dir):
+    """Snapshot MERGE/upsert without a lakehouse format (no Delta/
+    Iceberg jars in this environment — docs/COVERAGE.md): base ⟕⟖
+    updates full-outer on the key, update wins on match, insert on
+    no-match, untouched rows pass through; the merged relation is the
+    new snapshot (in production: written partition-overwrite, exactly
+    as streaming/rollup.maintain_rollup does for its idempotent
+    streaming variant).
+
+    100 TB shape: ONE shuffle join on the merge key — and when updates
+    are small (the normal CDC case) the outer join broadcasts the
+    update side, making MERGE a map-side operation over the base
+    scan."""
+    base = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("UPDATED:"), F.col("lang")).alias("lang"),
+            (F.col("n_chars") + 1000000).alias("n_chars"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.lit("new").alias("lang"),
+                F.lit(42).cast("long").alias("n_chars"),
+            )
+        )
+    )
+    b = base.select(
+        F.col("doc_id"),
+        F.col("lang").alias("b_lang"),
+        F.col("n_chars").alias("b_chars"),
+    )
+    u = updates.select(
+        F.col("doc_id"),
+        F.col("lang").alias("u_lang"),
+        F.col("n_chars").alias("u_chars"),
+    )
+    merged = b.join(F.broadcast(u), "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("u_lang", "b_lang").alias("lang"),
+        F.coalesce("u_chars", "b_chars").alias("n_chars"),
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+    )
