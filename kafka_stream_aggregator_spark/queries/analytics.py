@@ -303,3 +303,114 @@ def doc_kfold_assign(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("first_doc"),
         )
     )
+
+
+@query(
+    "diag_key_skew",
+    oracle="""
+    WITH k AS (
+      SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(n) AS BIGINT) AS max_n,
+             round(avg(n), 6) AS mean_n
+      FROM k
+    ), top AS (
+      SELECT l_orderkey, n,
+             row_number() OVER (ORDER BY n DESC, l_orderkey) AS rk
+      FROM k
+    )
+    SELECT t.rk, t.l_orderkey AS hot_key, CAST(t.n AS BIGINT) AS n_rows,
+           round(t.n / tot.mean_n, 6) AS x_mean,
+           round(CAST(t.n AS DOUBLE) / tot.total, 6) AS share
+    FROM top t CROSS JOIN tot WHERE t.rk <= 10
+    """,
+)
+def diag_key_skew(spark, sf_dir):
+    """Join-key skew diagnosis — the pre-flight a 100 TB join runs
+    before choosing between plain shuffle, AQE skew-join, and
+    ops.salted_join: per-key cardinalities, the 10 hottest keys, each
+    key's multiple of the mean and share of total rows. A key at
+    1000x the mean is the one that pins a reducer for hours; this
+    report is one groupBy + a TakeOrdered top-10 + a broadcast 1-row
+    totals join (the percent-of-total pattern — never sum OVER ())."""
+    li = t(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(
+        k.agg(
+            F.sum("n").cast("bigint").alias("total"),
+            F.avg("n").alias("mean_n"),
+        )
+    )
+    top = (
+        k.orderBy(F.desc("n"), "l_orderkey")
+        .limit(10)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.orderBy(F.desc("n"), "l_orderkey")
+            ),
+        )
+    )
+    return top.crossJoin(tot).select(
+        "rk",
+        F.col("l_orderkey").alias("hot_key"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("n") / F.col("mean_n"), 6).alias("x_mean"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
+
+
+@query(
+    "diag_data_quality",
+    # One-scan expectations report over events: null rates, range
+    # violations, distinctness — every check a codegen conditional agg.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS null_rate_user,
+           round(CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS null_rate_value,
+           CAST(sum(CASE WHEN value < -1000000 OR value > 1000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS range_violations,
+           CAST(sum(CASE WHEN event_type NOT IN
+                          ('click','view','purchase','signup','logout',
+                           'login','error','refund')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS domain_violations,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS distinct_ids,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS dup_ids
+    FROM events
+    """,
+)
+def diag_data_quality(spark, sf_dir):
+    """One-scan data-quality expectations report (null rates, numeric
+    range violations, categorical domain violations, key uniqueness)
+    — the ingest gate of a production pipeline. Every check is a
+    conditional aggregate over the SAME scan (no per-check passes);
+    at 100 TB this is one map-side-combined aggregation, and the
+    distinct-key check is the only part that shuffles (swap in HLL
+    via approx_count_distinct when exactness isn't required)."""
+    ev = t(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    valid_types = [
+        "click", "view", "purchase", "signup", "logout", "login", "error",
+        "refund",
+    ]
+    return ev.agg(
+        n.cast("bigint").alias("n_rows"),
+        F.round(F.sum(F.col("user_id").isNull().cast("int")).cast("double") / n, 6)
+        .alias("null_rate_user"),
+        F.round(F.sum(F.col("value").isNull().cast("int")).cast("double") / n, 6)
+        .alias("null_rate_value"),
+        F.sum(
+            ((F.col("value") < -1000000) | (F.col("value") > 1000000)).cast("int")
+        )
+        .cast("bigint")
+        .alias("range_violations"),
+        F.sum((~F.col("event_type").isin(valid_types)).cast("int"))
+        .cast("bigint")
+        .alias("domain_violations"),
+        F.countDistinct("event_id").cast("bigint").alias("distinct_ids"),
+        (n - F.countDistinct("event_id")).cast("bigint").alias("dup_ids"),
+    )
