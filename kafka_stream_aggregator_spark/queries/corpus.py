@@ -733,3 +733,68 @@ def emb_matryoshka_recall(spark, sf_dir):
         .groupBy("trunc_dim", "q_id")
         .agg(F.round(F.count("__hit").cast("double") / 10, 6).alias("recall_at_10"))
     )
+
+
+@query(
+    "emb_semantic_decontaminate",
+    # Semantic decontamination: train vectors too close (cosine) to any
+    # eval vector are contaminated. The eval set is label-defined
+    # (label = 0), small, and broadcast; max-sim + verdict per train
+    # vector.
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id, v FROM e WHERE label = 0),
+    tr AS (SELECT vec_id, v FROM e WHERE label <> 0),
+    sims AS (
+      SELECT tr.vec_id,
+             max(list_dot_product(tr.v, ev.v)
+                 / (sqrt(list_dot_product(tr.v, tr.v))
+                    * sqrt(list_dot_product(ev.v, ev.v)))) AS max_sim
+      FROM tr CROSS JOIN ev
+      GROUP BY tr.vec_id
+    )
+    SELECT vec_id, round(max_sim, 6) AS max_eval_sim,
+           max_sim >= 0.35 AS contaminated
+    FROM sims
+    """,
+)
+def emb_semantic_decontaminate(spark, sf_dir):
+    """Semantic decontamination — the embedding-space tier of the
+    decontamination family (n-gram overlap: doc_decontaminate; set
+    membership: sketch_bloom_decontaminate): a training vector whose
+    cosine to ANY eval-set vector exceeds the threshold is flagged,
+    catching paraphrased leakage that token overlap misses.
+
+    Plan: eval side is small by construction and broadcast (norms
+    hoisted once per vector); train side streams through one scan with
+    a per-row max over the broadcast set — no shuffle of the training
+    corpus at all beyond its own scan. At web scale the same query
+    runs against the IVF cells of the eval set (emb_cosine_near_dup_ivf
+    machinery) to cut the per-row candidate count."""
+    from ..llm.similarity import as_double, dot, norm
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    ev = (
+        e.filter(F.col("label") == 0)
+        .select(F.col("vec_id").alias("e_id"), F.col("v").alias("ev"))
+        .withColumn("e_norm", norm(F.col("ev")))
+    )
+    tr = e.filter(F.col("label") != 0).withColumn("t_norm", norm(F.col("v")))
+    sims = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            (dot(F.col("v"), F.col("ev")) / (F.col("t_norm") * F.col("e_norm"))).alias(
+                "s"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("max_sim"))
+    )
+    return sims.select(
+        "vec_id",
+        F.round("max_sim", 6).alias("max_eval_sim"),
+        (F.col("max_sim") >= 0.35).alias("contaminated"),
+    )
