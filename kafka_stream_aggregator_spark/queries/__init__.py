@@ -71,6 +71,13 @@ _WINDOW_PRIORITY = [
     "doc_bigram_logprob",
     "doc_normalize_text",
     "stream_heavy_hitters",
+    "agg_winsorized_stats",
+    "doc_kfold_assign",
+    "io_compact_small_files",
+    "io_merge_upsert",
+    "diag_key_skew",
+    "diag_data_quality",
+    "emb_semantic_decontaminate",
     # --- rotation: oldest-verified greens ---
     "sessionize_gap",
     "events_funnel",
@@ -85,13 +92,6 @@ _WINDOW_PRIORITY = [
     "doc_train_split",
     "fn_unpivot",
     "agg_regression",
-    "agg_mode",
-    "agg_hll_sketch_union",
-    "fn_variant_suite",
-    "doc_char_entropy",
-    "agg_mad",
-    "ind_ohlc_5min",
-    "ind_rolling_corr",
 ]
 
 
