@@ -798,3 +798,23 @@ def emb_semantic_decontaminate(spark, sf_dir):
         F.round("max_sim", 6).alias("max_eval_sim"),
         (F.col("max_sim") >= 0.35).alias("contaminated"),
     )
+
+
+@query("corpus_bpe_merges", oracle=None)
+def corpus_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training (llm.bpe): the corpus reduces
+    once to the (word, count) vocabulary, then each of 12 merge
+    rounds is one bounded pair-count shuffle + a 1-row argmax + a
+    JVM-side fold rewriting the vocab arrays — the driver sees O(12)
+    rows total (cluster_near_dups' driver-in-the-loop shape). The 12
+    data-dependent iterations are not SQL-expressible -> rows-only
+    driver check; exact equivalence with a pure-Python reference BPE
+    (same tiebreaks, same left-to-right merge fold) is pinned in
+    tests/test_bpe.py on synthetic and real corpora."""
+    from ..llm.bpe import train_bpe
+
+    d = t(spark, sf_dir, "documents")
+    merges = train_bpe(d, "text", n_merges=12)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, support long"
+    )
