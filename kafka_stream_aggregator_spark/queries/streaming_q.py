@@ -674,3 +674,75 @@ def stream_heavy_hitters_q(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return latest_snapshot(out).orderBy("shard", "item")
+
+
+@query(
+    "stream_cms_counts",
+    # A Count-Min sketch maintained BY a streaming aggregation: the
+    # pair (row, cell) explode is stateless column work, the counts are
+    # a complete-mode groupBy sum — order-independent, so the drained
+    # sketch equals the batch sketch EXACTLY and the full construction
+    # stays SQL-oracle-able even through the stream.
+    oracle="""
+    WITH cms AS (
+      SELECT i AS rw,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+               % 512 AS cell,
+             count(*) AS cnt
+      FROM events, unnest(range(0, 4)) AS u(i)
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT user_id, count(*) AS true_cnt
+      FROM events GROUP BY user_id
+      ORDER BY true_cnt DESC, user_id LIMIT 10
+    ), lookups AS (
+      SELECT t.user_id, t.true_cnt, i AS rw,
+             CAST('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || ':'
+                                      || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+               % 512 AS cell
+      FROM truth t, unnest(range(0, 4)) AS u(i)
+    )
+    SELECT l.user_id, min(c.cnt) AS est_cnt, l.true_cnt
+    FROM lookups l JOIN cms c USING (rw, cell)
+    GROUP BY l.user_id, l.true_cnt
+    """,
+)
+def stream_cms_counts(spark, sf_dir):
+    """Streaming Count-Min sketch: the d-row position explode runs
+    stateless on the stream, the cell counters are a complete-mode
+    streaming aggregation with state bounded at d*w rows — the
+    bounded-state frequency answer for unbounded streams, and because
+    sum is order- and batching-independent, the drained sketch is
+    bit-identical to the batch build (so unlike the MG heavy-hitter
+    stream, this streaming sketch keeps an EXACT SQL oracle).
+    Estimates for the top-10 users are served batch-side off the
+    maintained sketch, the same serving pattern as
+    stream_complete_topk."""
+    from ..sketches import _pos
+
+    s = _events_stream(spark, sf_dir)
+    rows = F.array(*[F.lit(i) for i in range(4)])
+    exploded = s.select(
+        F.col("user_id"), F.explode(rows).alias("row")
+    ).select(
+        "row", _pos(F.col("user_id"), F.col("row"), 512, "portable").alias("cell")
+    )
+    sk = exploded.groupBy("row", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+    sketch = _run_to_df(spark, sk, mode="complete")
+    truth = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(10)
+    )
+    lookups = truth.select(
+        "user_id", "true_cnt", F.explode(rows).alias("row")
+    ).withColumn("cell", _pos(F.col("user_id"), F.col("row"), 512, "portable"))
+    return (
+        lookups.join(F.broadcast(sketch), on=["row", "cell"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select("user_id", "est_cnt", "true_cnt")
+    )
