@@ -78,6 +78,8 @@ _WINDOW_PRIORITY = [
     "diag_key_skew",
     "diag_data_quality",
     "emb_semantic_decontaminate",
+    "corpus_bpe_merges",
+    "stream_cms_counts",
     # --- rotation: oldest-verified greens ---
     "sessionize_gap",
     "events_funnel",
@@ -90,8 +92,6 @@ _WINDOW_PRIORITY = [
     "io_orc_roundtrip",
     "io_text_roundtrip",
     "doc_train_split",
-    "fn_unpivot",
-    "agg_regression",
 ]
 
 
