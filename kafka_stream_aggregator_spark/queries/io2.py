@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -243,13 +244,14 @@ def io_compact_small_files(spark, sf_dir):
 
     from ..ops import data_sized_partitions
 
-    frag = os.path.join(tempfile.gettempdir(), "ksa_frag_docs")
+    run_id = uuid.uuid4().hex[:8]
+    frag = os.path.join(tempfile.gettempdir(), f"ksa_frag_docs_{run_id}")
     d = t(spark, sf_dir, "documents")
     d.repartition(16).write.mode("overwrite").parquet(frag)
     n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
 
     target = data_sized_partitions(d, bytes_per_partition=4 << 20, floor=1)
-    compacted = os.path.join(tempfile.gettempdir(), "ksa_compact_docs")
+    compacted = os.path.join(tempfile.gettempdir(), f"ksa_compact_docs_{run_id}")
     spark.read.parquet(frag).repartition(target).write.mode("overwrite").parquet(
         compacted
     )
@@ -301,10 +303,13 @@ def io_merge_upsert(spark, sf_dir):
     as streaming/rollup.maintain_rollup does for its idempotent
     streaming variant).
 
-    100 TB shape: ONE shuffle join on the merge key — and when updates
-    are small (the normal CDC case) the outer join broadcasts the
-    update side, making MERGE a map-side operation over the base
-    scan."""
+    100 TB shape: MERGE decomposes into anti-join + union-all —
+    base rows NOT in the update set pass through, and the update set
+    (which already carries the post-merge values for both updates and
+    inserts) is appended. The anti-join IS broadcast-able (unlike a
+    full outer join, which Spark cannot broadcast), so small-update
+    CDC — the normal case — touches the base in one map-side pass
+    with zero shuffle."""
     base = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     updates = (
         base.filter(F.col("doc_id") % 7 == 0)
@@ -321,21 +326,10 @@ def io_merge_upsert(spark, sf_dir):
             )
         )
     )
-    b = base.select(
-        F.col("doc_id"),
-        F.col("lang").alias("b_lang"),
-        F.col("n_chars").alias("b_chars"),
+    untouched = base.join(
+        F.broadcast(updates.select("doc_id")), "doc_id", "left_anti"
     )
-    u = updates.select(
-        F.col("doc_id"),
-        F.col("lang").alias("u_lang"),
-        F.col("n_chars").alias("u_chars"),
-    )
-    merged = b.join(F.broadcast(u), "doc_id", "full_outer").select(
-        "doc_id",
-        F.coalesce("u_lang", "b_lang").alias("lang"),
-        F.coalesce("u_chars", "b_chars").alias("n_chars"),
-    )
+    merged = untouched.unionByName(updates)
     return merged.groupBy("lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("n_chars").cast("bigint").alias("chars"),
