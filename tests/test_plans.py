@@ -245,3 +245,16 @@ def test_gap_islands_single_shuffle(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_merge_upsert_broadcasts_anti_join(spark, sf_dir):
+    # MERGE = anti-join + union; the anti side must be a broadcast hash
+    # join (full outer would silently shuffle both sides).
+    plan = _plan(REGISTRY["io_merge_upsert"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prefilter_query_no_fact_shuffle_before_join(spark, sf_dir):
+    plan = _plan(REGISTRY["join_bloom_prefilter"].fn(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 4
