@@ -243,3 +243,55 @@ def windowed_ewma_two_level(
     if emit_positive_only:
         out = out.filter(F.col("ewma") > 0.0)
     return out
+
+
+def holt_smoothing(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    order_cols: Sequence[str],
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) per key —
+    the next indicator tier above the reference's single EWMA (S1/S2):
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    seeded l_1 = x_1, b_1 = 0. The coupled recurrence has no
+    rank-indexed closed form (unlike plain EWMA, indicators.py:102),
+    so each key's series folds sequentially in an Arrow-batched
+    ``applyInPandas`` — the standard per-entity time-series shape: one
+    shuffle on the key, each task owns whole series. Emits the final
+    (level, trend, one-step forecast, n_rows) per key.
+
+    The Python fold writes the arithmetic in EXACTLY the oracle's
+    expression order (both are IEEE doubles, so same ops in same order
+    = bit-identical results), which is what lets a sequential stateful
+    fold be DuckDB-oracled via a recursive CTE (ind_holt_trend).
+    """
+    import pandas as pd
+
+    keys = list(key_cols)
+    out_schema = ", ".join(
+        [f"{k} string" for k in keys]
+        + ["n_rows long", "level double", "trend double", "forecast_1 double"]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+        xs = pdf[value_col].to_numpy()
+        l = float(xs[0])
+        b = 0.0
+        for x in xs[1:]:
+            l_new = alpha * float(x) + (1.0 - alpha) * (l + b)
+            b = beta * (l_new - l) + (1.0 - beta) * b
+            l = l_new
+        head = pdf.iloc[0]
+        return pd.DataFrame(
+            [[*(str(head[k]) for k in keys), len(xs), l, b, l + b]],
+            columns=[*keys, "n_rows", "level", "trend", "forecast_1"],
+        )
+
+    return df.groupBy(*keys).applyInPandas(fold, schema=out_schema)

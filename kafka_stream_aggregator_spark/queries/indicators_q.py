@@ -213,3 +213,61 @@ def ind_rolling_corr(spark, sf_dir):
             F.corr("value", F.col("ts").cast("double")).over(w), 6
         ).alias("trend_corr"),
     )
+
+
+@query(
+    "ind_holt_trend",
+    # A sequential stateful fold with an EXACT oracle: the recursive
+    # CTE steps the same coupled recurrence in the same expression
+    # order (1.0 - alpha spelled as a subtraction on both sides), so
+    # IEEE doubles agree bit-for-bit after thousands of steps.
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id % 5 = 0
+    ), nn AS (
+      SELECT event_type, max(rn) AS n_rows FROM o GROUP BY event_type
+    ), rec AS (
+      SELECT o.event_type, o.rn, o.value AS l, 0.0::DOUBLE AS b
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.event_type, o.rn,
+             0.3 * o.value + (1.0 - 0.3) * (rec.l + rec.b) AS l,
+             0.1 * ((0.3 * o.value + (1.0 - 0.3) * (rec.l + rec.b)) - rec.l)
+               + (1.0 - 0.1) * rec.b AS b
+      FROM rec JOIN o ON o.event_type = rec.event_type
+                     AND o.rn = rec.rn + 1
+    )
+    SELECT r.event_type, CAST(nn.n_rows AS BIGINT) AS n_rows,
+           round(r.l, 6) AS level, round(r.b, 6) AS trend,
+           round(r.l + r.b, 6) AS forecast_1
+    FROM rec r JOIN nn ON nn.event_type = r.event_type
+                      AND r.rn = nn.n_rows
+    """,
+)
+def ind_holt_trend(spark, sf_dir):
+    """Holt level+trend smoothing per event type (indicators.
+    holt_smoothing): the coupled recurrence folds sequentially per key
+    in applyInPandas (one shuffle, whole series per task — the
+    standard per-entity time-series shape at any scale), and the
+    DuckDB oracle replays it with a recursive CTE in the identical
+    expression order — an exact cross-engine check on a genuinely
+    sequential stateful operator."""
+    from ..indicators import holt_smoothing
+
+    # user_id slice keeps the oracle's recursive CTE at a few hundred
+    # steps per group (its cost is steps x join, ~25s unfiltered at
+    # sf0.01) while still folding hundreds of values per key.
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    out = holt_smoothing(
+        ev, ["event_type"], "value", ["ts", "event_id"], alpha=0.3, beta=0.1
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast_1", 6).alias("forecast_1"),
+    )
