@@ -357,3 +357,57 @@ def join_interval_overlap(spark, sf_dir):
         .groupBy(F.col("a_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    # Entity-resolution fuzzy join: candidate pairs blocked on the
+    # name's noun token (equi join — never all-pairs), then exact
+    # Levenshtein filter. Same blocking + same distance on both
+    # engines.
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS blk
+      FROM part
+    )
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+      AND a.p_name <> b.p_name
+    """,
+)
+def join_fuzzy_blocked(spark, sf_dir):
+    """Fuzzy (edit-distance) join with blocking — the entity-resolution
+    primitive: candidates pair only inside a blocking key (here the
+    name's noun token, an equi join), and the exact Levenshtein filter
+    runs on that reduced set. At 100 TB the blocking join IS the
+    algorithm — all-pairs Levenshtein is quadratic and never viable;
+    block well (token, phonetic code, length band, or an LSH bucket
+    from llm.dedup) and the distance pass is linear in candidate
+    pairs. Both engines implement unit-cost Levenshtein, so the query
+    is exactly oracled."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_name").alias("name_a"),
+        F.col("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    pairs = a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+    d = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        pairs.filter((d <= 2) & (F.col("name_a") != F.col("name_b")))
+        .select(
+            "id_a", "id_b", "name_a", "name_b", d.cast("bigint").alias("dist")
+        )
+    )
