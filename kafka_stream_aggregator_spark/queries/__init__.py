@@ -80,6 +80,8 @@ _WINDOW_PRIORITY = [
     "emb_semantic_decontaminate",
     "corpus_bpe_merges",
     "stream_cms_counts",
+    "ind_holt_trend",
+    "join_fuzzy_blocked",
     # --- rotation: oldest-verified greens ---
     "sessionize_gap",
     "events_funnel",
@@ -90,8 +92,6 @@ _WINDOW_PRIORITY = [
     "ann_pq_topk",
     "ann_pq_rerank_topk",
     "io_orc_roundtrip",
-    "io_text_roundtrip",
-    "doc_train_split",
 ]
 
 
