@@ -414,3 +414,82 @@ def diag_data_quality(spark, sf_dir):
         F.countDistinct("event_id").cast("bigint").alias("distinct_ids"),
         (n - F.countDistinct("event_id")).cast("bigint").alias("dup_ids"),
     )
+
+
+@query(
+    "fn_feature_scaling",
+    # Per-group z-score + min-max scaling: stats pass -> tiny bounds
+    # relation broadcast back (same two-pass shape as winsorize).
+    # Sample stddev on both engines.
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             avg(value) AS mu, stddev(value) AS sd,
+             min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           round((value - mu) / sd, 6) AS z,
+           round((value - lo) / (hi - lo), 6) AS minmax
+    FROM events e JOIN s USING (event_type)
+    WHERE event_id % 100 = 0
+    """,
+)
+def fn_feature_scaling(spark, sf_dir):
+    """Feature scaling for ML prep: per-group z-score and min-max
+    normalization — one stats aggregation broadcast back into the
+    scan (never a window over the full table: the per-group stats
+    relation is tiny and the big side stays map-only). Output sampled
+    to every 100th event to keep the gate small; the plan is
+    identical unsampled."""
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev("value").alias("sd"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.col("event_id") % 100 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+            F.round(
+                (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6
+            ).alias("minmax"),
+        )
+    )
+
+
+@query(
+    "fn_label_index",
+    # StringIndexer analogue: labels indexed by (frequency desc, label
+    # asc) — deterministic, so the mapping is exactly oracled.
+    oracle="""
+    WITH c AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, event_type) - 1
+                AS BIGINT) AS label_idx
+    FROM c
+    """,
+)
+def fn_label_index(spark, sf_dir):
+    """Deterministic label indexing (the StringIndexer shape):
+    categorical values ranked by frequency with a lexicographic
+    tiebreak get dense integer ids — reproducible across runs and
+    engines, unlike hash-based encodings. The mapping table is
+    vocabulary-sized; downstream encoding is a broadcast join against
+    it. One groupBy + a window over the tiny mapping only."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.orderBy(F.desc("n"), "event_type")
+    return c.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("label_idx"),
+    )
