@@ -82,6 +82,8 @@ _WINDOW_PRIORITY = [
     "stream_cms_counts",
     "ind_holt_trend",
     "join_fuzzy_blocked",
+    "fn_feature_scaling",
+    "fn_label_index",
     # --- rotation: oldest-verified greens ---
     "sessionize_gap",
     "events_funnel",
@@ -90,8 +92,6 @@ _WINDOW_PRIORITY = [
     "doc_global_shuffle",
     "jaccard_dup_clusters",
     "ann_pq_topk",
-    "ann_pq_rerank_topk",
-    "io_orc_roundtrip",
 ]
 
 
