@@ -312,9 +312,7 @@ def doc_kfold_assign(spark, sf_dir):
       SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
     ), tot AS (
       SELECT CAST(sum(n) AS BIGINT) AS total,
-             CAST(count(*) AS BIGINT) AS n_keys,
-             CAST(max(n) AS BIGINT) AS max_n,
-             round(avg(n), 6) AS mean_n
+             CAST(count(*) AS BIGINT) AS n_keys
       FROM k
     ), top AS (
       SELECT l_orderkey, n,
@@ -322,7 +320,7 @@ def doc_kfold_assign(spark, sf_dir):
       FROM k
     )
     SELECT t.rk, t.l_orderkey AS hot_key, CAST(t.n AS BIGINT) AS n_rows,
-           round(t.n / tot.mean_n, 6) AS x_mean,
+           round(CAST(t.n * tot.n_keys AS DOUBLE) / tot.total, 6) AS x_mean,
            round(CAST(t.n AS DOUBLE) / tot.total, 6) AS share
     FROM top t CROSS JOIN tot WHERE t.rk <= 10
     """,
@@ -337,10 +335,14 @@ def diag_key_skew(spark, sf_dir):
     totals join (the percent-of-total pattern — never sum OVER ())."""
     li = t(spark, sf_dir, "lineitem")
     k = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    # x_mean = n / (total / n_keys) computed as n*n_keys/total: the
+    # numerator and denominator stay EXACT integers, so the one float
+    # division is bit-identical cross-engine (a float avg()'s summation
+    # order differs between engines -- 1-ulp flip seen at sf0.1).
     tot = F.broadcast(
         k.agg(
             F.sum("n").cast("bigint").alias("total"),
-            F.avg("n").alias("mean_n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
         )
     )
     top = (
@@ -357,7 +359,9 @@ def diag_key_skew(spark, sf_dir):
         "rk",
         F.col("l_orderkey").alias("hot_key"),
         F.col("n").cast("bigint").alias("n_rows"),
-        F.round(F.col("n") / F.col("mean_n"), 6).alias("x_mean"),
+        F.round(
+            (F.col("n") * F.col("n_keys")).cast("double") / F.col("total"), 6
+        ).alias("x_mean"),
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
     )
 
