@@ -497,3 +497,84 @@ def fn_label_index(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         (F.row_number().over(w) - 1).cast("bigint").alias("label_idx"),
     )
+
+
+@query(
+    "diag_distribution_drift",
+    # PSI between the first and second half of the event stream (by
+    # event_id parity as a deterministic split), fixed value bins.
+    # Counts are exact integers; the PSI formula is one deterministic
+    # float expression per bin.
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+             least(greatest(CAST(floor(value / 10) AS BIGINT), -10), 10) AS bin
+      FROM events WHERE value IS NOT NULL
+    ), c AS (
+      SELECT half, bin, count(*) AS n FROM b GROUP BY half, bin
+    ), tot AS (
+      SELECT half, sum(n) AS t FROM c GROUP BY half
+    ), p AS (
+      SELECT bin,
+             CAST(max(CASE WHEN half = 'a' THEN n ELSE 0 END) AS DOUBLE) AS na,
+             CAST(max(CASE WHEN half = 'b' THEN n ELSE 0 END) AS DOUBLE) AS nb,
+             (SELECT CAST(t AS DOUBLE) FROM tot WHERE half = 'a') AS ta,
+             (SELECT CAST(t AS DOUBLE) FROM tot WHERE half = 'b') AS tb
+      FROM c GROUP BY bin
+    )
+    SELECT bin,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(((na + 1) / (ta + 1) - (nb + 1) / (tb + 1))
+                 * ln(((na + 1) / (ta + 1)) / ((nb + 1) / (tb + 1))), 6)
+             AS psi_term
+    FROM p
+    """,
+)
+def diag_distribution_drift(spark, sf_dir):
+    """Distribution-drift monitor (PSI, population stability index):
+    bin a numeric feature, compare the binned distribution between two
+    deterministic cohorts (here: even/odd event ids standing in for
+    reference-vs-current windows), emit the per-bin PSI term —
+    Σ psi_term > 0.2 is the standard retrain/alert threshold. Add-one
+    smoothing keeps empty bins finite.
+
+    100 TB shape: one scan → one bounded groupBy (cohort × bin, ≤ 42
+    cells here) → the PSI arithmetic runs on the tiny binned relation.
+    The expensive part is exactly one map-side-combined count, which is
+    as cheap as distribution monitoring can be."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias("half"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10).cast("bigint"), F.lit(-10)),
+            F.lit(10),
+        ).alias("bin"),
+    )
+    c = b.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("n"))
+    wide = c.groupBy("bin").agg(
+        F.max(F.when(F.col("half") == "a", F.col("n")).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.max(F.when(F.col("half") == "b", F.col("n")).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+    )
+    tot = F.broadcast(
+        c.groupBy()
+        .agg(
+            F.sum(F.when(F.col("half") == "a", F.col("n")).otherwise(0))
+            .cast("double")
+            .alias("ta"),
+            F.sum(F.when(F.col("half") == "b", F.col("n")).otherwise(0))
+            .cast("double")
+            .alias("tb"),
+        )
+    )
+    pa = (F.col("na") + 1) / (F.col("ta") + 1)
+    pb = (F.col("nb") + 1) / (F.col("tb") + 1)
+    return wide.crossJoin(tot).select(
+        "bin",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
