@@ -578,3 +578,71 @@ def diag_distribution_drift(spark, sf_dir):
         F.col("nb").cast("bigint").alias("n_b"),
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+@query(
+    "ab_test_ztest",
+    # Two-sample z-test per metric pair (purchase vs click value):
+    # moments are exact-integer-count + float-sum aggregates over one
+    # scan; the z arithmetic is one deterministic expression.
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             avg(value) AS mu,
+             var_samp(value) AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+      GROUP BY event_type
+    ), w AS (
+      SELECT max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+             max(CASE WHEN event_type = 'purchase' THEN mu END) AS mu1,
+             max(CASE WHEN event_type = 'purchase' THEN v END) AS v1,
+             max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+             max(CASE WHEN event_type = 'click' THEN mu END) AS mu2,
+             max(CASE WHEN event_type = 'click' THEN v END) AS v2
+      FROM s
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat, CAST(n2 AS BIGINT) AS n_ctrl,
+           round(mu1, 6) AS mean_treat, round(mu2, 6) AS mean_ctrl,
+           round(mu1 - mu2, 6) AS lift,
+           round((mu1 - mu2) / sqrt(v1 / n1 + v2 / n2), 6) AS z_score,
+           abs((mu1 - mu2) / sqrt(v1 / n1 + v2 / n2)) > 1.959964 AS significant_95
+    FROM w
+    """,
+)
+def ab_test_ztest(spark, sf_dir):
+    """Two-sample z-test (Welch form) between cohorts — the A/B
+    readout every event pipeline serves: per-cohort moments from ONE
+    map-side-combined aggregation, then the lift / standard-error /
+    z-score arithmetic on the 1-row moments relation. At 100 TB the
+    entire test costs one scan; nothing downstream of the groupBy
+    touches more than two rows. var_samp on both engines (sample
+    variance), matching the classic Welch denominator."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("value").isNotNull()
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    w = s.groupBy().agg(
+        *[
+            F.max(F.when(F.col("event_type") == typ, F.col(c))).alias(f"{c}{i}")
+            for i, typ in ((1, "purchase"), (2, "click"))
+            for c in ("n", "mu", "v")
+        ]
+    )
+    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    z = (F.col("mu1") - F.col("mu2")) / se
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("n2").cast("bigint").alias("n_ctrl"),
+        F.round("mu1", 6).alias("mean_treat"),
+        F.round("mu2", 6).alias("mean_ctrl"),
+        F.round(F.col("mu1") - F.col("mu2"), 6).alias("lift"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > 1.959964).alias("significant_95"),
+    )
