@@ -84,14 +84,14 @@ _WINDOW_PRIORITY = [
     "join_fuzzy_blocked",
     "fn_feature_scaling",
     "fn_label_index",
+    "diag_distribution_drift",
+    "ab_test_ztest",
     # --- rotation: oldest-verified greens ---
     "sessionize_gap",
     "events_funnel",
     "join_interval_overlap",
     "simhash_near_dup",
     "doc_global_shuffle",
-    "jaccard_dup_clusters",
-    "ann_pq_topk",
 ]
 
 
