@@ -818,3 +818,33 @@ def corpus_bpe_merges(spark, sf_dir):
     return spark.createDataFrame(
         merges, "rank int, left string, right string, support long"
     )
+
+
+@query("emb_kmeans_clusters", oracle=None)
+def emb_kmeans_clusters(spark, sf_dir):
+    """K-means clustering of the embedding corpus (llm.similarity.
+    kmeans_centroids, 16 cells, 2 Lloyd iterations from deterministic
+    id-ordered seeds): per-cluster sizes and mean cosine-to-centroid.
+    Registered rows-only: the mean-update accumulates float sums whose
+    cross-engine summation order cannot be pinned (the same reason the
+    Lloyd-trained IVF tier is recall-tested rather than oracled, while
+    its SEEDED twin ann_ivf_topk is exactly oracled); the semantic
+    invariants — partition of the corpus, inertia non-increasing per
+    Lloyd iteration — are pinned in tests/test_corpus.py."""
+    from ..llm.similarity import as_double, assign_cells, cosine_sim, kmeans_centroids
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    cents = kmeans_centroids(e, "vec", "vec_id", n_cells=16, n_iter=2)
+    assigned = assign_cells(e, cents, "vec_id", n_probe=1)
+    sim = cosine_sim(F.col("vec"), F.col("c_vec"))
+    return (
+        assigned.join(F.broadcast(cents), "cell_id")
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg(sim), 6).alias("mean_cos_to_centroid"),
+        )
+        .orderBy("cell_id")
+    )

@@ -180,3 +180,43 @@ def test_bigram_logprob_ranks_coherent_above_shuffled(spark):
     shuf = sum(out[i] for i in range(4, 8)) / 4
     assert coh > shuf
     assert all(v < 0 for v in out.values())  # log-probs
+
+
+def test_kmeans_partitions_and_inertia_decreases(spark, sf_dir):
+    """Lloyd invariants: every vector lands in exactly one cell, and
+    mean cosine-to-centroid (the cosine analogue of inertia) does not
+    degrade as iterations increase."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_aggregator_spark.llm.similarity import (
+        as_double,
+        assign_cells,
+        cosine_sim,
+        kmeans_centroids,
+    )
+    from kafka_stream_aggregator_spark.queries import REGISTRY
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    n = e.count()
+
+    def mean_cos(n_iter):
+        cents = kmeans_centroids(e, "vec", "vec_id", n_cells=8, n_iter=n_iter)
+        a = assign_cells(e, cents, "vec_id", n_probe=1).join(
+            F.broadcast(cents), "cell_id"
+        )
+        row = a.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(cosine_sim(F.col("vec"), F.col("c_vec"))).alias("m"),
+        ).collect()[0]
+        assert row["n"] == n  # partition: every vector exactly once
+        return row["m"]
+
+    m0, m1, m2 = mean_cos(0), mean_cos(1), mean_cos(2)
+    assert m1 >= m0 - 1e-9
+    assert m2 >= m1 - 1e-9
+
+    rows = REGISTRY["emb_kmeans_clusters"].fn(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in rows) == n
