@@ -848,3 +848,86 @@ def emb_kmeans_clusters(spark, sf_dir):
         )
         .orderBy("cell_id")
     )
+
+
+@query(
+    "corpus_prepare_pipeline",
+    # The end-to-end corpus-prep story in ONE oracled chain:
+    # NFC-normalize -> token-band filter -> exact dedup on the
+    # normalized hash (keep-first) -> md5-nibble train/val/test split
+    # -> per-split stats. Every stage is the exact same formulation
+    # its standalone query uses.
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               lower(nfc_normalize(text)), '[\x00-\x1f\x7f]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS nt
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, nt, md5(nt) AS h,
+             len(regexp_extract_all(nt, '\S+')) AS n_tokens
+      FROM norm
+    ), kept AS (
+      SELECT * FROM tok WHERE n_tokens >= 5
+    ), fst AS (
+      SELECT h, min(doc_id) AS keep_id FROM kept GROUP BY h
+    ), deduped AS (
+      SELECT k.* FROM kept k JOIN fst f ON f.h = k.h AND f.keep_id = k.doc_id
+    )
+    SELECT CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0','1','2','3','4','5','6','7','8','9','a','b')
+               THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d')
+               THEN 'val'
+             ELSE 'test'
+           END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(length(nt)), 6) AS mean_chars
+    FROM deduped GROUP BY 1
+    """,
+)
+def corpus_prepare_pipeline(spark, sf_dir):
+    """The engine's user story in one query: raw documents ->
+    unicode-NFC cleanup (pandas UDF tier) -> minimum-length quality
+    gate -> exact content dedup on the normalized hash (keep-first,
+    one shuffle) -> deterministic md5-nibble train/val/test split ->
+    per-split corpus stats. Each stage is the identical formulation
+    of its standalone registry query (doc_normalize_text,
+    doc_exact_dedup, doc_train_split), so the composite stays exactly
+    oracle-checkable end to end — the chain a production corpus build
+    runs nightly, compressed into one plan: scan -> UDF -> filter ->
+    one hash groupBy + join-back -> codegen split -> tiny aggregate."""
+    from ..llm.text import nfc_normalize_udf
+
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    norm = d.select("doc_id", nfc_normalize_udf()(F.col("text")).alias("nt"))
+    tok = norm.select(
+        "doc_id",
+        "nt",
+        F.md5("nt").alias("h"),
+        F.size(F.regexp_extract_all("nt", F.lit(r"\S+"), 0)).alias("n_tokens"),
+    )
+    kept = tok.filter(F.col("n_tokens") >= 5)
+    fst = kept.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    deduped = kept.join(
+        fst, (kept.h == fst.h) & (kept.doc_id == fst.keep_id)
+    ).select(kept.doc_id, "nt", "n_tokens")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(nib.isin(*"0123456789ab"), F.lit("train"))
+        .when(nib.isin(*"cd"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg(F.length("nt")), 6).alias("mean_chars"),
+        )
+    )
