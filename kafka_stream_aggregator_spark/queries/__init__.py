@@ -86,12 +86,12 @@ _WINDOW_PRIORITY = [
     "fn_label_index",
     "diag_distribution_drift",
     "ab_test_ztest",
+    "corpus_prepare_pipeline",
     # --- rotation: oldest-verified greens ---
     "sessionize_gap",
     "events_funnel",
     "join_interval_overlap",
     "simhash_near_dup",
-    "doc_global_shuffle",
 ]
 
 
