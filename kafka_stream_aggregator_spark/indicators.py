@@ -272,11 +272,20 @@ def holt_smoothing(
     fold be DuckDB-oracled via a recursive CTE (ind_holt_trend).
     """
     import pandas as pd
+    from pyspark.sql import types as T
 
     keys = list(key_cols)
-    out_schema = ", ".join(
-        [f"{k} string" for k in keys]
-        + ["n_rows long", "level double", "trend double", "forecast_1 double"]
+    # key columns keep their INPUT types (coercing keys to string breaks
+    # join-back on bigint keys — same rule as streaming.stateful)
+    in_types = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            *[T.StructField(k, in_types[k]) for k in keys],
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast_1", T.DoubleType()),
+        ]
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -290,7 +299,7 @@ def holt_smoothing(
             l = l_new
         head = pdf.iloc[0]
         return pd.DataFrame(
-            [[*(str(head[k]) for k in keys), len(xs), l, b, l + b]],
+            [[*(head[k] for k in keys), len(xs), l, b, l + b]],
             columns=[*keys, "n_rows", "level", "trend", "forecast_1"],
         )
 

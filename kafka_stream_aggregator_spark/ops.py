@@ -578,6 +578,30 @@ def zorder_key_2d(x: Column, y: Column, bits: int = 16) -> Column:
     return z
 
 
+def mg_fold_item(counters: dict, item, w, k: int, num=int) -> None:
+    """One weighted Misra-Gries fold step, shared by the batch summary
+    (approx_heavy_hitters) and the streaming shard state
+    (streaming.heavyhitters) — ONE implementation of the decrement
+    rule so the two surfaces cannot drift. ``num`` is int for integral
+    weights, float for float weights (see approx_heavy_hitters)."""
+    if item in counters:
+        counters[item] += w
+    elif len(counters) < k:
+        counters[item] = w
+    else:
+        # weighted decrement: remove the min counter's worth from
+        # everyone (dropping zeros frees a slot), keep the remainder
+        # of the newcomer
+        dec = min(w, min(counters.values()))
+        drop = [it for it, c in counters.items() if c <= dec]
+        for it in counters:
+            counters[it] -= dec
+        for it in drop:
+            del counters[it]
+        if w > dec:
+            counters[item] = w - dec
+
+
 def approx_heavy_hitters(
     df: DataFrame, col: str, k: int = 100, weight_col: str | None = None
 ) -> DataFrame:
@@ -626,21 +650,7 @@ def approx_heavy_hitters(
                 vc = pdf[col].value_counts(sort=False)
             n += num(vc.sum())
             for item, w in vc.items():
-                w = num(w)
-                if item in counters:
-                    counters[item] += w
-                elif len(counters) < k:
-                    counters[item] = w
-                else:
-                    # weighted Misra-Gries decrement: remove the min
-                    # counter's worth from everyone (dropping zeros
-                    # frees a slot), keep the remainder of the newcomer
-                    dec = min(w, min(counters.values()))
-                    counters = {
-                        it: c - dec for it, c in counters.items() if c > dec
-                    }
-                    if w > dec:
-                        counters[item] = w - dec
+                mg_fold_item(counters, item, num(w), k, num=num)
         yield pd.DataFrame(
             {
                 "item": list(counters.keys()) + [None],

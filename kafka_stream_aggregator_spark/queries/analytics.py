@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..sketches import U64_SQL_TEMPLATE as _U64
 from .base import query, t
 
 
@@ -267,11 +268,10 @@ def agg_winsorized_stats(spark, sf_dir):
     "doc_kfold_assign",
     # Deterministic 5-fold cross-validation assignment from the
     # portable hash — reproducible across engines and runs, no RNG.
-    oracle="""
+    oracle=f"""
     WITH f AS (
       SELECT doc_id, n_chars,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fold'), 1, 15)
-                  AS BIGINT) % 5 AS fold
+             {_U64.format(expr="CAST(doc_id AS VARCHAR) || ':fold'")} % 5 AS fold
       FROM documents
     )
     SELECT fold,

@@ -227,8 +227,8 @@ def fn_zorder_key(spark, sf_dir):
 )
 def io_compact_small_files(spark, sf_dir):
     """Small-file compaction — the table-maintenance op every
-    long-running 100 TB pipeline needs: a fragmented write (16 shards
-    of a small table here; in production, thousands of per-micro-batch
+    long-running 100 TB pipeline needs: a fragmented write (4x the
+    compaction target here; in production, thousands of per-micro-batch
     or per-task files) is rewritten into data-sized files. Small files
     are the classic silent killer at scale: each adds a scan task +
     namenode/liststore entry, and a 100k-file table schedules 100k
@@ -247,10 +247,13 @@ def io_compact_small_files(spark, sf_dir):
     run_id = uuid.uuid4().hex[:8]
     frag = os.path.join(tempfile.gettempdir(), f"ksa_frag_docs_{run_id}")
     d = t(spark, sf_dir, "documents")
-    d.repartition(16).write.mode("overwrite").parquet(frag)
-    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
-
+    # fragment count derives from the compaction target so the
+    # "compaction shrinks the file count" invariant holds at EVERY
+    # scale tier (a constant shard count is overtaken by the
+    # data-sized target once the table outgrows shards x file size)
     target = data_sized_partitions(d, bytes_per_partition=4 << 20, floor=1)
+    d.repartition(max(16, 4 * target)).write.mode("overwrite").parquet(frag)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
     compacted = os.path.join(tempfile.gettempdir(), f"ksa_compact_docs_{run_id}")
     spark.read.parquet(frag).repartition(target).write.mode("overwrite").parquet(
         compacted

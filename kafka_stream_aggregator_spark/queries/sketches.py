@@ -19,11 +19,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..ops import data_sized_partitions
-from ..sketches import bloom_build, bloom_probe, cms_build, cms_estimate, portable_u64
+from ..sketches import (
+    U64_SQL_TEMPLATE as U64,  # canonical DuckDB twin of portable_u64
+    bloom_build,
+    bloom_probe,
+    cms_build,
+    cms_estimate,
+    portable_u64,
+)
 from .base import query, t
-
-# DuckDB twin of sketches.portable_u64 (verified equal cross-engine).
-U64 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 BLOOM_M = 4096
 BLOOM_K = 4
@@ -298,8 +302,13 @@ def join_bloom_prefilter(spark, sf_dir):
 
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     li = t(spark, sf_dir, "lineitem")
-    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey", 1 << 16, 4)
-    survivors = bloom_prefilter(li, "l_orderkey", bloom, 1 << 16, 4)
+    # xx64 tier: this oracle never replays the hash (the bloom is a
+    # transparent pre-filter, result == plain join), so the fact table
+    # pays the ~20x cheaper production hasher, not the md5 oracle tier
+    bloom = bloom_build(o.select("o_orderkey"), "o_orderkey", 1 << 16, 4,
+                        hasher="xx64")
+    survivors = bloom_prefilter(li, "l_orderkey", bloom, 1 << 16, 4,
+                                hasher="xx64")
     return (
         survivors.join(o, survivors.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")

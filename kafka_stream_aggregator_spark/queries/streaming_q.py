@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..indicators import ewma_alpha
 from ..schemas import EVENTS_SCHEMA
 from ..streaming.pipeline import streaming_dedup, streaming_windowed_ewma
+from ..sketches import U64_SQL_TEMPLATE as _U64
 from ..streaming.sources import file_stream
 from .base import query, t
 
@@ -683,11 +684,10 @@ def stream_heavy_hitters_q(spark, sf_dir):
     # a complete-mode groupBy sum — order-independent, so the drained
     # sketch equals the batch sketch EXACTLY and the full construction
     # stays SQL-oracle-able even through the stream.
-    oracle="""
+    oracle=f"""
     WITH cms AS (
       SELECT i AS rw,
-             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
-                                      || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+             {_U64.format(expr="CAST(user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
                % 512 AS cell,
              count(*) AS cnt
       FROM events, unnest(range(0, 4)) AS u(i)
@@ -698,8 +698,7 @@ def stream_heavy_hitters_q(spark, sf_dir):
       ORDER BY true_cnt DESC, user_id LIMIT 10
     ), lookups AS (
       SELECT t.user_id, t.true_cnt, i AS rw,
-             CAST('0x' || substr(md5(CAST(t.user_id AS VARCHAR) || ':'
-                                      || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+             {_U64.format(expr="CAST(t.user_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")}
                % 512 AS cell
       FROM truth t, unnest(range(0, 4)) AS u(i)
     )

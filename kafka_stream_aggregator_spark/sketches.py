@@ -54,12 +54,18 @@ def portable_u64(col: Column, salt: str | int | None = None) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+# The one canonical DuckDB spelling of portable_u64 — every oracle
+# formats THIS template (directly or via portable_u64_sql) so the hash
+# contract cannot drift between hand-rolled copies.
+U64_SQL_TEMPLATE = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 def portable_u64_sql(expr: str, salt: str | int | None = None) -> str:
     """The DuckDB twin of :func:`portable_u64` for oracle strings."""
     s = f"CAST({expr} AS VARCHAR)"
     if salt is not None:
         s = f"({s} || ':{salt}')"
-    return f"CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+    return U64_SQL_TEMPLATE.format(expr=s)
 
 
 
@@ -131,9 +137,13 @@ def bloom_probe(
     marked = exploded.join(
         F.broadcast(bloom.withColumn("_set", F.lit(1))), on="pos", how="left"
     )
+    # member iff EVERY exploded row found its bit: count(_set) equals
+    # the group's total row count — not a literal k, which breaks (false
+    # negatives) when the probe relation carries duplicate rows and the
+    # groupBy collapses them into one group of n_dup*k rows.
     return (
         marked.groupBy(*keys)
-        .agg((F.count("_set") == F.lit(k_hashes)).alias(out_col))
+        .agg((F.count("_set") == F.count(F.lit(1))).alias(out_col))
     )
 
 

@@ -42,24 +42,14 @@ STATE_SCHEMA = "items array<string>, counts array<long>, n long"
 
 
 def _mg_merge(counters: dict[str, int], vc: "pd.Series", k: int) -> None:
-    """Fold a (item -> weight) batch into an MG summary in place."""
+    """Fold a (item -> weight) batch into an MG summary in place —
+    the SAME weighted decrement rule as the batch summary, via the
+    shared ops.mg_fold_item (one implementation of the guarantee, not
+    two copies that can drift)."""
+    from ..ops import mg_fold_item
+
     for item, w in vc.items():
-        w = int(w)
-        if item in counters:
-            counters[item] += w
-        elif len(counters) < k:
-            counters[item] = w
-        else:
-            dec = min(w, min(counters.values()))
-            drop = []
-            for it in counters:
-                counters[it] -= dec
-                if counters[it] <= 0:
-                    drop.append(it)
-            for it in drop:
-                del counters[it]
-            if w - dec > 0 and len(counters) < k:
-                counters[item] = w - dec
+        mg_fold_item(counters, item, int(w), k, num=int)
 
 
 def stream_heavy_hitters(
@@ -93,7 +83,6 @@ def stream_heavy_hitters(
         if state.exists:
             items, counts, n = state.get
             counters = dict(zip(items, (int(c) for c in counts)))
-            seq = n  # monotone per shard; n only grows
         else:
             counters, n = {}, 0
         for pdf in pdfs:

@@ -122,3 +122,20 @@ def test_closed_form_equals_fold(spark, sf_dir):
     assert a.count() == b.count() > 0
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_holt_preserves_key_types(spark):
+    """Regression (review finding): group-key columns must keep their
+    input types, not be coerced to string."""
+    from pyspark.sql import types as T
+
+    from kafka_stream_aggregator_spark.indicators import holt_smoothing
+
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 1, 2.0), (2, 0, 3.0)],
+        "uid long, seq long, value double",
+    )
+    out = holt_smoothing(df, ["uid"], "value", ["seq"])
+    assert isinstance(out.schema["uid"].dataType, T.LongType)
+    got = {r["uid"]: r["n_rows"] for r in out.collect()}
+    assert got == {1: 2, 2: 1}

@@ -218,3 +218,14 @@ def test_cms_xx64_hasher_overestimates(spark, freq_df):
     est = cms_estimate(truth, "x", sketch, D, W, hasher="xx64")
     for r in est.collect():
         assert r["est"] >= r["true_cnt"]
+
+
+def test_bloom_probe_duplicate_rows_no_false_negative(spark, items):
+    """Regression (review finding): duplicate probe rows collapse into
+    one group of n_dup*k exploded rows — membership must still hold."""
+    members = items.filter("is_member").select("x")
+    bloom = bloom_build(members, "x", M, K)
+    dup_probe = members.limit(5).unionByName(members.limit(5))  # every row twice
+    probed = bloom_probe(dup_probe, "x", bloom, M, K)
+    rows = probed.collect()
+    assert rows and all(r["bloom_hit"] for r in rows)
