@@ -646,3 +646,87 @@ def ab_test_ztest(spark, sf_dir):
         F.round(z, 6).alias("z_score"),
         (F.abs(z) > 1.959964).alias("significant_95"),
     )
+
+
+@query(
+    "ts_sliding_distinct_users",
+    # Exact distinct users per 2h window sliding by 1h: each event
+    # lands in exactly 2 slide buckets (explode), then one
+    # count-distinct per bucket. Spark's window() can't host a
+    # DISTINCT aggregate in a window FUNCTION; the explode + groupBy
+    # formulation is the standard exact shape.
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+      FROM events
+    ), fan AS (
+      SELECT user_id, (hr - s) * 3600 AS win_start
+      FROM e, unnest(range(0, 2)) AS u(s)
+    )
+    SELECT win_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM fan GROUP BY win_start
+    """,
+)
+def ts_sliding_distinct_users(spark, sf_dir):
+    """Exact distinct users per 2-hour window sliding hourly. DISTINCT
+    cannot ride a window function, so each event fans out into its 2
+    covering slide buckets (bounded explode = window/slide ratio) and
+    a plain count-distinct runs per bucket — one shuffle on
+    (bucket, user) at any scale; swap in approx_count_distinct for the
+    HLL tier when exactness can yield (agg_hll_sketch_union)."""
+    ev = t(spark, sf_dir, "events")
+    hr = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    fan = ev.select(
+        "user_id", hr.alias("hr"), F.explode(F.array(F.lit(0), F.lit(1))).alias("s")
+    ).select("user_id", ((F.col("hr") - F.col("s")) * 3600).alias("win_start"))
+    return fan.groupBy("win_start").agg(
+        F.countDistinct("user_id").cast("bigint").alias("distinct_users")
+    )
+
+
+@query(
+    "ts_period_over_period",
+    # Daily revenue per event type with previous-day delta and pct
+    # change — integer-exact until the final division.
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             round(sum(value), 6) AS revenue
+      FROM events WHERE event_type IN ('purchase', 'refund')
+      GROUP BY 1, 2
+    )
+    SELECT event_type, day, revenue,
+           round(revenue - lag(revenue) OVER w, 6) AS delta,
+           round((revenue - lag(revenue) OVER w)
+                 / nullif(abs(lag(revenue) OVER w), 0) * 100, 4) AS pct_change
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def ts_period_over_period(spark, sf_dir):
+    """Period-over-period reporting: daily aggregates per type, then
+    lag-window deltas and percent change — the DoD/WoW/MoM readout.
+    The window partitions by type over the aggregated (tiny) relation,
+    never the raw events; at 100 TB the only big-data stage is the
+    day-grain groupBy with map-side combine."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "refund")
+    )
+    day = F.floor(F.col("ts").cast("double") / 86400).cast("bigint")
+    d = ev.groupBy("event_type", day.alias("day")).agg(
+        F.round(F.sum("value"), 6).alias("revenue")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return d.select(
+        "event_type",
+        "day",
+        "revenue",
+        F.round(F.col("revenue") - prev, 6).alias("delta"),
+        F.round(
+            (F.col("revenue") - prev) / F.nullif(F.abs(prev), F.lit(0)) * 100, 4
+        ).alias("pct_change"),
+    )
