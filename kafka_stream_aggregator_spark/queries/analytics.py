@@ -730,3 +730,111 @@ def ts_period_over_period(spark, sf_dir):
             (F.col("revenue") - prev) / F.nullif(F.abs(prev), F.lit(0)) * 100, 4
         ).alias("pct_change"),
     )
+
+
+@query(
+    "diag_referential_integrity",
+    # FK conformance across the star schema in one report: orphan
+    # counts via anti-join semantics per relationship.
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    """,
+)
+def diag_referential_integrity(spark, sf_dir):
+    """Referential-integrity report across the star schema: orphan
+    counts for each FK relationship via left-anti joins (broadcast
+    where the parent is a dimension). The ingest-gate companion to
+    diag_data_quality: at 100 TB each check is one anti-join whose
+    parent side is either broadcast (dims) or the join the pipeline
+    would run anyway (facts), and the report is three 1-row counts."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+
+    # fully declarative: each check is (anti-join count) x (total) as
+    # 1-row relations — no driver-side .count() actions, one lazy plan
+    def check(name, child, child_key, parent, parent_key, bcast):
+        p = parent.select(parent_key)
+        p = F.broadcast(p) if bcast else p
+        orphans = (
+            child.join(p, child[child_key] == p[parent_key], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        total = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        return (
+            orphans.crossJoin(total)
+            .select(F.lit(name).alias("fk"), "n_orphans", "n_rows")
+        )
+
+    checks = [
+        check("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey", False),
+        check("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey", False),
+        check("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey", True),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out
+
+
+@query(
+    "agg_equidepth_histogram",
+    # Equi-depth (quantile-binned) histogram: ntile(8) with a full
+    # deterministic tiebreak, then per-bin stats. Complements the
+    # equi-width agg_histogram.
+    oracle="""
+    WITH b AS (
+      SELECT l_extendedprice AS v,
+             ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS bin
+      FROM lineitem
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(v), 6) AS lo,
+           round(max(v), 6) AS hi,
+           round(avg(v), 6) AS mean_v
+    FROM b GROUP BY bin
+    """,
+)
+def agg_equidepth_histogram(spark, sf_dir):
+    """Equi-depth histogram: 8 quantile bins of equal population via
+    ntile with a fully deterministic tiebreak, then per-bin bounds and
+    means — the distribution summary that adapts bin edges to the data
+    (where equi-width agg_histogram wastes bins on empty tails).
+    Caveat pinned in the docstring on purpose: a GLOBAL ntile is a
+    single-reducer sort — fine for reporting grains, but at 100 TB the
+    bin edges should come from ops.exact_percentiles_auto (bucketed
+    tier) and the binning becomes a broadcast range lookup, the same
+    two-pass shape agg_winsorized_stats uses."""
+    li = t(spark, sf_dir, "lineitem")
+    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    b = li.select(
+        F.col("l_extendedprice").alias("v"), F.ntile(8).over(w).alias("bin")
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("v"), 6).alias("lo"),
+        F.round(F.max("v"), 6).alias("hi"),
+        F.round(F.avg("v"), 6).alias("mean_v"),
+    )
