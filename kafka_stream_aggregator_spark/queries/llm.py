@@ -949,6 +949,14 @@ def emb_pca_project(spark, sf_dir):
     from ..llm.pca import pca_fit, pca_project
 
     emb = t(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        # no vectors -> no moments to eigensolve; the projection of an
+        # empty corpus is the empty relation
+        return spark.createDataFrame(
+            [],
+            "vec_id long, label int, "
+            + ", ".join(f"p{j} double" for j in range(8)),
+        )
     model = pca_fit(emb, "embedding", k=8)
     out = pca_project(emb, model, "embedding")
     return out.select(

@@ -162,6 +162,17 @@ def rollup_maintained(spark, sf_dir):
         root + "/ckpt",
     )
     q.awaitTermination()
+    import glob as _glob
+    import os as _os
+
+    if not _glob.glob(_os.path.join(root, "table", "**", "*.parquet"),
+                      recursive=True):
+        # empty source: the maintainer never wrote a partition — the
+        # rollup of nothing is the empty table
+        return spark.createDataFrame(
+            [], "event_type string, window_start bigint,"
+                " n_rows bigint, sum_value double"
+        )
     out = spark.read.parquet(root + "/table")
     return out.select(
         "event_type",

@@ -147,10 +147,12 @@ def agg_hll_sketch_union(spark, sf_dir):
             F.col("est_users").cast("long").alias("est_users"),
             "exact_users",
             (
-                F.abs(F.col("est_users") - F.col("exact_users"))
-                / F.col("exact_users")
+                F.try_divide(
+                    F.abs(F.col("est_users") - F.col("exact_users")),
+                    F.col("exact_users"),
+                )
                 < 0.05
-            ).alias("within_5pct"),
+            ).alias("within_5pct"),  # try_divide: empty input -> NULL, not DIVIDE_BY_ZERO
         )
     )
 
