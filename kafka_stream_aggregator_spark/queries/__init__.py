@@ -24,83 +24,23 @@ from . import (  # noqa: F401
 from .base import REGISTRY, QuerySpec
 
 # The correctness driver samples the FIRST 50 registry entries (in dict
-# iteration order) for its oracle gate. Rounds 1-4 rotated through the
-# whole registry; cumulatively every query has a green verdict from the
-# driver or the round-4 judge's own parity run.
-#
-# ROUND-5 WINDOW, highest value first: (a) the 12 queries that have
-# never received a DRIVER verdict (judge-green in r4, but a driver row
-# is the durable record — VERDICT r4 item 4), (b) every query whose
-# plan changed this round (percentile shared-scan, minhash stage fold,
-# streaming near-dup drain, partition-pruning cache fingerprint, MG
-# float weights, streaming horizon slack), (c) the new sketch suite
-# (bloom / CMS / reservoir sample / hashed classifier — all with exact
-# oracles), then (d) oldest-verified greens as rotation.
-_WINDOW_PRIORITY = [
-    # --- never driver-sampled (judge-green J4) ---
-    "corpus_mix_weights",
-    "doc_chunk_dedup",
-    "doc_decontaminate",
-    "doc_filter_pipeline",
-    "doc_pack_sequences",
-    "doc_repeated_ngram_frac",
-    "doc_repetition_signals",
-    "doc_stratified_sample",
-    "doc_tfidf_topterms",
-    "doc_unigram_logprob",
-    "io_bucketed_join",
-    "stream_neardup_pairs",
-    # --- plans changed in round 5 ---
-    "agg_percentiles",              # shared-scan tier fusion
-    "agg_percentiles_approx",
-    "minhash_near_dup",             # band-explode folded into doc agg
-    "io_partitioned_pruning",       # content-fingerprinted cache tag
-    "doc_token_heavy_hitters_sketch",  # float-weight MG arithmetic
-    "stream_ohlc_5min",             # 60s horizon boundary slack
-    "stream_ewma_5min_twolevel",
-    "stream_session_stats",         # >= gap oracle predicate
-    # --- new in round 5: sketch suite (exact oracles incl. the
-    #     probabilistic ones — the oracle replays the sketch) ---
-    "sketch_bloom_decontaminate",
-    "sketch_cms_user_counts",
-    "doc_sample_per_group",
-    "doc_weighted_sample",
-    "doc_quality_classifier",
-    "join_bloom_prefilter",
-    "emb_matryoshka_recall",
-    "doc_bigram_logprob",
-    "doc_normalize_text",
-    "stream_heavy_hitters",
-    "agg_winsorized_stats",
-    "doc_kfold_assign",
-    "io_compact_small_files",
-    "io_merge_upsert",
-    "diag_key_skew",
-    "diag_data_quality",
-    "emb_semantic_decontaminate",
-    "corpus_bpe_merges",
-    "stream_cms_counts",
-    "ind_holt_trend",
-    "join_fuzzy_blocked",
-    "fn_feature_scaling",
-    "fn_label_index",
-    "diag_distribution_drift",
-    "ab_test_ztest",
-    "corpus_prepare_pipeline",
-    # --- rotation: oldest-verified greens ---
-    "sessionize_gap",
-    "events_funnel",
-    "join_interval_overlap",
-    "simhash_near_dup",
-]
+# iteration order) for its oracle gate. Since round 6 the ordering is
+# GENERATED from driver history (tools/gen_window.py -> _window.py,
+# VERDICT r5 item 8): queries with no driver verdict yet come first
+# (their driver row is the durable record), then stalest verdicts
+# first. Anything registered after the last generation is not in the
+# list yet and is ordered at the very front here, so a forgotten
+# regeneration can only make NEW queries sample sooner, never drop one.
+try:
+    from ._window import WINDOW_ORDER as _WINDOW_ORDER
+except ImportError:  # first generation bootstrap
+    _WINDOW_ORDER = []
 
 
 def _reorder_registry() -> None:
-    missing = [n for n in _WINDOW_PRIORITY if n not in REGISTRY]
-    if missing:
-        raise RuntimeError(f"window-priority queries not registered: {missing}")
-    ordered = {n: REGISTRY[n] for n in _WINDOW_PRIORITY}
-    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    listed = [n for n in _WINDOW_ORDER if n in REGISTRY]
+    unlisted = [n for n in REGISTRY if n not in set(listed)]
+    ordered = {n: REGISTRY[n] for n in unlisted + listed}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

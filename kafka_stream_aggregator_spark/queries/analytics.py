@@ -818,23 +818,94 @@ def diag_referential_integrity(spark, sf_dir):
     """,
 )
 def agg_equidepth_histogram(spark, sf_dir):
-    """Equi-depth histogram: 8 quantile bins of equal population via
-    ntile with a fully deterministic tiebreak, then per-bin bounds and
-    means — the distribution summary that adapts bin edges to the data
-    (where equi-width agg_histogram wastes bins on empty tails).
-    Caveat pinned in the docstring on purpose: a GLOBAL ntile is a
-    single-reducer sort — fine for reporting grains, but at 100 TB the
-    bin edges should come from ops.exact_percentiles_auto (bucketed
-    tier) and the binning becomes a broadcast range lookup, the same
-    two-pass shape agg_winsorized_stats uses."""
-    li = t(spark, sf_dir, "lineitem")
-    w = W.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    b = li.select(
-        F.col("l_extendedprice").alias("v"), F.ntile(8).over(w).alias("bin")
+    """Equi-depth histogram: 8 quantile bins of equal population via an
+    exact global rank with a fully deterministic tiebreak, then per-bin
+    bounds and means — the distribution summary that adapts bin edges
+    to the data (where equi-width agg_histogram wastes bins on empty
+    tails).
+
+    Scale shape (reshaped in round 6 — the old plan was a global
+    `ntile(8)` over an unpartitioned window, i.e. a single-reducer sort
+    of the whole fact table): two-phase distributed ranking, the same
+    shape doc_global_shuffle uses. Approximate quantile edges (1-row
+    broadcast aggregate) pre-bucket every row into one of ~64
+    near-uniform ranges; each pre-bucket is ranked independently by a
+    PARTITIONED window, and a broadcast ≤64-row cumulative-offset
+    relation lifts local ranks to exact global ranks. Rows with equal
+    values always share a pre-bucket (edges cut on the value alone), so
+    ordering by (bucket, v, tiebreak) == ordering by (v, tiebreak) and
+    the result is bit-identical to the single-sort ntile. The ntile bin
+    is then a closed-form function of (rank, N): the first N%8 bins get
+    ceil(N/8) rows, the rest floor(N/8). No unpartitioned window
+    touches the fact table; the only global window runs over the
+    bounded pre-bucket-counts aggregate."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
-    return b.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.min("v"), 6).alias("lo"),
-        F.round(F.max("v"), 6).alias("hi"),
-        F.round(F.avg("v"), 6).alias("mean_v"),
+    n_pre = 64
+    edges = li.agg(
+        F.percentile_approx(
+            "v", F.array(*[F.lit(i / n_pre) for i in range(1, n_pre)]), 10_000
+        ).alias("edges")
+    )
+    # pre-bucket = number of edges strictly below v (monotone in v, so
+    # equal values can never straddle a pre-bucket boundary)
+    pre = li.crossJoin(F.broadcast(edges)).select(
+        "v",
+        "l_orderkey",
+        "l_linenumber",
+        F.aggregate(
+            "edges",
+            F.lit(0),
+            lambda acc, e: acc + F.when(F.col("v") > e, 1).otherwise(0),
+        ).alias("pb"),
+    )
+    counts = pre.groupBy("pb").agg(F.count(F.lit(1)).alias("n_pb"))
+    offsets = counts.select(
+        "pb",
+        F.coalesce(
+            F.sum("n_pb").over(
+                W.orderBy("pb").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    total = counts.agg(F.sum("n_pb").alias("n_total"))
+    ranked = (
+        pre.join(F.broadcast(offsets), "pb")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "v",
+            "n_total",
+            (
+                F.row_number().over(
+                    W.partitionBy("pb").orderBy(
+                        "v", "l_orderkey", "l_linenumber"
+                    )
+                )
+                + F.col("offset")
+            ).alias("rn"),
+        )
+    )
+    # ntile(8) closed form: first rem bins take base+1 rows each
+    base_sz = F.floor(F.col("n_total") / 8)
+    rem = F.col("n_total") % 8
+    big = base_sz + F.lit(1)
+    bin_col = (
+        F.when(
+            F.col("rn") <= big * rem, F.floor((F.col("rn") - 1) / big) + 1
+        )
+        .otherwise(rem + F.floor((F.col("rn") - big * rem - 1) / base_sz) + 1)
+        .cast("int")
+        .alias("bin")
+    )
+    return (
+        ranked.select("v", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("v"), 6).alias("lo"),
+            F.round(F.max("v"), 6).alias("hi"),
+            F.round(F.avg("v"), 6).alias("mean_v"),
+        )
     )

@@ -56,3 +56,29 @@ def test_events_epoch_math_tz_independent(spark, hostile, sf_dir):
         .collect()[0]
     )
     assert a["n"] == b["n"] and abs(a["s"] - b["s"]) < 1e-6
+
+
+def test_window_order_generated_and_fresh():
+    """The driver-sampling order is GENERATED from CORRECTNESS_r* history
+    (VERDICT r5 item 8). Pin: the committed _window.py matches what the
+    generator would produce, every registry query is covered, and the
+    never-driver-verdicted queries sit at the head of the window."""
+    import os
+    import sys
+
+    tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    sys.path.insert(0, tools)
+    import gen_window
+
+    order = gen_window.compute_order()
+    with open(gen_window.OUT) as f:
+        committed = f.read()
+    assert committed == gen_window.render(order), (
+        "stale _window.py: rerun tools/gen_window.py"
+    )
+    assert set(order) == set(REGISTRY)
+    # registry iteration (what the driver samples) == unlisted-new-first
+    # + generated order; with a fresh file they coincide exactly
+    assert list(REGISTRY) == order
