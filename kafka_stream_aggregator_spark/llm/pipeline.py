@@ -268,8 +268,21 @@ def sample_keep(id_col, rate_col) -> F.Column:
     hashing spreads sequential ids uniformly; identical integer math in
     Spark and DuckDB (and any engine with 64-bit ints), so samples are
     reproducible across engines — unlike rand(seed), whose stream is
-    engine- and partitioning-dependent."""
-    h = (F.col(id_col).cast("bigint") * F.lit(_SAMPLE_MULT)) % F.lit(_SAMPLE_MOD)
+    engine- and partitioning-dependent.
+
+    Overflow-safe at ANY id (ADVICE r5): the naive ``id * MULT`` wraps
+    int64 for ids above ~3.47e9 — Spark (non-ANSI) wraps silently where
+    DuckDB raises, breaking the cross-engine claim. Since the result
+    only depends on id mod 2^32, reduce first and split that into
+    16-bit halves: (a*2^16 + b)*M mod 2^32 = ((a*M mod 2^16)*2^16
+    + b*M) mod 2^32, every intermediate < 2^48."""
+    h32 = F.pmod(F.col(id_col).cast("bigint"), F.lit(_SAMPLE_MOD))
+    a = F.shiftright(h32, 16)
+    b = h32.bitwiseAND(F.lit(65535))
+    h = (
+        ((a * F.lit(_SAMPLE_MULT)) % F.lit(65536)) * F.lit(65536)
+        + b * F.lit(_SAMPLE_MULT)
+    ) % F.lit(_SAMPLE_MOD)
     return h < F.floor(rate_col * F.lit(float(_SAMPLE_MOD))).cast("bigint")
 
 

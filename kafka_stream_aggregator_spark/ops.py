@@ -578,12 +578,12 @@ def zorder_key_2d(x: Column, y: Column, bits: int = 16) -> Column:
     return z
 
 
-def mg_fold_item(counters: dict, item, w, k: int, num=int) -> None:
+def mg_fold_item(counters: dict, item, w, k: int) -> None:
     """One weighted Misra-Gries fold step, shared by the batch summary
     (approx_heavy_hitters) and the streaming shard state
     (streaming.heavyhitters) — ONE implementation of the decrement
-    rule so the two surfaces cannot drift. ``num`` is int for integral
-    weights, float for float weights (see approx_heavy_hitters)."""
+    rule so the two surfaces cannot drift. Callers pre-convert the
+    weight to int or float; the fold itself is type-agnostic."""
     if item in counters:
         counters[item] += w
     elif len(counters) < k:
@@ -650,7 +650,7 @@ def approx_heavy_hitters(
                 vc = pdf[col].value_counts(sort=False)
             n += num(vc.sum())
             for item, w in vc.items():
-                mg_fold_item(counters, item, num(w), k, num=num)
+                mg_fold_item(counters, item, num(w), k)
         yield pd.DataFrame(
             {
                 "item": list(counters.keys()) + [None],

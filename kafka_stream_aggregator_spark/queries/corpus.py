@@ -59,17 +59,27 @@ def doc_chunk_dedup(spark, sf_dir):
     exact_dedup uses, just at chunk granularity."""
     d = t(spark, sf_dir, "documents")
     d = d.repartition(data_sized_partitions(d))
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # regexp_extract_all('\S+'), not split('\s+'): split yields [""]
+    # for empty/whitespace-only text (a phantom chunk the DuckDB oracle
+    # would not produce); extract-all yields [] on both engines
+    toks = F.regexp_extract_all(
+        F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), 0
+    )
     n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda g: F.struct(
-            g.cast("bigint").alias("chunk_idx"),
-            F.md5(F.array_join(F.slice(toks, g * CHUNK + 1, CHUNK), " ")).alias(
-                "h"
+    # guard n_chunks == 0: sequence(0, -1) DESCENDS in Spark, which
+    # would fabricate two phantom chunks for a token-less document
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda g: F.struct(
+                g.cast("bigint").alias("chunk_idx"),
+                F.md5(
+                    F.array_join(F.slice(toks, g * CHUNK + 1, CHUNK), " ")
+                ).alias("h"),
             ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<chunk_idx:bigint,h:string>>"))
     ch = (
         d.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.h").alias("h"))
@@ -254,9 +264,11 @@ def doc_tfidf_topterms(spark, sf_dir):
     broadcast if it fits, shuffle-join otherwise (AQE decides)."""
     d = t(spark, sf_dir, "documents")
     d = d.repartition(data_sized_partitions(d))
-    term = F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-        "term"
-    )
+    # extract-all, not split: no phantom "" term on empty text (matches
+    # the oracle's regexp_extract_all — see doc_chunk_dedup)
+    term = F.explode(
+        F.regexp_extract_all(F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), 0)
+    ).alias("term")
     tf = (
         d.select("doc_id", term)
         .groupBy("doc_id", "term")

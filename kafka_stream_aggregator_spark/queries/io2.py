@@ -93,6 +93,21 @@ def io_partitioned_pruning(spark, sf_dir):
             fp.update(f"{p}|{st.st_size}|{st.st_mtime_ns}".encode())
     tag = fp.hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"ksa_part_lineitem_{tag}")
+    # content-fingerprint tags are unbounded across testdata
+    # regenerations; sweep cache dirs untouched for >24h (keeps the
+    # concurrently-live sf0.001/sf0.01/sf0.1 caches, drops orphans)
+    import glob as _g
+    import shutil as _sh
+    import time as _time
+
+    for stale in _g.glob(
+        os.path.join(tempfile.gettempdir(), "ksa_part_lineitem_*")
+    ):
+        try:
+            if stale != d and _time.time() - os.stat(stale).st_mtime > 86400:
+                _sh.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
         t(spark, sf_dir, "lineitem").select(
@@ -250,8 +265,17 @@ def io_compact_small_files(spark, sf_dir):
     the oracle checks against the ORIGINAL — compaction must be
     byte-lossless on the data while reshaping the layout."""
     import glob
+    import shutil
 
     from ..ops import data_sized_partitions
+
+    # reclaim dirs left by previous runs (the compacted copy must
+    # outlive this call — the returned DataFrame reads it lazily — so
+    # each run sweeps its predecessors instead of itself)
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), "ksa_frag_docs_*")
+    ) + glob.glob(os.path.join(tempfile.gettempdir(), "ksa_compact_docs_*")):
+        shutil.rmtree(stale, ignore_errors=True)
 
     run_id = uuid.uuid4().hex[:8]
     frag = os.path.join(tempfile.gettempdir(), f"ksa_frag_docs_{run_id}")
@@ -267,15 +291,23 @@ def io_compact_small_files(spark, sf_dir):
     spark.read.parquet(frag).repartition(target).write.mode("overwrite").parquet(
         compacted
     )
+    shutil.rmtree(frag, ignore_errors=True)  # fragments served their purpose
     n_comp = len(glob.glob(os.path.join(compacted, "*.parquet")))
     # shrink invariant: when the table was actually fragmented
     # (n_frag > target) compaction must reduce the file count to the
     # target; a degenerate table (empty, or already at/below target —
     # e.g. the all-empty floor tier writes one empty file) has nothing
-    # to shrink
-    assert n_comp <= max(target, 1), (n_comp, target, n_frag)
-    if n_frag > target:
-        assert n_comp < n_frag, (n_comp, target, n_frag)
+    # to shrink. Explicit raises, not assert: `python -O` strips
+    # asserts and would silently drop the invariant (ADVICE r5).
+    if n_comp > max(target, 1):
+        raise RuntimeError(
+            f"compaction missed target: {n_comp} files > target {target} "
+            f"(from {n_frag} fragments)"
+        )
+    if n_frag > target and not n_comp < n_frag:
+        raise RuntimeError(
+            f"compaction did not shrink: {n_frag} fragments -> {n_comp} files"
+        )
 
     c = spark.read.parquet(compacted)
     return c.agg(

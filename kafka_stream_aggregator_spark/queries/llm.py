@@ -759,7 +759,11 @@ def doc_decontaminate(spark, sf_dir):
     )
     SELECT source,
            count(*) AS n_docs,
-           CAST(sum(CASE WHEN (doc_id * 2654435761) % 4294967296
+           -- split 16-bit multiplicative hash == llm.pipeline.sample_keep
+           -- (overflow-safe form of (doc_id * 2654435761) % 2^32)
+           CAST(sum(CASE WHEN (((doc_id % 4294967296) // 65536 * 2654435761)
+                               % 65536 * 65536
+                               + (doc_id % 65536) * 2654435761) % 4294967296
                               < CAST(floor(rate * 4294967296) AS BIGINT)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM rated GROUP BY source

@@ -37,8 +37,11 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # items/counts as parallel arrays (state schemas cannot hold maps),
-# n = total weight seen by this shard (the error-bound denominator).
-STATE_SCHEMA = "items array<string>, counts array<long>, n long"
+# n = total weight seen by this shard (the error-bound denominator),
+# seq = explicit per-shard micro-batch counter (ADVICE r5: batch_seq
+# used to alias the cumulative weight n, whose recency ordering only
+# held for strictly-positive integer weights).
+STATE_SCHEMA = "items array<string>, counts array<long>, n long, seq long"
 
 
 def _mg_merge(counters: dict[str, int], vc: "pd.Series", k: int) -> None:
@@ -49,7 +52,7 @@ def _mg_merge(counters: dict[str, int], vc: "pd.Series", k: int) -> None:
     from ..ops import mg_fold_item
 
     for item, w in vc.items():
-        mg_fold_item(counters, item, int(w), k, num=int)
+        mg_fold_item(counters, item, int(w), k)
 
 
 def stream_heavy_hitters(
@@ -81,15 +84,19 @@ def stream_heavy_hitters(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         if state.exists:
-            items, counts, n = state.get
+            items, counts, n, seq = state.get
             counters = dict(zip(items, (int(c) for c in counts)))
         else:
-            counters, n = {}, 0
+            counters, n, seq = {}, 0, 0
         for pdf in pdfs:
             vc = pdf["_item"].value_counts(sort=False)
             n += int(vc.sum())
             _mg_merge(counters, vc, k)
-        state.update((list(counters), [int(v) for v in counters.values()], int(n)))
+        seq += 1  # true batch counter: recency holds for ANY weights
+        state.update(
+            (list(counters), [int(v) for v in counters.values()], int(n),
+             int(seq))
+        )
         shard = int(key[0])
         yield pd.DataFrame(
             {
@@ -97,7 +104,7 @@ def stream_heavy_hitters(
                 "item": list(counters),
                 "count_lb": [int(v) for v in counters.values()],
                 "n_shard": int(n),
-                "batch_seq": int(n),
+                "batch_seq": int(seq),
             }
         )
 

@@ -173,3 +173,53 @@ def test_empty_input_queries_return_empty_not_error(spark, tmp_path):
               "emb_pca_project", "agg_hll_sketch_union"):
         rows = REGISTRY[q].fn(spark, d).collect()
         assert isinstance(rows, list)  # no exception; content may be empty/1-row
+
+
+def test_empty_text_doc_tokenize_oracle_parity(spark, tmp_path):
+    """ADVICE r5: split('\\s+') yields [""] on empty/whitespace-only
+    text while the DuckDB oracles' regexp_extract_all('\\S+') yields []
+    — a phantom chunk/term on the Spark side only. Fixed by switching
+    doc_chunk_dedup / doc_tfidf_topterms to regexp_extract_all; this
+    pins parity on a corpus that actually contains degenerate texts
+    (the shipped testdata has none — min trimmed length 47)."""
+    import os
+
+    import duckdb
+
+    from kafka_stream_aggregator_spark.queries import REGISTRY
+
+    d = str(tmp_path / "degentext")
+    os.makedirs(d, exist_ok=True)
+    base = load_table(
+        spark,
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+        "documents",
+    ).limit(3)
+    degen = spark.createDataFrame(
+        [
+            (900001, "", "en", "synthetic", 0),
+            (900002, "   \t  ", "en", "synthetic", 6),
+            (900003, "alpha beta alpha", "en", "synthetic", 16),
+        ],
+        schema=base.schema,
+    )
+    path = os.path.join(d, "documents.parquet")
+    base.unionByName(degen).coalesce(1).write.mode("overwrite").parquet(path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    for q in ("doc_chunk_dedup", "doc_tfidf_topterms"):
+        spec = REGISTRY[q]
+        sdf = spec.fn(spark, d)
+        s_rows = sorted(
+            tuple(r) for r in sdf.select(*sorted(sdf.columns)).collect()
+        )
+        o = con.sql(spec.oracle)
+        cols = list(o.columns)
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        o_rows = sorted(tuple(r[i] for i in order) for r in o.fetchall())
+        # the degenerate docs must not appear at all (no tokens)
+        assert all(r[0] not in (900001, 900002) for r in s_rows), q
+        assert s_rows == o_rows, q
