@@ -4,13 +4,21 @@ Runs the headline queries (bench=True in the registry) at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-Two sequential power passes (second in reverse order), per-query time
-= min of the two runs, "value" = sum of those minima. Rationale,
-measured: this VM shows transient multi-second slowdowns that hit
-whatever queries happen to be running ~15-60s into a sustained load
-(position-dependent, not query-dependent — reversing the order moves
-the slow set). Min-of-two reports each query's actual cost. (A
-concurrent throughput pass was also measured and rejected: on a single
+Noise protocol (VERDICT r5 item 3): the committed artifact must be
+reproducible, and this shared VM shows both transient multi-second
+slowdowns DURING a run (position-dependent — hits whatever queries run
+~15-60s into sustained load) and whole-launch slowdowns (BENCH_r05's
+single end-of-round launch read 11.7 s against the same round's
+sustained 8.4-8.6 s). Two layers of defence:
+
+- within a launch: two sequential power passes (second in reverse
+  order), per-query time = min of the two;
+- across launches: the top-level invocation re-executes itself
+  $BENCH_LAUNCHES (default 3) times as FRESH processes (fresh JVM,
+  fresh page-cache state) and reports the per-query minimum across
+  launches — the launch floor, which is the number that reproduces.
+
+(A concurrent throughput pass was measured and rejected: on a single
 local[N] JVM, 8 concurrent jobs contend on the scheduler and run ~5x
 slower than sequential.)
 
@@ -21,13 +29,12 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from kafka_stream_aggregator_spark.queries import REGISTRY
-from kafka_stream_aggregator_spark.session import get_spark
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -52,11 +59,13 @@ def shuffle_partitions_for(sf_dir: str, cpus: int) -> int:
     return max(8, min(cpus, total // (16 << 20)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("bench", shuffle_partitions=shuffle_partitions_for(sf_dir, cpus))
+def run_one_launch(sf_dir: str, sf, cpus: int) -> dict:
+    from kafka_stream_aggregator_spark.queries import REGISTRY
+    from kafka_stream_aggregator_spark.session import get_spark
+
+    spark = get_spark(
+        "bench", shuffle_partitions=shuffle_partitions_for(sf_dir, cpus)
+    )
     names = [n for n, s in REGISTRY.items() if s.bench]
 
     # warm-up: one tiny query absorbs JVM/codegen startup. NOTE: we do
@@ -72,18 +81,64 @@ def main() -> None:
             materialize(REGISTRY[name].fn(spark, sf_dir))
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
-    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "passes": 2,
+        "n_queries": len(names),
+        "sf": sf,
+    }
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_s = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_s) if sf_s.replace(".", "").isdigit() else sf_s
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if os.environ.get("KSA_BENCH_CHILD") == "1":
+        print(json.dumps(run_one_launch(sf_dir, sf, cpus)))
+        return
+
+    n_launches = max(1, int(os.environ.get("BENCH_LAUNCHES", "3")))
+    results = []
+    for _ in range(n_launches):
+        env = dict(os.environ, KSA_BENCH_CHILD="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+        try:
+            results.append(json.loads(line))
+        except (json.JSONDecodeError, IndexError):
+            sys.stderr.write(
+                f"bench child failed (rc={out.returncode}):\n{out.stderr[-4000:]}\n"
+            )
+    if not results:
+        raise SystemExit("all bench launches failed")
+
+    queries = {
+        name: min(r["queries"][name] for r in results)
+        for name in results[0]["queries"]
+    }
     print(
         json.dumps(
             {
                 "metric": "bench_total_sec",
-                "value": total,
+                "value": round(sum(queries.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": queries,
                 "passes": 2,
-                "n_queries": len(names),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "launches": len(results),
+                "launch_totals": [r["value"] for r in results],
+                "n_queries": results[0]["n_queries"],
+                "sf": sf,
             }
         )
     )

@@ -292,6 +292,16 @@ def agg_collect_sorted(spark, sf_dir):
     """,
 )
 def agg_rollup(spark, sf_dir):
+    """Hierarchical subtotals (flag, flag+status, grand total) in one
+    pass — Spark expands grouping sets BEFORE the shuffle, so partial
+    aggregation still applies per set.
+
+    Empty-input divergence, documented by design (r5 parity empty
+    tier): on an ALL-EMPTY input Spark emits 0 rows for
+    ROLLUP/CUBE/GROUPING SETS, where DuckDB (per ANSI) still emits
+    the grand-total row (count 0 / NULL sums). Both engines agree
+    on ANY non-empty input; the divergence is pinned in
+    tests/test_edge_cases.py::test_rollup_cube_gsets_empty_input_semantics."""
     return (
         t(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -319,6 +329,14 @@ def agg_rollup(spark, sf_dir):
     """,
 )
 def agg_cube(spark, sf_dir):
+    """All 2^k grouping combinations over (flag, shipyear).
+
+    Empty-input divergence, documented by design (r5 parity empty
+    tier): on an ALL-EMPTY input Spark emits 0 rows for
+    ROLLUP/CUBE/GROUPING SETS, where DuckDB (per ANSI) still emits
+    the grand-total row (count 0 / NULL sums). Both engines agree
+    on ANY non-empty input; the divergence is pinned in
+    tests/test_edge_cases.py::test_rollup_cube_gsets_empty_input_semantics."""
     l = t(spark, sf_dir, "lineitem").withColumn(
         "shipyear_i", F.year("l_shipdate")
     )
@@ -351,6 +369,16 @@ def agg_cube(spark, sf_dir):
     """,
 )
 def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping-set selection ((status), (priority), ()) via
+    SQL — the DataFrame API has no grouping-sets verb (SPARK-34932
+    added SQL-only GROUP BY GROUPING SETS).
+
+    Empty-input divergence, documented by design (r5 parity empty
+    tier): on an ALL-EMPTY input Spark emits 0 rows for
+    ROLLUP/CUBE/GROUPING SETS, where DuckDB (per ANSI) still emits
+    the grand-total row (count 0 / NULL sums). Both engines agree
+    on ANY non-empty input; the divergence is pinned in
+    tests/test_edge_cases.py::test_rollup_cube_gsets_empty_input_semantics."""
     import uuid
 
     view = "orders_gs" + uuid.uuid4().hex[:8]

@@ -223,3 +223,43 @@ def test_empty_text_doc_tokenize_oracle_parity(spark, tmp_path):
         # the degenerate docs must not appear at all (no tokens)
         assert all(r[0] not in (900001, 900002) for r in s_rows), q
         assert s_rows == o_rows, q
+
+
+def test_rollup_cube_gsets_empty_input_semantics(spark, tmp_path):
+    """VERDICT r5 item 5: pin the documented empty-input divergence in
+    code, not just in docs/PARITY_r05_empty_tier.txt. On an all-empty
+    table Spark's ROLLUP/CUBE/GROUPING SETS emit ZERO rows, where
+    ANSI/DuckDB still emit the grand-total row (count 0, NULL sums).
+    Both engines agree on any non-empty input (the 221-query parity
+    gate covers that); this asserts the Spark half so an upstream
+    behavior change (or an accidental 'fix') is caught here."""
+    import os
+
+    import duckdb
+
+    from kafka_stream_aggregator_spark.queries import REGISTRY
+
+    d = str(tmp_path / "sf0")
+    os.makedirs(d, exist_ok=True)
+    for name in ("lineitem", "orders"):
+        src = load_table(
+            spark,
+            os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+            name,
+        )
+        src.limit(0).write.mode("overwrite").parquet(
+            os.path.join(d, f"{name}.parquet")
+        )
+    con = duckdb.connect()
+    for name in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{d}/{name}.parquet/*.parquet')"
+        )
+    for q in ("agg_rollup", "agg_cube", "agg_grouping_sets"):
+        spec = REGISTRY[q]
+        assert spec.fn(spark, d).count() == 0, f"{q}: Spark emits 0 rows"
+        o_rows = con.sql(spec.oracle).fetchall()
+        assert len(o_rows) == 1, f"{q}: DuckDB emits the grand-total row"
+        # and that row is the all-NULL-groups total with count 0
+        assert any(v in (0, None) for v in o_rows[0])
