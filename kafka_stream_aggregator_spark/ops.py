@@ -170,6 +170,82 @@ def global_top_k(df: DataFrame, order_by: Sequence[Column | str], k: int) -> Dat
     return df.orderBy(*order_by).limit(k)
 
 
+def distributed_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    bucket: Column | None = None,
+    n_buckets: int = 64,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exact global ``row_number()`` by ``order_cols`` WITHOUT a
+    single-reducer sort — the two-phase distributed rank, generalized
+    from doc_global_shuffle (queries/corpus.py) so every global-order
+    consumer shares one implementation.
+
+    Phase 1 assigns each row a coarse ``bucket`` that is monotone
+    non-decreasing in the order key and has bounded cardinality; phase
+    2 ranks each bucket independently under a PARTITIONED window and
+    lifts local ranks to global ones by adding the broadcast cumulative
+    count of earlier buckets (a <= n_buckets-row relation). Ordering by
+    (bucket, order_cols) equals ordering by order_cols exactly because
+    the bucket is a coarsening of the leading key, so the result is
+    bit-identical to an unpartitioned row_number() at any scale —
+    the plan just never moves more than one bucket to one task.
+
+    ``bucket``: optional monotone coarsening of the leading order
+    column (e.g. the first bytes of a hash the order starts with).
+    When omitted, approximate-quantile edges of the leading column
+    (cast to double; order-preserving) are computed as a broadcast
+    1-row aggregate and each row counts edges below its value — near-
+    uniform buckets for any numeric distribution. ``order_cols`` must
+    be a total order (include a unique tiebreak) for determinism.
+    Rows with NULL leading values bucket to 0, matching Spark's
+    ascending NULLS FIRST."""
+    cols = list(order_cols)
+    if bucket is None:
+        lead = F.col(cols[0]).cast("double")
+        qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+        edges = df.agg(
+            F.percentile_approx(lead, qs, 10_000).alias("__edges")
+        )
+        df = (
+            df.crossJoin(F.broadcast(edges))
+            .withColumn(
+                "__pb",
+                F.coalesce(
+                    F.aggregate(
+                        "__edges",
+                        F.lit(0),
+                        lambda acc, e: acc
+                        + F.when(lead > e, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .drop("__edges")
+        )
+    else:
+        df = df.withColumn("__pb", bucket)
+    counts = df.groupBy("__pb").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__pb",
+        F.coalesce(
+            F.sum("__n").over(
+                W.orderBy("__pb").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    rn = F.row_number().over(W.partitionBy("__pb").orderBy(*cols)) + F.col(
+        "__off"
+    )
+    return (
+        df.join(F.broadcast(offsets), "__pb")
+        .withColumn(rank_col, rn)
+        .drop("__pb", "__off")
+    )
+
+
 def exact_percentiles(
     df: DataFrame,
     value_col: str,

@@ -826,8 +826,8 @@ def agg_equidepth_histogram(spark, sf_dir):
 
     Scale shape (reshaped in round 6 — the old plan was a global
     `ntile(8)` over an unpartitioned window, i.e. a single-reducer sort
-    of the whole fact table): two-phase distributed ranking, the same
-    shape doc_global_shuffle uses. Approximate quantile edges (1-row
+    of the whole fact table): ops.distributed_global_rank, the shared
+    two-phase ranking. Approximate quantile edges (1-row
     broadcast aggregate) pre-bucket every row into one of ~64
     near-uniform ranges; each pre-bucket is ranked independently by a
     PARTITIONED window, and a broadcast ≤64-row cumulative-offset
@@ -839,54 +839,15 @@ def agg_equidepth_histogram(spark, sf_dir):
     ceil(N/8) rows, the rest floor(N/8). No unpartitioned window
     touches the fact table; the only global window runs over the
     bounded pre-bucket-counts aggregate."""
+    from ..ops import distributed_global_rank
+
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
-    n_pre = 64
-    edges = li.agg(
-        F.percentile_approx(
-            "v", F.array(*[F.lit(i / n_pre) for i in range(1, n_pre)]), 10_000
-        ).alias("edges")
-    )
-    # pre-bucket = number of edges strictly below v (monotone in v, so
-    # equal values can never straddle a pre-bucket boundary)
-    pre = li.crossJoin(F.broadcast(edges)).select(
-        "v",
-        "l_orderkey",
-        "l_linenumber",
-        F.aggregate(
-            "edges",
-            F.lit(0),
-            lambda acc, e: acc + F.when(F.col("v") > e, 1).otherwise(0),
-        ).alias("pb"),
-    )
-    counts = pre.groupBy("pb").agg(F.count(F.lit(1)).alias("n_pb"))
-    offsets = counts.select(
-        "pb",
-        F.coalesce(
-            F.sum("n_pb").over(
-                W.orderBy("pb").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("offset"),
-    )
-    total = counts.agg(F.sum("n_pb").alias("n_total"))
-    ranked = (
-        pre.join(F.broadcast(offsets), "pb")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "v",
-            "n_total",
-            (
-                F.row_number().over(
-                    W.partitionBy("pb").orderBy(
-                        "v", "l_orderkey", "l_linenumber"
-                    )
-                )
-                + F.col("offset")
-            ).alias("rn"),
-        )
-    )
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    ranked = distributed_global_rank(
+        li, ["v", "l_orderkey", "l_linenumber"], rank_col="rn"
+    ).crossJoin(F.broadcast(total))
     # ntile(8) closed form: first rem bins take base+1 rows each
     base_sz = F.floor(F.col("n_total") / 8)
     rem = F.col("n_total") % 8

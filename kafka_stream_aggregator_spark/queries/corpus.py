@@ -184,38 +184,21 @@ def doc_global_shuffle(spark, sf_dir):
     most 1).
 
     The global rank is computed WITHOUT a single-partition window —
-    the classic two-phase distributed ranking: partition by the first
-    hash byte (256 uniform groups, each windowed in parallel), then add
-    the broadcast cumulative count of lexicographically-smaller
-    prefixes. Ordering by (prefix, h, id) == ordering by (h, id)
-    because the prefix IS the head of h. Scales to any corpus size:
-    the offsets table is always 256 rows."""
+    ops.distributed_global_rank (the shared two-phase ranking), with
+    the first hash byte as the supplied bucket: 256 uniform groups,
+    each windowed in parallel, plus the broadcast cumulative count of
+    lexicographically-smaller prefixes. Ordering by (prefix, h, id) ==
+    ordering by (h, id) because the prefix IS the head of h. Scales to
+    any corpus size: the offsets table is always 256 rows."""
+    from ..ops import distributed_global_rank
+
     d = t(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
-    base = d.select(
-        "doc_id", "n_chars", h.alias("h"), F.substring(h, 1, 2).alias("pfx")
-    )
-    offsets = (
-        base.groupBy("pfx")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("n").over(
-                    W.orderBy("pfx").rowsBetween(W.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pfx", "offset")
-    )
-    rn = (
-        F.row_number().over(W.partitionBy("pfx").orderBy("h", "doc_id"))
-        + F.col("offset")
-    )
+    base = d.select("doc_id", "n_chars", h.alias("h"))
     return (
-        base.join(F.broadcast(offsets), "pfx")
-        .withColumn("rn", rn)
+        distributed_global_rank(
+            base, ["h", "doc_id"], bucket=F.substring("h", 1, 2), rank_col="rn"
+        )
         .withColumn("shard", ((F.col("rn") - 1) % 8).cast("int"))
         .groupBy("shard")
         .agg(

@@ -290,3 +290,41 @@ def test_exact_percentiles_auto_matches_fixed_tiers(spark, sf_dir):
         for k in want:
             assert got[k][0] == pytest.approx(want[k][0]), (forced, k)
             assert got[k][1] == pytest.approx(want[k][1]), (forced, k)
+
+
+def test_distributed_global_rank_matches_global_row_number(spark, sf_dir):
+    """The two-phase rank must be bit-identical to an unpartitioned
+    row_number() — both bucket modes (auto quantile edges on a numeric
+    lead; supplied hash-prefix bucket on a string lead)."""
+    from pyspark.sql import Window as W
+
+    from kafka_stream_aggregator_spark.ops import distributed_global_rank
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    order = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    expected = li.withColumn(
+        "rn_ref", F.row_number().over(W.orderBy(*order))
+    )
+    got = distributed_global_rank(li, order, rank_col="rn")
+    joined = got.join(expected, order)
+    assert joined.count() == li.count()
+    assert joined.filter(F.col("rn") != F.col("rn_ref")).count() == 0
+
+    # supplied-bucket mode: md5 head as the coarsening
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    exp2 = docs.withColumn("rn_ref", F.row_number().over(W.orderBy("h", "doc_id")))
+    got2 = distributed_global_rank(
+        docs, ["h", "doc_id"], bucket=F.substring("h", 1, 2), rank_col="rn"
+    )
+    j2 = got2.join(exp2, ["h", "doc_id"])
+    assert j2.filter(F.col("rn") != F.col("rn_ref")).count() == 0
+
+    # degenerate inputs: empty and single-row
+    assert distributed_global_rank(li.limit(0), order).count() == 0
+    one = distributed_global_rank(li.limit(1), order).collect()
+    assert len(one) == 1 and one[0]["rn"] == 1
