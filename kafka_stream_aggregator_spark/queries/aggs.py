@@ -324,7 +324,8 @@ def agg_rollup(spark, sf_dir):
     SELECT coalesce(l_returnflag, '<all>') AS returnflag,
            coalesce(CAST(year(l_shipdate) AS VARCHAR), '<all>') AS shipyear,
            count(*) AS n_rows,
-           round(sum(l_extendedprice), 2) AS sum_price
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS sum_price
     FROM lineitem GROUP BY CUBE (l_returnflag, year(l_shipdate))
     """,
 )
@@ -344,7 +345,12 @@ def agg_cube(spark, sf_dir):
         l.cube("l_returnflag", "shipyear_i")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            # decimal-exact sum: double summation order differs between
+            # engines and a 1-ulp flip at ~3e11 magnitude survives
+            # round(,2) (seen at the sf1 tier); decimal is associative
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
@@ -363,7 +369,8 @@ def agg_cube(spark, sf_dir):
     SELECT coalesce(o_orderstatus, '<all>') AS status,
            coalesce(o_orderpriority, '<all>') AS priority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 6) AS sum_total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 6)
+                AS DOUBLE) AS sum_total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -388,7 +395,8 @@ def agg_grouping_sets(spark, sf_dir):
         SELECT coalesce(o_orderstatus, '<all>') AS status,
                coalesce(o_orderpriority, '<all>') AS priority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 6) AS sum_total
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 6)
+                    AS DOUBLE) AS sum_total
         FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

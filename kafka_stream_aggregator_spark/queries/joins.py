@@ -445,3 +445,121 @@ def join_fuzzy_blocked(spark, sf_dir):
         "canon_a",
         "canon_b",
     )
+
+
+@query(
+    "join_set_similarity_prefix",
+    # Exact set-similarity self-join (3-gram shingle Jaccard >= 0.5)
+    # across the WHOLE corpus. The oracle is brute force; the engine
+    # side uses LOSSLESS prefix filtering, so the result sets are
+    # identical — this oracles the blocking strategy itself.
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[g:g+2], ' ') AS s
+      FROM dt, unnest(range(1, greatest(len(tk)-2,0)+1)) AS u(g)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.5
+    """,
+)
+def join_set_similarity_prefix(spark, sf_dir):
+    """Set-similarity self-join via prefix filtering (Bayardo
+    All-Pairs / PPJoin family) — the LOSSLESS blocking that makes
+    high-threshold Jaccard joins scale, where LSH (minhash_near_dup)
+    trades recall for speed. Canonical order = ascending document
+    frequency: each doc indexes only the FIRST p = n - ceil(t*n) + 1
+    of its shingles (its rarest ones); if jac(x,y) >= t, the smallest
+    common shingle provably lies in BOTH prefixes, so joining on
+    prefix shingles generates every qualifying pair, and the exact
+    Jaccard verification on full shingle arrays then makes the output
+    identical to brute force — the oracle checks exactly that.
+
+    Scale shape: shingles ride as 8-byte xxhash64 (same trick as
+    jaccard_dup_clusters); the candidate join touches only prefix
+    shingles of df >= 2 (a shingle unique to one doc can't pair);
+    verification is an array_intersect on the two candidates' arrays,
+    linear in candidate count. At t=0.5 the prefix is half the doc, and
+    rare-first ordering makes prefix shingles near-unique — candidate
+    counts collapse to almost exactly the true pair count. No stage is
+    quadratic in corpus size; the only corpus-wide shuffles key on
+    shingle hash and doc_id."""
+    from ..ops import data_sized_partitions
+
+    thr = 0.5
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    toks = F.regexp_extract_all(
+        F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), 0
+    )
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.xxhash64(F.array_join(F.slice(toks, i, 3), " ")),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("h"))
+
+    # global canonical order: ascending document frequency, hash tiebreak
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    arr = (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "h"))),
+                lambda s: s["h"],
+            ).alias("hs")
+        )
+        .withColumn("n", F.size("hs"))
+    )
+    p_len = (F.col("n") - F.ceil(F.lit(thr) * F.col("n")) + 1).cast("int")
+    prefix = arr.select(
+        "doc_id", F.explode(F.slice("hs", 1, p_len)).alias("h")
+    )
+    # df=1 shingles can never produce a pair — drop before the self-join
+    prefix = prefix.join(
+        F.broadcast(dfreq.filter(F.col("df") >= 2).select("h")), "h"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    av = arr.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("n_a"),
+    )
+    bv = arr.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("n_b"),
+    )
+    ni = F.size(F.array_intersect("hs_a", "hs_b"))
+    jac = ni / (F.col("n_a") + F.col("n_b") - ni)
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .filter(jac >= thr)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
