@@ -176,6 +176,7 @@ def distributed_global_rank(
     bucket: Column | None = None,
     n_buckets: int = 64,
     rank_col: str = "rn",
+    prefix_sums: dict[str, str] | None = None,
 ) -> DataFrame:
     """Exact global ``row_number()`` by ``order_cols`` WITHOUT a
     single-reducer sort — the two-phase distributed rank, generalized
@@ -200,7 +201,15 @@ def distributed_global_rank(
     uniform buckets for any numeric distribution. ``order_cols`` must
     be a total order (include a unique tiebreak) for determinism.
     Rows with NULL leading values bucket to 0, matching Spark's
-    ascending NULLS FIRST."""
+    ascending NULLS FIRST.
+
+    ``prefix_sums``: optional {value_col: out_col} — also emit the
+    INCLUSIVE running total of each value column in the same global
+    order, by the identical two-phase shape (per-bucket partitioned
+    running sums + broadcast bucket-level sum offsets). This is the
+    scale-safe form of ``sum(v) OVER (ORDER BY ...)`` — the global
+    cumulative sums a budget/quota selection needs — without ever
+    creating an unpartitioned window."""
     cols = list(order_cols)
     if bucket is None:
         lead = F.col(cols[0]).cast("double")
@@ -226,24 +235,33 @@ def distributed_global_rank(
         )
     else:
         df = df.withColumn("__pb", bucket)
-    counts = df.groupBy("__pb").agg(F.count(F.lit(1)).alias("__n"))
+    sums = prefix_sums or {}
+    counts = df.groupBy("__pb").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(c).alias(f"__s_{c}") for c in sums],
+    )
+    prior = W.orderBy("__pb").rowsBetween(W.unboundedPreceding, -1)
     offsets = counts.select(
         "__pb",
-        F.coalesce(
-            F.sum("__n").over(
-                W.orderBy("__pb").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__off"),
+        F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__off"),
+        *[
+            F.coalesce(F.sum(f"__s_{c}").over(prior), F.lit(0)).alias(
+                f"__soff_{c}"
+            )
+            for c in sums
+        ],
     )
-    rn = F.row_number().over(W.partitionBy("__pb").orderBy(*cols)) + F.col(
-        "__off"
+    local = W.partitionBy("__pb").orderBy(*cols)
+    out = df.join(F.broadcast(offsets), "__pb").withColumn(
+        rank_col, F.row_number().over(local) + F.col("__off")
     )
-    return (
-        df.join(F.broadcast(offsets), "__pb")
-        .withColumn(rank_col, rn)
-        .drop("__pb", "__off")
-    )
+    for c, out_col in sums.items():
+        out = out.withColumn(
+            out_col,
+            F.sum(c).over(local.rowsBetween(W.unboundedPreceding, 0))
+            + F.col(f"__soff_{c}"),
+        )
+    return out.drop("__pb", "__off", *[f"__soff_{c}" for c in sums])
 
 
 def exact_percentiles(

@@ -870,3 +870,173 @@ def agg_equidepth_histogram(spark, sf_dir):
             F.round(F.avg("v"), 6).alias("mean_v"),
         )
     )
+
+
+@query(
+    "corpus_top_ngrams",
+    # WIMBD-style corpus analysis: the 20 most-duplicated 5-grams
+    # corpus-wide with occurrence and document counts; ties broken
+    # lexicographically.
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+      FROM tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS u(i)
+    ), c AS (
+      SELECT gram, count(*) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY gram
+    )
+    SELECT gram, n_occurrences, n_docs
+    FROM c ORDER BY n_occurrences DESC, gram LIMIT 20
+    """,
+)
+def corpus_top_ngrams(spark, sf_dir):
+    """Corpus-wide most-duplicated n-grams (the WIMBD 'what's in my
+    big data' analysis): 5-gram occurrence + document counts, top 20.
+    One explode -> one groupBy on the gram (map-side partial counts;
+    count(DISTINCT doc) rides the same shuffle as a two-level agg) ->
+    TakeOrderedAndProject top-k (per-task heaps, never a global sort).
+    The gram travels as its string here because the top-k output IS
+    the string; the counting shuffle at 100 TB would pre-hash to 8
+    bytes and join the winners' strings back (the composed-hash trick
+    every dedup op here uses)."""
+    from ..ops import data_sized_partitions, global_top_k
+
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    toks = F.regexp_extract_all(
+        F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), 0
+    )
+    grams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.array_join(F.slice(toks, i, 5), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    c = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    return global_top_k(
+        c, [F.col("n_occurrences").desc(), F.col("gram")], 20
+    )
+
+
+@query(
+    "fn_quantile_bin",
+    # QuantileDiscretizer shape: quartile edges (type-7 interpolated,
+    # the quantile_cont/Spark-percentile convention) computed once,
+    # every row binned by value against the broadcast edges. Unlike
+    # agg_equidepth_histogram (exact equal-count rank binning), equal
+    # values ALWAYS share a bin here — the feature-engineering
+    # discretizer semantics.
+    oracle="""
+    WITH e AS (
+      SELECT quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.50) AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events
+    ), b AS (
+      SELECT CASE WHEN value <= q1 THEN 0
+                  WHEN value <= q2 THEN 1
+                  WHEN value <= q3 THEN 2
+                  ELSE 3 END AS bin,
+             value
+      FROM events, e
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi,
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE)
+             AS sum_v
+    FROM b GROUP BY bin
+    """,
+)
+def fn_quantile_bin(spark, sf_dir):
+    """Quantile discretization (the ml.QuantileDiscretizer semantics,
+    declaratively): exact interpolated quartile edges from the
+    size-tiered percentile ladder (ops.exact_percentiles_auto — counts
+    / sort-rank / bucketed / sketch tier picked from the input), then a
+    map-only broadcast-edges CASE bins every row; per-bin stats in one
+    more map-side-combinable agg. Two passes over the column, zero
+    unpartitioned windows, and the binning pass is pure codegen — the
+    standard at-scale shape for feature binning. Sums ride DECIMAL so
+    the cross-engine grand totals are order-independent."""
+    from ..ops import exact_percentiles_auto
+
+    ev = t(spark, sf_dir, "events").select("value")
+    edges = exact_percentiles_auto(
+        ev, "value", [(0.25, "q1"), (0.5, "q2"), (0.75, "q3")]
+    )
+    v = F.col("value")
+    binned = ev.crossJoin(F.broadcast(edges)).select(
+        F.when(v <= F.col("q1"), 0)
+        .when(v <= F.col("q2"), 1)
+        .when(v <= F.col("q3"), 2)
+        .otherwise(3)
+        .alias("bin"),
+        "value",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+        F.round(F.sum(v.cast("decimal(38,6)")), 4)
+        .cast("double")
+        .alias("sum_v"),
+    )
+
+
+@query(
+    "agg_mad_robust",
+    # Median absolute deviation per event type — the robust dispersion
+    # estimator (breakdown point 0.5 vs stddev's 0): med = median(v),
+    # mad = median(|v - med|), both type-7 interpolated.
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med_v
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(max(med_v), 6) AS med_v,
+           round(median(abs(value - med_v)), 6) AS mad_v,
+           round(1.4826 * median(abs(value - med_v)), 6) AS mad_sigma
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def agg_mad_robust(spark, sf_dir):
+    """Median absolute deviation per group — the outlier-resistant
+    dispersion metric (with the 1.4826 normal-consistency factor, the
+    robust sigma that anomaly gates use where stddev is poisoned by the
+    outliers it should detect). Two passes of the size-tiered exact
+    percentile ladder: group medians (tiny relation) broadcast back
+    into |v - med|, then the deviation median the same way. Same
+    two-pass broadcast shape as agg_winsorized_stats; no stage holds
+    more than one group's sort chain, no unpartitioned windows."""
+    from ..ops import exact_percentiles_auto
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = exact_percentiles_auto(
+        ev, "value", [(0.5, "med_v")], group_cols=("event_type",)
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med_v"))
+    )
+    mad = exact_percentiles_auto(
+        dev, "adev", [(0.5, "mad_v")], group_cols=("event_type",)
+    )
+    return (
+        med.join(mad, "event_type")
+        .select(
+            "event_type",
+            F.round("med_v", 6).alias("med_v"),
+            F.round("mad_v", 6).alias("mad_v"),
+            F.round(1.4826 * F.col("mad_v"), 6).alias("mad_sigma"),
+        )
+    )

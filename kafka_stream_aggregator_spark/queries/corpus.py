@@ -926,3 +926,213 @@ def corpus_prepare_pipeline(spark, sf_dir):
             F.round(F.avg(F.length("nt")), 6).alias("mean_chars"),
         )
     )
+
+
+@query(
+    "doc_token_budget_select",
+    # Budget-constrained corpus selection: rank by type-token ratio
+    # (lexical diversity) desc, keep docs while the INCLUSIVE running
+    # token total fits 50% of the corpus. Integer cumsum + one exact
+    # double division per doc -> exact cross-engine rows.
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(trim(text)), '\\S+')) AS n_tokens,
+             len(list_distinct(regexp_extract_all(lower(trim(text)), '\\S+')))
+               AS n_distinct
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             n_distinct::DOUBLE / n_tokens AS ttr,
+             row_number() OVER w AS rn,
+             sum(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored WHERE n_tokens > 0
+      WINDOW w AS (ORDER BY n_distinct::DOUBLE / n_tokens DESC, doc_id)
+    ), budget AS (
+      SELECT CAST(floor(0.5 * sum(n_tokens)) AS BIGINT) AS b FROM scored
+    )
+    SELECT doc_id, CAST(rn AS BIGINT) AS rn,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           round(ttr, 6) AS ttr
+    FROM ranked, budget WHERE cum_tokens <= b
+    """,
+)
+def doc_token_budget_select(spark, sf_dir):
+    """Token-budget-constrained corpus selection — the 'best docs that
+    fit the training budget' op: score every document (type-token
+    ratio here; any deterministic quality column plugs in), take docs
+    in descending-quality order until the running token total reaches
+    the budget (50% of corpus tokens).
+
+    Scale shape: the global quality ranking AND the global running
+    token total both come from ops.distributed_global_rank with
+    prefix_sums — the two-phase trick generalized from ranks to
+    cumulative sums, so the 'sum(tokens) OVER (ORDER BY quality)' that
+    a naive plan would put on one reducer is per-bucket partitioned
+    windows plus a broadcast <=64-row offsets relation. The budget is a
+    broadcast 1-row aggregate. Nothing about this plan changes at
+    100 TB; the oracle's unpartitioned SQL window is the semantics
+    spec, not the plan."""
+    from ..ops import distributed_global_rank
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), 0
+    )
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+    budget = scored.agg(
+        F.floor(0.5 * F.sum("n_tokens")).cast("bigint").alias("b")
+    )
+    pos = scored.filter(F.col("n_tokens") > 0).withColumn(
+        "neg_ttr", -(F.col("n_distinct").cast("double") / F.col("n_tokens"))
+    )
+    ranked = distributed_global_rank(
+        pos,
+        ["neg_ttr", "doc_id"],
+        rank_col="rn",
+        prefix_sums={"n_tokens": "cum_tokens"},
+    )
+    return (
+        ranked.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("b"))
+        .select(
+            "doc_id",
+            F.col("rn").cast("bigint").alias("rn"),
+            "n_tokens",
+            "cum_tokens",
+            F.round(-F.col("neg_ttr"), 6).alias("ttr"),
+        )
+    )
+
+
+@query(
+    "doc_dedup_keep_best",
+    # Quality-priority dedup on the LEADING-CONTENT key (first 20
+    # tokens): boilerplate-opening dedup, keep the BEST copy (longest,
+    # then highest doc_id) instead of the first — the curation-grade
+    # policy (C4 keeps first; modern pipelines keep the best-scored
+    # copy). The prefix key groups this corpus' near-dup variants
+    # (~20 groups at sf0.01), so the keep-best branch is exercised at
+    # the driver gate, not just vacuously correct.
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(
+                 (regexp_extract_all(lower(trim(text)), '\\S+'))[1:20],
+                 ' ')) AS h
+      FROM documents
+    ), p AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY n_chars DESC, doc_id DESC) AS pick,
+             count(*) OVER (PARTITION BY h) AS n_dups
+      FROM k
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_dups AS BIGINT) AS n_dups
+    FROM p WHERE pick = 1
+    """,
+)
+def doc_dedup_keep_best(spark, sf_dir):
+    """Keep-BEST dedup on a leading-content key: hash the first 20
+    normalized tokens (boilerplate/template openings — the coarse key
+    that catches near-identical variants exact hashing misses), and
+    per duplicate group keep the highest-quality copy (longest text,
+    doc_id tiebreak) — versus doc_exact_dedup's keep-first. One groupBy
+    on the prefix hash using a declarative struct-max
+    (F.max(struct(quality..., payload)))['payload'] — NOT max_by, whose
+    object-hash aggregate falls back to sort-based past 128
+    groups/partition (measured 12x slower at 10M rows; see
+    ind_ohlc_5min) — so the whole op is one map-side-combinable
+    shuffle at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), 0
+    )
+    h = F.md5(F.array_join(F.slice(toks, 1, 20), " "))
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("q1"),
+            F.col("doc_id").alias("q2"),
+        )
+    )
+    return (
+        d.select(h.alias("h"), "doc_id", "n_chars")
+        .groupBy("h")
+        .agg(
+            best.alias("best"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .select(
+            F.col("best.q2").alias("doc_id"),
+            F.col("best.q1").cast("bigint").alias("n_chars"),
+            "n_dups",
+        )
+    )
+
+
+@query(
+    "corpus_rebalance_quota",
+    # Rebalance to a uniform source mix: equal per-source quota from a
+    # 40%-of-corpus target, each source keeps its quota docs with the
+    # smallest md5(doc_id) (deterministic, engine-portable). Sources
+    # smaller than the quota keep everything (no redistribution --
+    # documented single-pass policy).
+    oracle="""
+    WITH tgt AS (
+      SELECT CAST(floor(0.4 * count(*)) AS BIGINT) AS t,
+             CAST(count(DISTINCT source) AS BIGINT) AS ns
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(t // ns) AS BIGINT) AS quota,
+           CAST(sum(CASE WHEN rk <= t // ns THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM r, tgt GROUP BY source
+    """,
+)
+def corpus_rebalance_quota(spark, sf_dir):
+    """Target-mix rebalancing: allocate a global document budget (40%
+    of the corpus) EQUALLY across sources and keep, per source, the
+    quota documents with the smallest md5(doc_id) — the deterministic
+    counterpart of per-domain downsampling that flattens a skewed
+    source mix (the multilingual/low-resource upsampling problem in
+    reverse). Per-source ranking is a PARTITIONED window (never
+    global); the quota is a broadcast 1-row aggregate; sources below
+    quota keep all their docs. The kept-set selection composes with
+    stratified_sample for fractional follow-up passes."""
+    d = t(spark, sf_dir, "documents")
+    tgt = d.agg(
+        F.floor(0.4 * F.count(F.lit(1))).cast("bigint").alias("t"),
+        F.countDistinct("source").cast("bigint").alias("ns"),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+    )
+    r = d.select("source", "doc_id").withColumn("rk", rk)
+    quota = (F.col("t") / F.col("ns")).cast("bigint")  # integer floor div
+    return (
+        r.crossJoin(F.broadcast(tgt))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max(quota).cast("bigint").alias("quota"),
+            F.sum((F.col("rk") <= quota).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
