@@ -195,13 +195,18 @@ def distributed_global_rank(
 
     ``bucket``: optional monotone coarsening of the leading order
     column (e.g. the first bytes of a hash the order starts with).
-    When omitted, approximate-quantile edges of the leading column
-    (cast to double; order-preserving) are computed as a broadcast
-    1-row aggregate and each row counts edges below its value — near-
-    uniform buckets for any numeric distribution. ``order_cols`` must
-    be a total order (include a unique tiebreak) for determinism.
-    Rows with NULL leading values bucket to 0, matching Spark's
-    ascending NULLS FIRST.
+    When omitted, fixed-width ranges between the leading column's
+    min/max (a broadcast 1-row aggregate; cast to double, which is
+    order-preserving) — pure codegen arithmetic per row. A measured
+    note: the first implementation counted 63 approximate-quantile
+    edges per row via F.aggregate, and that interpreted higher-order
+    fold alone cost ~6 s at 600 k rows; the range bucket is arithmetic.
+    Correctness never depends on bucket balance (only the ordering
+    contract matters); a skewed value distribution only narrows
+    parallelism, and a caller with a pathological column can pass its
+    own quantile-edge ``bucket``. ``order_cols`` must be a total order
+    (include a unique tiebreak) for determinism. Rows with NULL leading
+    values bucket to 0, matching Spark's ascending NULLS FIRST.
 
     ``prefix_sums``: optional {value_col: out_col} — also emit the
     INCLUSIVE running total of each value column in the same global
@@ -213,25 +218,18 @@ def distributed_global_rank(
     cols = list(order_cols)
     if bucket is None:
         lead = F.col(cols[0]).cast("double")
-        qs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-        edges = df.agg(
-            F.percentile_approx(lead, qs, 10_000).alias("__edges")
+        stats = df.agg(
+            F.min(lead).alias("__lo"), F.max(lead).alias("__hi")
         )
+        span = F.col("__hi") - F.col("__lo")
+        raw = F.floor((lead - F.col("__lo")) / span * n_buckets)
+        pb = F.when(
+            lead.isNull() | (span == 0.0) | span.isNull(), F.lit(0)
+        ).otherwise(F.least(raw, F.lit(n_buckets - 1)).cast("int"))
         df = (
-            df.crossJoin(F.broadcast(edges))
-            .withColumn(
-                "__pb",
-                F.coalesce(
-                    F.aggregate(
-                        "__edges",
-                        F.lit(0),
-                        lambda acc, e: acc
-                        + F.when(lead > e, 1).otherwise(0),
-                    ),
-                    F.lit(0),
-                ),
-            )
-            .drop("__edges")
+            df.crossJoin(F.broadcast(stats))
+            .withColumn("__pb", pb)
+            .drop("__lo", "__hi")
         )
     else:
         df = df.withColumn("__pb", bucket)

@@ -959,18 +959,18 @@ def corpus_top_ngrams(spark, sf_dir):
 )
 def fn_quantile_bin(spark, sf_dir):
     """Quantile discretization (the ml.QuantileDiscretizer semantics,
-    declaratively): exact interpolated quartile edges from the
-    size-tiered percentile ladder (ops.exact_percentiles_auto — counts
-    / sort-rank / bucketed / sketch tier picked from the input), then a
-    map-only broadcast-edges CASE bins every row; per-bin stats in one
-    more map-side-combinable agg. Two passes over the column, zero
-    unpartitioned windows, and the binning pass is pure codegen — the
-    standard at-scale shape for feature binning. Sums ride DECIMAL so
-    the cross-engine grand totals are order-independent."""
-    from ..ops import exact_percentiles_auto
+    declaratively): exact interpolated quartile edges, then a map-only
+    broadcast-edges CASE bins every row; per-bin stats in one more
+    map-side-combinable agg. The edges use the BUCKETED exact tier
+    explicitly (ops.exact_percentiles_bucketed): with no group columns
+    the ladder's sort tier is a global rank window — precisely the
+    shape the suite-wide no-unpartitioned-Window assertion keeps out.
+    The binning pass is pure codegen; sums ride DECIMAL so cross-engine
+    grand totals are order-independent."""
+    from ..ops import exact_percentiles_bucketed
 
     ev = t(spark, sf_dir, "events").select("value")
-    edges = exact_percentiles_auto(
+    edges = exact_percentiles_bucketed(
         ev, "value", [(0.25, "q1"), (0.5, "q2"), (0.75, "q3")]
     )
     v = F.col("value")

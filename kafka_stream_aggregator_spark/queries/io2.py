@@ -24,6 +24,7 @@ import os
 import tempfile
 import uuid
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .base import query, t
@@ -385,4 +386,68 @@ def io_merge_upsert(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("n_chars").cast("bigint").alias("chars"),
         F.min("doc_id").cast("bigint").alias("min_id"),
+    )
+
+
+@query(
+    "io_scd2_build",
+    # Slowly-Changing-Dimension Type 2 from a change stream: per user,
+    # collapse consecutive same-type events and emit validity intervals
+    # [valid_from, valid_to) with an is_current flag — the lakehouse
+    # dimension-history build. Epochs as doubles (ns-precision parity),
+    # (ts, event_id) total order.
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, epoch(ts) AS tse, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)
+    ), chg AS (
+      SELECT user_id, event_type, tse, event_id
+      FROM o WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           round(tse, 6) AS valid_from,
+           round(lead(tse) OVER w2, 6) AS valid_to,
+           (lead(tse) OVER w2 IS NULL) AS is_current
+    FROM chg
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY tse, event_id)
+    """,
+)
+def io_scd2_build(spark, sf_dir):
+    """SCD Type-2 dimension build from an event stream: per user,
+    consecutive events with the same type collapse into one validity
+    interval [valid_from, valid_to), the last interval open
+    (is_current) — the standard lakehouse history table that
+    io_merge_upsert then maintains incrementally. Two windows, BOTH
+    partitioned by the dimension key (never global): lag() marks type
+    changes, lead() over the change rows closes each interval. At
+    100 TB the user partitioning is the natural shuffle and each
+    user's history is tiny; ties on ts break on event_id so the
+    interval set is deterministic cross-engine (epoch doubles keep
+    ns precision — floored seconds would misorder same-second
+    events)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("double").alias("tse"),
+            "event_id",
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("tse", "event_id")
+    chg = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("tse", "event_id")
+    nxt = F.lead("tse").over(w2)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.round("tse", 6).alias("valid_from"),
+        F.round(nxt, 6).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

@@ -993,3 +993,57 @@ def doc_token_heavy_hitters_sketch(spark, sf_dir):
         .limit(20)
         .select("item", "count_lb", "n_total", "err_bound")
     )
+
+
+@query(
+    "doc_pretokenize_count",
+    # GPT-2-style regex pre-tokenization counts (the token-budget
+    # estimator that runs before any real BPE): contractions, letter
+    # runs, digit runs, punctuation runs, each with its optional
+    # leading space. ASCII-explicit classes so Java regex (Spark) and
+    # RE2 (DuckDB) agree byte-for-byte.
+    oracle=r"""
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+               AS n_bpe,
+             len(regexp_extract_all(text, '\S+')) AS n_ws
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
+           CAST(n_ws AS BIGINT) AS n_ws,
+           round(n_bpe::DOUBLE / nullif(n_ws, 0), 6) AS bpe_per_word
+    FROM c
+    """,
+)
+def doc_pretokenize_count(spark, sf_dir):
+    """Pre-tokenizer token counting — the cheap, model-free token
+    budget estimate every corpus plan starts from: a GPT-2-style
+    pre-tokenization regex (contraction suffixes, space-prefixed
+    letter/digit/punctuation runs) counted per document next to the
+    whitespace word count, plus tokens-per-word (the fertility proxy;
+    ~1.3 for English-like text, higher means tokenizer-hostile
+    content). Pure regexp_extract_all + size — one codegen'd scan, no
+    explode, no shuffle beyond the scan itself; the regex is
+    ASCII-explicit so Spark's Java regex and DuckDB's RE2 produce
+    identical token boundaries (verified in parity)."""
+    d = t(spark, sf_dir, "documents")
+    bpe_re = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+    c = d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(bpe_re), 0))
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("bigint")
+        .alias("n_ws"),
+    )
+    return c.select(
+        "doc_id",
+        "n_bpe",
+        "n_ws",
+        F.round(
+            F.col("n_bpe") / F.nullif(F.col("n_ws"), F.lit(0)), 6
+        ).alias("bpe_per_word"),
+    )

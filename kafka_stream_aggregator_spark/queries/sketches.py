@@ -370,3 +370,251 @@ def doc_weighted_sample(spark, sf_dir):
         .filter(F.col("sample_rank") <= 5)
         .select("doc_id", "lang", "n_chars", "sample_rank")
     )
+
+
+@query(
+    "sketch_minhash_portable",
+    # MinHash with k=16 portable salted hashes, candidates = pairs
+    # agreeing on >= 4 of 16 slots (est Jaccard >= 0.25). The oracle
+    # REPLAYS the sketch (same md5-derived mins), so the probabilistic
+    # estimate — false positives included — is hash-checked exactly,
+    # the same trick sketch_bloom_decontaminate uses.
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[g:g+2], ' ') AS s
+      FROM dt, unnest(range(1, greatest(len(tk)-2,0)+1)) AS u(g)
+    ), salts AS (
+      SELECT unnest(range(0, 16)) AS slot
+    ), sig AS (
+      SELECT doc_id, slot,
+             min({U64.format(expr="(s || ':' || CAST(slot AS VARCHAR))")}) AS mh
+      FROM sh, salts GROUP BY doc_id, slot
+    ), m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS nm
+      FROM sig a JOIN sig b ON a.slot = b.slot AND a.mh = b.mh
+                            AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(nm AS BIGINT) AS n_match,
+           round(nm / 16.0, 6) AS est_jac
+    FROM m WHERE nm >= 4
+    """,
+)
+def sketch_minhash_portable(spark, sf_dir):
+    """MinHash near-dup candidates with an EXACT oracle: 16 salted
+    portable_u64 min-hashes per document (the md5-prefix trick — same
+    60-bit values in Spark and DuckDB), pairs agreeing on >= 4 slots.
+    minhash_near_dup (llm.dedup) is the production tier — xxhash64,
+    banded LSH, skew guards — and is necessarily rows-only-checked;
+    this registry twin trades the cheap hash for a DuckDB-replayable
+    one so the driver hash-verifies MinHash SEMANTICS end to end,
+    estimation error and false positives included.
+
+    Plan shape is the production one: explode distinct shingles, ONE
+    groupBy(doc) computing all 16 mins (map-side partial), explode the
+    16-slot signature, self-join on (slot, minhash) — every join key
+    bounded, no all-pairs stage anywhere."""
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    toks = F.regexp_extract_all(
+        F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), 0
+    )
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.array_join(F.slice(toks, i, 3), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("doc_id", F.explode(shingles).alias("s"))
+    k = 16
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(portable_u64(F.col("s"), salt=i)).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    slots = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("slot"), F.col(f"m{i}").alias("mh")
+                    )
+                    for i in range(k)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", F.col("x.slot").alias("slot"), F.col("x.mh").alias("mh"))
+    a = slots.select(
+        F.col("doc_id").alias("id_a"), "slot", "mh"
+    )
+    b = slots.select(F.col("doc_id").alias("id_b"), "slot", "mh")
+    return (
+        a.join(b, ["slot", "mh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_match"))
+        .filter(F.col("n_match") >= 4)
+        .select(
+            "id_a",
+            "id_b",
+            "n_match",
+            F.round(F.col("n_match") / 16.0, 6).alias("est_jac"),
+        )
+    )
+
+
+_SIGN_SQL = (
+    "CASE WHEN "
+    + U64.format(expr="(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR))")
+    + " % 2 = 0 THEN 1.0 ELSE -1.0 END"
+)
+
+
+@query(
+    "emb_signlsh_neardup",
+    # Random-hyperplane (sign) LSH near-dup over embeddings, EXACTLY
+    # oracled: hyperplanes are +-1 vectors derived from the portable
+    # hash, so DuckDB replays the whole pipeline — 16 sign bits, 4
+    # bands of 4, candidate pairs = any band collision, then exact
+    # cosine >= 0.4 verification. Recall loss and all, both engines
+    # compute the identical pair set.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), pl AS (
+      SELECT unnest(range(0, 16)) AS p
+    ), bits AS (
+      SELECT vec_id, p,
+             CASE WHEN list_dot_product(v,
+                    list_transform(range(1, len(v) + 1), i -> {_SIGN_SQL}))
+                  >= 0 THEN 1 ELSE 0 END AS bit
+      FROM e, pl
+    ), bands AS (
+      SELECT vec_id, p // 4 AS band_idx,
+             CAST(sum(bit << (p % 4)) AS BIGINT) AS band_val
+      FROM bits GROUP BY vec_id, p // 4
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+    ), sim AS (
+      SELECT id_a, id_b,
+             list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))) AS cs
+      FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
+    )
+    SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM sim WHERE cs >= 0.4
+    """,
+)
+def emb_signlsh_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via sign LSH (Charikar
+    random hyperplanes), the vector twin of sketch_minhash_portable:
+    16 hyperplanes with +-1 components derived from portable_u64(p:i),
+    banded 4x4; pairs colliding in any band are verified with the
+    exact cosine (the hoisted-norms dot-product convention
+    cos_topk_bruteforce already proved hash-identical to DuckDB's
+    list_dot_product). Because the hyperplanes are hash-derived, the
+    oracle REPLAYS the sketch — the driver checks the LSH's actual
+    recall behavior, not just a lucky subset.
+
+    Scale shape: the 16 x d sign matrix is a pure function of the
+    portable hash, so it is precomputed driver-side (hashlib md5 ==
+    portable_u64 bit-for-bit) and shipped as LITERAL arrays sliced to
+    each row's dimension — each bit is then ONE codegen'd zip_with dot
+    (the first implementation hashed per (row, plane, dim) inside an
+    interpreted fold: 5M md5 calls and 14.5 s at sf0.1; literals make
+    it ~2 s). The band self-join is the bounded LSH bucket join; exact
+    verification touches candidates only. No all-pairs stage; brute
+    force appears only in the oracle SQL.
+
+    Parameter note, measured: 4-bit bands collide ~1/16 per band for
+    UNRELATED vectors, so at tau=0.4 (a hard, low-similarity regime —
+    this table's max pair cosine is 0.51) candidates are ~20% of all
+    pairs and verification dominates (7.4 s at sf0.1 after norm
+    hoisting). That is the inherent sign-LSH trade at low thresholds;
+    for true near-dup work (cos >= 0.9, p_bit ~ 0.9) the same pipeline
+    with 8-bit bands keeps recall >= 0.95 while cutting random
+    collisions to 1/256 — band width is the lever, and the IVF/PQ
+    tiers (ann_ivf_topk, ann_pq_topk) are the production ANN path."""
+    import hashlib
+
+    from ..llm.similarity import as_double, dot
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+
+    max_dim = 512  # covers any embedding width in this engine's tables
+
+    def sign_vec(p: int):
+        # hashlib twin of portable_u64: int(md5(s)[:15 hex], 16) % 2
+        signs = [
+            1.0
+            if int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:15], 16) % 2
+            == 0
+            else -1.0
+            for i in range(1, max_dim + 1)
+        ]
+        return F.slice(F.lit(signs), 1, F.size("v"))
+
+    bits = e.select(
+        "vec_id",
+        "v",
+        *[
+            (dot(F.col("v"), sign_vec(p)) >= 0).cast("int").alias(f"b{p}")
+            for p in range(16)
+        ],
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            sum(
+                (F.col(f"b{4 * b + j}") * (1 << j)) for j in range(4)
+            ).cast("bigint").alias("band_val"),
+        )
+        for b in range(4)
+    ]
+    bands = bits.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("x")
+    ).select("vec_id", "x.band_idx", "x.band_val")
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_idx", "band_val"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # norms hoisted per VECTOR, not per candidate pair (float-identical
+    # to the inline form — the brute_force_topk convention): per-pair
+    # work drops from three interpreted folds to one
+    en = e.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    ea = en.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    eb = en.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cs = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cs", cs)
+        .filter(F.col("cs") >= 0.4)
+        .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+    )
