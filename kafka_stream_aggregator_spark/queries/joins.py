@@ -530,16 +530,24 @@ def join_set_similarity_prefix(spark, sf_dir):
     )
     p_len = (F.col("n") - F.ceil(F.lit(thr) * F.col("n")) + 1).cast("int")
     prefix = arr.select(
-        "doc_id", F.explode(F.slice("hs", 1, p_len)).alias("h")
+        "doc_id", "n", F.explode(F.slice("hs", 1, p_len)).alias("h")
     )
     # df=1 shingles can never produce a pair — drop before the self-join
     prefix = prefix.join(
         F.broadcast(dfreq.filter(F.col("df") >= 2).select("h")), "h"
     )
+    # PPJoin length filter, also lossless: jac >= t forces
+    # t*|x| <= |y| <= |x|/t, so size-incompatible pairs are pruned
+    # INSIDE the join condition before they materialize
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "h")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.ceil(F.lit(thr) * F.col("a.n")))
+            & (F.col("b.n") * F.lit(thr) <= F.col("a.n")),
+        )
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
