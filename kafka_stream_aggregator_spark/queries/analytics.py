@@ -1040,3 +1040,118 @@ def agg_mad_robust(spark, sf_dir):
             F.round(1.4826 * F.col("mad_v"), 6).alias("mad_sigma"),
         )
     )
+
+
+@query(
+    "graph_triangle_count",
+    # Triangle census over the user co-occurrence graph (edge = two
+    # users sharing a (type, 5-min window) cell, user_id < 120): edge /
+    # wedge / triangle counts + global clustering coefficient. The
+    # oracle counts each triangle once via the a<b<c convention;
+    # counts are orientation-independent, so it equals the engine's
+    # degree-oriented count exactly.
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, event_type,
+             CAST(floor(epoch(ts) / 300) AS BIGINT) AS w
+      FROM events WHERE user_id < 120
+    ), e AS (
+      SELECT DISTINCT a.user_id AS ua, b2.user_id AS ub
+      FROM b a JOIN b b2 ON a.event_type = b2.event_type AND a.w = b2.w
+       AND a.user_id < b2.user_id
+    ), deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT ua AS v FROM e UNION ALL SELECT ub FROM e
+      ) GROUP BY v
+    ), tri AS (
+      SELECT count(*) AS n_tri
+      FROM e e1 JOIN e e2 ON e1.ub = e2.ua
+      JOIN e e3 ON e1.ua = e3.ua AND e2.ub = e3.ub
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           CAST(n_tri AS BIGINT) AS n_triangles,
+           round(3.0 * n_tri / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)
+             AS clustering
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Distributed triangle counting — the graph-analytics primitive
+    (community detection, spam/bot rings, clustering coefficient) —
+    via DEGREE ORIENTATION (compact-forward / MapReduce node-iterator):
+    orient every undirected edge from its lower-(degree, id) endpoint
+    to the higher one; every out-neighborhood then has size O(sqrt(m))
+    REGARDLESS of raw degree skew, so the wedge join that explodes on
+    celebrity vertices under a naive orientation is bounded here — the
+    classic trick that makes triangle counting survive power-law
+    graphs at 100 TB. Wedges from each source's oriented neighbor
+    pairs, closed by one join back against the oriented edge list;
+    each triangle is produced exactly once (its minimum-key vertex is
+    the wedge center). Three shuffles total (degree count, wedge join,
+    closing join), all on vertex ids; the graph here is user
+    co-occurrence in (event_type, 5-minute) cells."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 120)
+    cell = F.floor(F.col("ts").cast("double") / 300).cast("bigint")
+    b = ev.select(
+        "user_id", "event_type", cell.alias("w")
+    ).distinct()
+    a1 = b.select(
+        F.col("user_id").alias("ua"), "event_type", "w"
+    )
+    a2 = b.select(F.col("user_id").alias("ub"), "event_type", "w")
+    edges = (
+        a1.join(a2, ["event_type", "w"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.explode(F.array("ua", "ub")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("v", "ua").withColumnRenamed("d", "da"), "ua")
+        .join(deg.withColumnRenamed("v", "ub").withColumnRenamed("d", "db"), "ub")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ua") < F.col("ub"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+        F.when(a_first, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_d").alias("dv"))
+    e2 = oriented.select("src", F.col("dst").alias("w2"), F.col("dst_d").alias("dw"))
+    wedge_order = (F.col("dv") < F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w2"))
+    )
+    wedges = e1.join(e2, "src").filter(wedge_order).select("v", "w2")
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w2")
+    )
+    n_tri = wedges.join(closing, ["v", "w2"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    n_e = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    vstats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    return (
+        n_tri.crossJoin(F.broadcast(n_e))
+        .crossJoin(F.broadcast(vstats))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+        )
+    )

@@ -756,3 +756,63 @@ def stream_cms_counts(spark, sf_dir):
         .agg(F.min("cnt").alias("est_cnt"))
         .select("user_id", "est_cnt", "true_cnt")
     )
+
+
+@query(
+    "stream_stratified_sample",
+    # Deterministic hash sampling ON THE STREAM: the keep-predicate is
+    # a stateless row-local filter (llm.pipeline.sample_keep), the
+    # per-type kept counts a complete-mode agg — both order- and
+    # batching-independent, so the drained result equals the batch
+    # sampler EXACTLY and the streaming op keeps a full SQL oracle.
+    oracle="""
+    WITH rated AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_type = 'click' THEN 0.1
+                  WHEN event_type = 'view' THEN 0.25 ELSE 1.0 END AS rate
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN (((event_id % 4294967296) // 65536
+                                * 2654435761) % 65536 * 65536
+                               + (event_id % 65536) * 2654435761)
+                              % 4294967296
+                              < CAST(floor(rate * 4294967296) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM rated GROUP BY event_type
+    """,
+)
+def stream_stratified_sample(spark, sf_dir):
+    """Stratified sampling applied to a live stream — the ingest-time
+    downsampler (keep 10% of clicks, 25% of views, all purchases)
+    every high-volume event pipeline runs before persisting. The
+    keep-predicate is the same engine-portable multiplicative hash as
+    doc_stratified_sample (llm.pipeline.sample_keep): a pure row-local
+    filter, so it needs NO state, survives any micro-batch boundary,
+    and keeps exact cross-engine reproducibility — unlike
+    stream.sample()/rand(), whose draw depends on partitioning and
+    replay. Per-type admit counts ride a complete-mode agg (bounded at
+    |event types|); because both stages are order-independent the
+    drained stream result is bit-identical to the batch sampler, which
+    is what the oracle checks."""
+    from ..llm.pipeline import sample_keep
+
+    s = _events_stream(spark, sf_dir)
+    rate = (
+        F.when(F.col("event_type") == "click", 0.1)
+        .when(F.col("event_type") == "view", 0.25)
+        .otherwise(1.0)
+    )
+    agg = (
+        s.select(
+            "event_type",
+            sample_keep("event_id", rate).cast("int").alias("kept"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+    )
+    return _run_to_df(spark, agg, mode="complete")
