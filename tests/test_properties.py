@@ -405,3 +405,53 @@ def test_portable_u64_matches_duckdb(spark, strings):
         ).fetchone()[0]
         assert got[s] == want, f"hash mismatch for {s!r}"
         assert 0 <= got[s] < (1 << 60)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(-1e6, 1e6, allow_nan=False),  # heavy-tie value
+            st.integers(0, 10**9),                  # tiebreak id
+            st.integers(0, 1000),                   # summed weight
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_buckets=st.sampled_from([1, 2, 4, 64]),
+)
+@SETTINGS
+def test_distributed_rank_and_prefix_sums_property(spark, rows, n_buckets):
+    """For ANY value distribution (ties, negatives, constant columns)
+    and ANY bucket count, distributed_global_rank must equal the
+    unpartitioned row_number and its prefix_sums the unpartitioned
+    running sum — the helper's correctness may never depend on bucket
+    balance."""
+    from kafka_stream_aggregator_spark.ops import distributed_global_rank
+
+    # unique tiebreak: dedup ids
+    seen, uniq = set(), []
+    for v, i, wgt in rows:
+        if i not in seen:
+            seen.add(i)
+            uniq.append((v, i, wgt))
+    df = spark.createDataFrame(uniq, "v double, id long, wgt long")
+    got = distributed_global_rank(
+        df,
+        ["v", "id"],
+        n_buckets=n_buckets,
+        rank_col="rn",
+        prefix_sums={"wgt": "cum_wgt"},
+    )
+    exp = df.withColumn(
+        "rn_ref", F.row_number().over(W.orderBy("v", "id"))
+    ).withColumn(
+        "cum_ref",
+        F.sum("wgt").over(
+            W.orderBy("v", "id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    j = got.join(exp, ["v", "id", "wgt"]).collect()
+    assert len(j) == len(uniq)
+    for r in j:
+        assert r["rn"] == r["rn_ref"], (r, n_buckets)
+        assert r["cum_wgt"] == r["cum_ref"], (r, n_buckets)
