@@ -618,3 +618,95 @@ def emb_signlsh_neardup(spark, sf_dir):
         .filter(F.col("cs") >= 0.4)
         .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+# HLL numerator literal, computed ONCE so Spark and DuckDB divide the
+# identical double: alpha_64 * m^2 * 2^55 (registers hold 2^(55-rho) as
+# exact BIGINTs, so the harmonic sum is INTEGER-exact cross-engine and
+# the estimate is a single deterministic double division).
+_HLL_M = 64
+_HLL_NUM = repr(0.709 * _HLL_M * _HLL_M * float(1 << 55))
+
+
+def _hll_regs_sql() -> str:
+    h = U64.format(expr="CAST(user_id AS VARCHAR)")
+    return f"""
+      SELECT event_type,
+             {h} % 64 AS reg,
+             max(CASE WHEN ({h} >> 6) > 0
+                      THEN 55 - length(bin({h} >> 6)) ELSE 55 END) AS rho
+      FROM events GROUP BY event_type, {h} % 64
+    """
+
+
+_HLL_ESTIMATE_SQL = f"""
+    , est AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_regs,
+             sum(CAST(1 AS BIGINT) << (55 - rho))
+               + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS s
+      FROM regs GROUP BY event_type
+    ), truth AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, n_regs,
+           round({_HLL_NUM} / s, 4) AS hll_estimate,
+           exact_distinct
+    FROM est e JOIN truth USING (event_type)
+"""
+
+
+@query(
+    "sketch_hll_portable",
+    # 64-register HyperLogLog over the portable hash: register = h%64,
+    # rho = leading zeros of the remaining 54 bits + 1 (via bin()
+    # length — identical in both engines). The harmonic sum is kept as
+    # an exact BIGINT (2^(55-rho) per register), so the oracle replays
+    # the sketch bit-for-bit and the estimate (vs the exact distinct,
+    # reported beside it) hash-matches exactly.
+    oracle="WITH regs AS (" + _hll_regs_sql() + ")" + _HLL_ESTIMATE_SQL,
+)
+def sketch_hll_portable(spark, sf_dir):
+    """HyperLogLog distinct-count sketch with an EXACT oracle — the
+    last member of the portable-sketch family (bloom / CMS / MinHash /
+    sign-LSH / HLL): per event type, 64 registers each holding the max
+    leading-zero count of portable_u64(user_id)'s upper 54 bits. The
+    register relation is bounded at |types| x 64 rows at ANY scale (the
+    mergeable-summary property: per-day register tables merge by max),
+    and the estimate is alpha * m^2 / sum(2^-rho) — with the harmonic
+    sum carried as exact integers (2^(55-rho) over a 2^55 denominator
+    folded into one shared literal), so no cross-engine float-sum
+    ordering can flip a bit. Spark's own approx_count_distinct (HLL++)
+    is the production tier (agg_approx_distinct); THIS query is the
+    one whose driver row proves the HLL construction itself."""
+    ev = t(spark, sf_dir, "events")
+    h = portable_u64(F.col("user_id"))
+    w = F.shiftright(h, 6)
+    rho = F.when(w > 0, F.lit(55) - F.length(F.bin(w))).otherwise(F.lit(55))
+    regs = (
+        ev.select("event_type", F.pmod(h, F.lit(64)).alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    est = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - rho)"))
+            + (F.lit(64) - F.count(F.lit(1))) * F.lit(1 << 55)
+        ).alias("s"),
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        est.join(truth, "event_type")
+        .select(
+            "event_type",
+            "n_regs",
+            F.round(F.lit(float(_HLL_NUM)) / F.col("s"), 4).alias(
+                "hll_estimate"
+            ),
+            "exact_distinct",
+        )
+    )

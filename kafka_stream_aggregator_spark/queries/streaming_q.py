@@ -816,3 +816,66 @@ def stream_stratified_sample(spark, sf_dir):
         )
     )
     return _run_to_df(spark, agg, mode="complete")
+
+
+from .sketches import _HLL_ESTIMATE_SQL, _HLL_NUM, _hll_regs_sql  # noqa: E402
+
+
+@query(
+    "stream_hll_distinct",
+    # HLL registers maintained BY a streaming aggregation: reg/rho are
+    # stateless column work, the per-(type, reg) max is a complete-mode
+    # agg with state bounded at |types| x 64 rows. max is order- and
+    # batching-independent => the drained registers equal the batch
+    # sketch EXACTLY, so this streaming sketch keeps a full SQL oracle
+    # (same estimate arithmetic as sketch_hll_portable).
+    oracle="WITH regs AS ("
+    + _hll_regs_sql()
+    + ")"
+    + _HLL_ESTIMATE_SQL,
+)
+def stream_hll_distinct(spark, sf_dir):
+    """Streaming distinct-user estimation per event type via
+    HyperLogLog registers in a complete-mode aggregation — the
+    bounded-state answer to "how many distinct users, forever" that an
+    exact streaming countDistinct (state per distinct user, unbounded)
+    cannot give: state is |types| x 64 register rows REGARDLESS of
+    stream length or user cardinality. Because max() is order- and
+    batching-independent, the drained registers are bit-identical to
+    the batch build, so — like stream_cms_counts and
+    stream_stratified_sample — this probabilistic STREAMING op is
+    exactly SQL-oracled (the estimate arithmetic is shared with
+    sketch_hll_portable, integer-exact harmonic sums). The exact
+    distinct count rides the batch side for the error readout."""
+    from ..sketches import portable_u64
+
+    s = _events_stream(spark, sf_dir)
+    h = portable_u64(F.col("user_id"))
+    w = F.shiftright(h, 6)
+    rho = F.when(w > 0, F.lit(55) - F.length(F.bin(w))).otherwise(F.lit(55))
+    regs_stream = (
+        s.select(
+            "event_type", F.pmod(h, F.lit(64)).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    regs = _run_to_df(spark, regs_stream, mode="complete")
+    est = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regs"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - rho)"))
+            + (F.lit(64) - F.count(F.lit(1))) * F.lit(1 << 55)
+        ).alias("s"),
+    )
+    truth = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(truth, "event_type").select(
+        "event_type",
+        "n_regs",
+        F.round(F.lit(float(_HLL_NUM)) / F.col("s"), 4).alias("hll_estimate"),
+        "exact_distinct",
+    )
