@@ -1155,3 +1155,200 @@ def graph_triangle_count(spark, sf_dir):
             ).alias("clustering"),
         )
     )
+
+
+@query(
+    "ts_autocorrelation",
+    # Lag-1 and lag-24 autocorrelation of the hourly event-count series
+    # per type — seasonality detection. All moments are INTEGER sums
+    # (counts are ints), so the final Pearson arithmetic is a fixed
+    # chain of identical double ops on exact inputs: cross-engine
+    # deterministic with no float-summation-order exposure.
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, c,
+             lag(c, 1) OVER w AS c1,
+             lag(c, 24) OVER w AS c24
+      FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    ), m AS (
+      SELECT event_type,
+             count(c1) AS n1, sum(CASE WHEN c1 IS NOT NULL THEN c END) AS sx1,
+             sum(c1) AS sy1, sum(CASE WHEN c1 IS NOT NULL THEN c * c END) AS sxx1,
+             sum(c1 * c1) AS syy1, sum(c * c1) AS sxy1,
+             count(c24) AS n24, sum(CASE WHEN c24 IS NOT NULL THEN c END) AS sx24,
+             sum(c24) AS sy24, sum(CASE WHEN c24 IS NOT NULL THEN c * c END) AS sxx24,
+             sum(c24 * c24) AS syy24, sum(c * c24) AS sxy24
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_lag1,
+           round((n1 * sxy1 - sx1 * sy1)
+                 / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+                        * CAST(n1 * syy1 - sy1 * sy1 AS DOUBLE)), 6)
+             AS acf_lag1,
+           round((n24 * sxy24 - sx24 * sy24)
+                 / sqrt(CAST(n24 * sxx24 - sx24 * sx24 AS DOUBLE)
+                        * CAST(n24 * syy24 - sy24 * sy24 AS DOUBLE)), 6)
+             AS acf_lag24
+    FROM m
+    """,
+)
+def ts_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the hourly event-count series per type at
+    lag 1 (momentum) and lag 24 (daily seasonality) — the
+    stationarity/seasonality probe that decides windowing and forecast
+    features. Plan: the only data-sized stage is the hour-grain
+    groupBy (map-side combine); the lag windows run per type over the
+    tiny hourly relation; Pearson is computed from INTEGER co-moments
+    (counts are exact), so both engines evaluate the identical double
+    expression — the same trick diag_key_skew uses for its exact
+    means, avoiding corr()'s float-accumulation order entirely."""
+    ev = t(spark, sf_dir, "events")
+    hr = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    hourly = ev.groupBy("event_type", hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("event_type").orderBy("hr")
+    lagged = hourly.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", 24).over(w).alias("c24"),
+    )
+
+    def moments(lag_col, sfx):
+        lc = F.col(lag_col)
+        present = lc.isNotNull()
+        return [
+            F.count(lag_col).alias(f"n{sfx}"),
+            F.sum(F.when(present, F.col("c"))).alias(f"sx{sfx}"),
+            F.sum(lag_col).alias(f"sy{sfx}"),
+            F.sum(F.when(present, F.col("c") * F.col("c"))).alias(f"sxx{sfx}"),
+            F.sum(lc * lc).alias(f"syy{sfx}"),
+            F.sum(F.col("c") * lc).alias(f"sxy{sfx}"),
+        ]
+
+    m = lagged.groupBy("event_type").agg(
+        *moments("c1", "1"), *moments("c24", "24")
+    )
+
+    def acf(sfx):
+        n, sx, sy = F.col(f"n{sfx}"), F.col(f"sx{sfx}"), F.col(f"sy{sfx}")
+        sxx, syy, sxy = (
+            F.col(f"sxx{sfx}"),
+            F.col(f"syy{sfx}"),
+            F.col(f"sxy{sfx}"),
+        )
+        return F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt(
+                (n * sxx - sx * sx).cast("double")
+                * (n * syy - sy * sy).cast("double")
+            ),
+            6,
+        )
+
+    return m.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_lag1"),
+        acf("1").alias("acf_lag1"),
+        acf("24").alias("acf_lag24"),
+    )
+
+
+@query(
+    "ts_correlated_users",
+    # Behavioral similarity search: hour-of-day activity profiles (24
+    # integer buckets) per user (< 80), top-20 most Pearson-correlated
+    # pairs. Sparse formulation: sxy from an hour-keyed join (zero
+    # buckets contribute nothing), per-user moments joined back, fixed
+    # n=24. Integer moments -> identical doubles -> identical top-20.
+    oracle="""
+    WITH prof AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hod,
+             count(*) AS c
+      FROM events WHERE user_id < 80 GROUP BY 1, 2
+    ), mom AS (
+      SELECT user_id, sum(c) AS sx, sum(c * c) AS sxx FROM prof GROUP BY 1
+    ), sxy AS (
+      SELECT a.user_id AS ua, b.user_id AS ub, sum(a.c * b.c) AS sxy
+      FROM prof a JOIN prof b ON a.hod = b.hod AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ), corr AS (
+      SELECT ua, ub,
+             (24 * sxy - ma.sx * mb.sx)
+               / sqrt(CAST(24 * ma.sxx - ma.sx * ma.sx AS DOUBLE)
+                      * CAST(24 * mb.sxx - mb.sx * mb.sx AS DOUBLE)) AS r
+      FROM sxy JOIN mom ma ON ua = ma.user_id JOIN mom mb ON ub = mb.user_id
+    )
+    SELECT ua, ub, round(r, 6) AS pearson_r
+    FROM corr ORDER BY r DESC, ua, ub LIMIT 20
+    """,
+)
+def ts_correlated_users(spark, sf_dir):
+    """Time-series similarity search over user behavior: each user's
+    hour-of-day activity profile (24 integer buckets), top-20 most
+    correlated pairs — the 'users who act alike' primitive behind
+    cohorting and anomaly rings. SPARSE co-moment formulation: the
+    cross term joins profiles on the hour bucket (zero buckets drop
+    out of the sum exactly), per-user moments are a tiny relation
+    joined back, and n is the fixed 24 — so Pearson comes out of pure
+    integer sums and one fixed chain of double ops (identical
+    cross-engine, so even the top-20 ORDER is identical). At 100 TB
+    the hour join keys on a 24-value domain per user pair — the real
+    scale lever is the profile groupBy, map-side combined; the pair
+    space is bounded by co-active users per bucket, the standard
+    item-item similarity shape. Top-20 via TakeOrderedAndProject."""
+    from ..ops import global_top_k
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 80)
+    hod = (F.floor(F.col("ts").cast("double") / 3600) % 24).cast("bigint")
+    prof = ev.groupBy("user_id", hod.alias("hod")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mom = prof.groupBy("user_id").agg(
+        F.sum("c").alias("sx"), F.sum(F.col("c") * F.col("c")).alias("sxx")
+    )
+    a = prof.select(
+        F.col("user_id").alias("ua"), "hod", F.col("c").alias("ca")
+    )
+    b = prof.select(
+        F.col("user_id").alias("ub"), "hod", F.col("c").alias("cb")
+    )
+    sxy = (
+        a.join(b, "hod")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("sxy"))
+    )
+    ma = mom.select(
+        F.col("user_id").alias("ua"),
+        F.col("sx").alias("sxa"),
+        F.col("sxx").alias("sxxa"),
+    )
+    mb = mom.select(
+        F.col("user_id").alias("ub"),
+        F.col("sx").alias("sxb"),
+        F.col("sxx").alias("sxxb"),
+    )
+    r = (F.lit(24) * F.col("sxy") - F.col("sxa") * F.col("sxb")) / F.sqrt(
+        (F.lit(24) * F.col("sxxa") - F.col("sxa") * F.col("sxa")).cast(
+            "double"
+        )
+        * (F.lit(24) * F.col("sxxb") - F.col("sxb") * F.col("sxb")).cast(
+            "double"
+        )
+    )
+    scored = (
+        sxy.join(F.broadcast(ma), "ua")
+        .join(F.broadcast(mb), "ub")
+        .withColumn("r", r)
+    )
+    return global_top_k(
+        scored, [F.col("r").desc(), F.col("ua"), F.col("ub")], 20
+    ).select("ua", "ub", F.round("r", 6).alias("pearson_r"))
