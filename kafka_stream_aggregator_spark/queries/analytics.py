@@ -1352,3 +1352,143 @@ def ts_correlated_users(spark, sf_dir):
     return global_top_k(
         scored, [F.col("r").desc(), F.col("ua"), F.col("ub")], 20
     ).select("ua", "ub", F.round("r", 6).alias("pearson_r"))
+
+
+@query(
+    "assoc_rules_pairs",
+    # Market-basket association over user "baskets" (the set of event
+    # types a user ever performs): support / confidence / lift for
+    # every type pair. Counts are exact ints; the three ratios are
+    # fixed double chains. The pair space is C(|types|,2) = bounded.
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), n_users AS (
+      SELECT count(DISTINCT user_id) AS nu FROM events
+    ), item AS (
+      SELECT event_type, count(*) AS n_item FROM basket GROUP BY 1
+    ), pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons, count(*) AS n_pair
+      FROM basket a JOIN basket b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ante, cons,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           round(n_pair::DOUBLE / nu, 6) AS support,
+           round(n_pair::DOUBLE / ia.n_item, 6) AS confidence,
+           round(n_pair::DOUBLE * nu / (ia.n_item * ic.n_item), 6) AS lift
+    FROM pair
+    JOIN item ia ON ante = ia.event_type
+    JOIN item ic ON cons = ic.event_type
+    CROSS JOIN n_users
+    """,
+)
+def assoc_rules_pairs(spark, sf_dir):
+    """Association-rule mining at pair grain (the A-priori first
+    pass): baskets = the distinct event types each user performs;
+    emit support, confidence and lift for every co-occurring pair.
+    Lift > 1 is the cross-sell / behavioral-coupling signal. Plan:
+    one distinct (user, type) projection (map-side combinable), a
+    user-keyed self-join whose per-user fan-out is bounded by
+    |types|^2 (the small-domain side — for high-cardinality item
+    domains the standard refinement is frequent-item pruning before
+    the pair join, exactly the Bloom/CMS prefilter shape this engine
+    already ships), then bounded pair aggregation with broadcast item
+    counts and a broadcast 1-row user total. All counts integer-exact;
+    ratios are single divisions."""
+    ev = t(spark, sf_dir, "events")
+    basket = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("nu")
+    )
+    item = basket.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = basket.select("user_id", F.col("event_type").alias("ante"))
+    b = basket.select("user_id", F.col("event_type").alias("cons"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    ia = item.select(
+        F.col("event_type").alias("ante"), F.col("n_item").alias("na")
+    )
+    ic = item.select(
+        F.col("event_type").alias("cons"), F.col("n_item").alias("nc")
+    )
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ante",
+            "cons",
+            "n_pair",
+            F.round(F.col("n_pair") / F.col("nu"), 6).alias("support"),
+            F.round(F.col("n_pair") / F.col("na"), 6).alias("confidence"),
+            F.round(
+                F.col("n_pair") * F.col("nu") / (F.col("na") * F.col("nc")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "ts_burst_detection",
+    # Burst detection on the hourly series per type: hours whose count
+    # exceeds the Poisson 3-sigma gate (mean + 3*sqrt(mean), mean from
+    # the type's own series). Integer counts -> exact moments; the
+    # gate is one fixed double chain, so the flagged set is identical
+    # cross-engine.
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, sum(c) AS sc, count(*) AS nh
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, hr, CAST(c AS BIGINT) AS n_events,
+           round(CAST(sc AS DOUBLE) / nh, 6) AS hourly_mean,
+           round((c - CAST(sc AS DOUBLE) / nh)
+                 / sqrt(CAST(sc AS DOUBLE) / nh), 4) AS poisson_z
+    FROM hourly h JOIN m USING (event_type)
+    WHERE c > CAST(sc AS DOUBLE) / nh
+              + 3 * sqrt(CAST(sc AS DOUBLE) / nh)
+    """,
+)
+def ts_burst_detection(spark, sf_dir):
+    """Burst (anomaly) detection over event-rate series: flag hours
+    whose count clears the Poisson 3-sigma gate mean + 3*sqrt(mean),
+    with the z-score reported — the ops-monitoring primitive (traffic
+    spikes, bot bursts, incident detection). One hour-grain groupBy
+    (the only data-sized stage, map-side combined), per-type means as
+    a broadcast |types|-row relation, and a codegen filter — no
+    windows at all, so the plan is two shuffles bounded by (types x
+    hours) and scale-independent of the raw event count. Counts are
+    integers, so the gate arithmetic is deterministic cross-engine."""
+    ev = t(spark, sf_dir, "events")
+    hr = F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+    hourly = ev.groupBy("event_type", hr.alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = hourly.groupBy("event_type").agg(
+        F.sum("c").alias("sc"), F.count(F.lit(1)).alias("nh")
+    )
+    mean = F.col("sc").cast("double") / F.col("nh")
+    return (
+        hourly.join(F.broadcast(m), "event_type")
+        .filter(F.col("c") > mean + 3 * F.sqrt(mean))
+        .select(
+            "event_type",
+            "hr",
+            F.col("c").cast("bigint").alias("n_events"),
+            F.round(mean, 6).alias("hourly_mean"),
+            F.round((F.col("c") - mean) / F.sqrt(mean), 4).alias("poisson_z"),
+        )
+    )
