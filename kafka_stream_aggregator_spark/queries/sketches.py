@@ -651,7 +651,9 @@ _HLL_ESTIMATE_SQL = f"""
       FROM events GROUP BY event_type
     )
     SELECT e.event_type, n_regs,
-           round({_HLL_NUM} / s, 4) AS hll_estimate,
+           round(CASE WHEN {_HLL_NUM} / s <= 160 AND n_regs < 64
+                      THEN 64 * ln(64.0 / (64 - n_regs))
+                      ELSE {_HLL_NUM} / s END, 4) AS hll_estimate,
            exact_distinct
     FROM est e JOIN truth USING (event_type)
 """
@@ -679,7 +681,11 @@ def sketch_hll_portable(spark, sf_dir):
     folded into one shared literal), so no cross-engine float-sum
     ordering can flip a bit. Spark's own approx_count_distinct (HLL++)
     is the production tier (agg_approx_distinct); THIS query is the
-    one whose driver row proves the HLL construction itself."""
+    one whose driver row proves the HLL construction itself. Small-range
+    (linear counting) correction applied exactly as the paper gives it:
+    raw estimate <= 2.5m with empty registers -> m*ln(m/V) — the branch
+    condition is the identical double on both engines, so the oracle
+    replays the correction too."""
     ev = t(spark, sf_dir, "events")
     h = portable_u64(F.col("user_id"))
     w = F.shiftright(h, 6)
@@ -704,9 +710,15 @@ def sketch_hll_portable(spark, sf_dir):
         .select(
             "event_type",
             "n_regs",
-            F.round(F.lit(float(_HLL_NUM)) / F.col("s"), 4).alias(
-                "hll_estimate"
-            ),
+            F.round(
+                F.when(
+                    (F.lit(float(_HLL_NUM)) / F.col("s") <= 160)
+                    & (F.col("n_regs") < 64),
+                    F.lit(64)
+                    * F.log(F.lit(64.0) / (F.lit(64) - F.col("n_regs"))),
+                ).otherwise(F.lit(float(_HLL_NUM)) / F.col("s")),
+                4,
+            ).alias("hll_estimate"),
             "exact_distinct",
         )
     )

@@ -876,6 +876,13 @@ def stream_hll_distinct(spark, sf_dir):
     return est.join(truth, "event_type").select(
         "event_type",
         "n_regs",
-        F.round(F.lit(float(_HLL_NUM)) / F.col("s"), 4).alias("hll_estimate"),
+        F.round(
+            F.when(
+                (F.lit(float(_HLL_NUM)) / F.col("s") <= 160)
+                & (F.col("n_regs") < 64),
+                F.lit(64) * F.log(F.lit(64.0) / (F.lit(64) - F.col("n_regs"))),
+            ).otherwise(F.lit(float(_HLL_NUM)) / F.col("s")),
+            4,
+        ).alias("hll_estimate"),
         "exact_distinct",
     )

@@ -229,3 +229,44 @@ def test_bloom_probe_duplicate_rows_no_false_negative(spark, items):
     probed = bloom_probe(dup_probe, "x", bloom, M, K)
     rows = probed.collect()
     assert rows and all(r["bloom_hit"] for r in rows)
+
+
+def test_hll_portable_estimate_accuracy(spark):
+    """The 64-register portable HLL must track true cardinality within
+    the theoretical relative error (1.04/sqrt(64) ~ 13%) times a 4x
+    safety factor, across two orders of magnitude of cardinality —
+    guards against register/rho arithmetic regressions that the
+    oracle-replay equality alone would not catch (a consistently-wrong
+    formula would still 'match' DuckDB)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_aggregator_spark.sketches import portable_u64
+
+    for n in (50, 1000, 20000):
+        df = spark.range(n).select(
+            F.lit("t").alias("event_type"), F.col("id").alias("user_id")
+        )
+        h = portable_u64(F.col("user_id"))
+        w = F.shiftright(h, 6)
+        rho = F.when(w > 0, F.lit(55) - F.length(F.bin(w))).otherwise(
+            F.lit(55)
+        )
+        regs = (
+            df.select(F.pmod(h, F.lit(64)).alias("reg"), rho.alias("rho"))
+            .groupBy("reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        row = regs.agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - rho)"))
+                + (F.lit(64) - F.count(F.lit(1))) * F.lit(1 << 55)
+            ).alias("s"),
+        ).collect()[0]
+        import math
+
+        est = 0.709 * 64 * 64 * float(1 << 55) / row["s"]
+        if est <= 160 and row["n_regs"] < 64:  # linear-counting branch
+            est = 64 * math.log(64.0 / (64 - row["n_regs"]))
+        rel = abs(est - n) / n
+        assert rel < 4 * 1.04 / 8, (n, est, rel)
