@@ -366,7 +366,9 @@ def emb_cosine_near_dup(spark, sf_dir):
     # array-index order.
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cell_id, v AS c_vec FROM e ORDER BY vec_id LIMIT 8),
+    cents AS (SELECT vec_id AS cell_id, v AS c_vec FROM e ORDER BY vec_id
+              LIMIT greatest(8, CAST(floor(sqrt((SELECT count(*) FROM e)))
+                                     AS BIGINT))),
     cn AS (SELECT cell_id, c_vec, sqrt(list_dot_product(c_vec, c_vec)) AS cnorm FROM cents),
     cells AS (
       SELECT id, v, n, cell_id FROM (
@@ -389,13 +391,26 @@ def emb_cosine_near_dup(spark, sf_dir):
 def emb_cosine_near_dup_ivf(spark, sf_dir):
     """The scale path: same pairs search blocked by IVF cells (equi join
     on cell_id, never all-pairs). Recall vs the exact variant is
-    measured in tests/test_llm.py."""
+    measured in tests/test_llm.py.
+
+    Cell count scales as sqrt(n) (floor, min 8) — a CONSTANT cell
+    count is a latent quadratic: with 8 cells the per-cell pair join
+    is O((n*probe/8)^2), which this round's sf1 parity window exposed
+    as ~28M interpreted pair-dots at 20k vectors (the run had to be
+    killed). sqrt-scaling keeps expected cell size ~sqrt(n)*probe, so
+    per-cell pair work grows linearly with n — the standard IVF nlist
+    rule. The one count() action here is construction-time sizing
+    (parquet metadata count), mirrored exactly by the oracle's
+    subquery LIMIT."""
+    import math
+
     from ..llm.similarity import cosine_near_dup_pairs, pseudo_centroids
 
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    cents = pseudo_centroids(e, "v", "vec_id", n_cells=8)
+    n_cells = max(8, int(math.floor(math.sqrt(e.count()))))
+    cents = pseudo_centroids(e, "v", "vec_id", n_cells=n_cells)
     pairs = cosine_near_dup_pairs(e, "vec_id", "v", threshold=0.4, centroids=cents)
     return pairs.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
