@@ -482,10 +482,14 @@ _SIGN_SQL = (
     "emb_signlsh_neardup",
     # Random-hyperplane (sign) LSH near-dup over embeddings, EXACTLY
     # oracled: hyperplanes are +-1 vectors derived from the portable
-    # hash, so DuckDB replays the whole pipeline — 16 sign bits, 4
-    # bands of 4, candidate pairs = any band collision, then exact
-    # cosine >= 0.4 verification. Recall loss and all, both engines
-    # compute the identical pair set.
+    # hash, so DuckDB replays the whole pipeline — 16 sign bits,
+    # ADAPTIVE banding (4x4-bit below 4k vectors, 2x8-bit above: a
+    # fixed 4-bit band is a latent quadratic — ~1/16 random collision
+    # per band makes candidates ~20%% of ALL pairs at any n), candidate
+    # pairs = any band collision, then exact cosine >= 0.4
+    # verification. Recall loss and all, both engines compute the
+    # identical pair set; the oracle replays the adaptive width via
+    # the same count threshold.
     oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -497,10 +501,12 @@ _SIGN_SQL = (
                     list_transform(range(1, len(v) + 1), i -> {_SIGN_SQL}))
                   >= 0 THEN 1 ELSE 0 END AS bit
       FROM e, pl
+    ), bw AS (
+      SELECT CASE WHEN count(*) >= 4000 THEN 8 ELSE 4 END AS bits FROM e
     ), bands AS (
-      SELECT vec_id, p // 4 AS band_idx,
-             CAST(sum(bit << (p % 4)) AS BIGINT) AS band_val
-      FROM bits GROUP BY vec_id, p // 4
+      SELECT vec_id, p // bits AS band_idx,
+             CAST(sum(bit << (p % bits)) AS BIGINT) AS band_val
+      FROM bits, bw GROUP BY vec_id, p // bits
     ), cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       FROM bands a JOIN bands b
@@ -520,7 +526,11 @@ def emb_signlsh_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via sign LSH (Charikar
     random hyperplanes), the vector twin of sketch_minhash_portable:
     16 hyperplanes with +-1 components derived from portable_u64(p:i),
-    banded 4x4; pairs colliding in any band are verified with the
+    adaptively banded (4-bit bands below 4k vectors, 8-bit above — the
+    sqrt-nlist lesson from emb_cosine_near_dup_ivf applied to banding:
+    a constant band width makes random collisions a constant FRACTION
+    of all pairs, i.e. quadratic candidates); colliding pairs are
+    verified with the
     exact cosine (the hoisted-norms dot-product convention
     cos_topk_bruteforce already proved hash-identical to DuckDB's
     list_dot_product). Because the hyperplanes are hash-derived, the
@@ -567,6 +577,7 @@ def emb_signlsh_neardup(spark, sf_dir):
         ]
         return F.slice(F.lit(signs), 1, F.size("v"))
 
+    band_bits = 8 if e.count() >= 4000 else 4  # construction-time sizing
     bits = e.select(
         "vec_id",
         "v",
@@ -575,14 +586,16 @@ def emb_signlsh_neardup(spark, sf_dir):
             for p in range(16)
         ],
     )
+    n_bands = 16 // band_bits
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
             sum(
-                (F.col(f"b{4 * b + j}") * (1 << j)) for j in range(4)
+                (F.col(f"b{band_bits * b + j}") * (1 << j))
+                for j in range(band_bits)
             ).cast("bigint").alias("band_val"),
         )
-        for b in range(4)
+        for b in range(n_bands)
     ]
     bands = bits.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("x")

@@ -115,12 +115,17 @@ def main() -> None:
         "events": "max(event_id)", "documents": "max(doc_id)",
         "embeddings": "max(vec_id)",
     }
+    # +1: keys are 0-based, so the stride must EXCEED the max key or
+    # copy k's id 0 collides with copy k-1's max (measured: 9 duplicate
+    # vec_ids at sf1 — enough to corrupt any oracle that aggregates by
+    # a supposedly-unique key, caught by emb_signlsh_neardup's round-6
+    # sf1 parity)
     for t, expr in maxes.items():
         base[t] = con.execute(
-            f"SELECT {expr} FROM '{args.base}/{t}.parquet'"
+            f"SELECT {expr} + 1 FROM '{args.base}/{t}.parquet'"
         ).fetchone()[0]
     base["users"] = con.execute(
-        f"SELECT max(user_id) FROM '{args.base}/events.parquet'"
+        f"SELECT max(user_id) + 1 FROM '{args.base}/events.parquet'"
     ).fetchone()[0]
     base["events_span_us"] = con.execute(
         f"SELECT CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) "
