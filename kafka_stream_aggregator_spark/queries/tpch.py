@@ -142,8 +142,15 @@ def q5_regional_revenue(spark, sf_dir):
 
 @query(
     "q6_forecast_revenue",
+    # price and discount are 2dp money values: cast each factor to
+    # DECIMAL(18,2) (the nearest 2dp decimal — identical on both
+    # engines since the doubles sit within 1e-12 of it) and sum the
+    # exact 4dp products; double summation order flipped the 6dp
+    # rounding at the sf1 tier (636866305.287999 vs .288).
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))), 6)
+                AS DOUBLE) AS revenue,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -162,9 +169,15 @@ def q6_forecast_revenue(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(18,2)")
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
