@@ -24,7 +24,8 @@ from .base import query, t
            round(avg(l_quantity), 6) AS avg_qty,
            round(min(l_extendedprice), 6) AS min_price,
            round(max(l_extendedprice), 6) AS max_price,
-           round(sum(l_extendedprice), 2) AS sum_price
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -38,7 +39,11 @@ def agg_basic_stats(spark, sf_dir):
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.min("l_extendedprice"), 6).alias("min_price"),
             F.round(F.max("l_extendedprice"), 6).alias("max_price"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            # decimal-exact: money sums over data-sized groups are the
+            # cross-engine 1-ulp class the sf1 rotation keeps catching
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_price"),
         )
     )
 

@@ -33,7 +33,9 @@ from .base import query, t
 @query(
     "io_orc_roundtrip",
     oracle="""
-    SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+    SELECT l_linestatus, count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS rev
     FROM lineitem WHERE l_quantity < 10 GROUP BY l_linestatus
     """,
 )
@@ -49,7 +51,9 @@ def io_orc_roundtrip(spark, sf_dir):
         .groupBy("l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("rev"),
         )
     )
 

@@ -280,7 +280,9 @@ def doc_quality_classifier(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE o_totalprice > 400000
     GROUP BY o_orderpriority
@@ -314,7 +316,14 @@ def join_bloom_prefilter(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
             .alias("revenue"),
         )
     )

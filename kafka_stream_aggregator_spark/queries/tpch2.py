@@ -54,23 +54,44 @@ def q4_order_priority(spark, sf_dir):
 @query(
     "q11_important_stock",
     # HAVING against a scalar subquery over the whole table
+    # decimal-exact value sums: the HAVING threshold divides a
+    # whole-table money sum — the 1-ulp cross-engine class; the whole
+    # predicate (2 * part * n_parts > 3 * total, i.e. part value above
+    # 1.5x the average part — DISTRIBUTION-relative, so the query is
+    # non-vacuous at every scale tier, unlike the classic 0.001*total
+    # which selected 0 rows at every gate SF) stays in exact decimals
+    # and integers.
     oracle="""
-    SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 6) AS part_value
+    SELECT l_partkey,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))), 6)
+                AS DOUBLE) AS part_value
     FROM lineitem
     GROUP BY l_partkey
-    HAVING sum(l_extendedprice * l_quantity) >
-           (SELECT sum(l_extendedprice * l_quantity) * 0.001 FROM lineitem)
+    HAVING 2 * sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2)))
+             * (SELECT count(DISTINCT l_partkey) FROM lineitem) >
+           3 * (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_quantity AS DECIMAL(18,2)))
+                FROM lineitem)
     """,
 )
 def q11_important_stock(spark, sf_dir):
     sfx = _views(spark, sf_dir, "lineitem")
     return spark.sql(
         f"""
-        SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 6) AS part_value
+        SELECT l_partkey,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(l_quantity AS DECIMAL(18,2))), 6)
+                    AS DOUBLE) AS part_value
         FROM lineitem_v{sfx}
         GROUP BY l_partkey
-        HAVING sum(l_extendedprice * l_quantity) >
-               (SELECT sum(l_extendedprice * l_quantity) * 0.001 FROM lineitem_v{sfx})
+        HAVING 2 * sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2)))
+                 * (SELECT count(DISTINCT l_partkey) FROM lineitem_v{sfx}) >
+               3 * (SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(l_quantity AS DECIMAL(18,2)))
+                    FROM lineitem_v{sfx})
         """
     )
 
