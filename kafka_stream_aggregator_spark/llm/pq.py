@@ -213,11 +213,28 @@ def pq_topk(
             dot(F.col("qs"), F.col("cw_vec")).alias("pdot"),
         )
     )
+    # canonical-order fold, not F.sum: candidates sharing the same
+    # codes have IDENTICAL true scores, and a float sum in engine/
+    # partition-dependent order turns those exact ties into 1-ulp
+    # noise that scrambles the (score, id) tiebreak — seen as rank
+    # disorder vs the oracle at the 20k-vector sf1 tier. Folding the
+    # m terms sorted by sub_id gives the same double everywhere.
     scored = (
         codes.join(F.broadcast(lut), ["sub_id", "cw_id"])
         .filter(F.col(c_id) != F.col(q_id))
         .groupBy(q_id, c_id)
-        .agg(F.sum("pdot").alias("pq_score"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sub_id", "pdot"))
+                    ),
+                    lambda x: x["pdot"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("pq_score")
+        )
     )
     w = W.partitionBy(q_id).orderBy(F.col("pq_score").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).filter(

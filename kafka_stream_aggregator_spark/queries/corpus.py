@@ -315,7 +315,9 @@ def doc_tfidf_topterms(spark, sf_dir):
       FROM e q CROSS JOIN cb WHERE q.vec_id < 10
     ),
     scored AS (
-      SELECT q_id, c_id, sum(pdot) AS pq_score
+      SELECT q_id, c_id,
+             list_reduce(list(pdot ORDER BY sub_id),
+                         (a, b) -> a + b) AS pq_score
       FROM codes JOIN lut USING (sub_id, cw_id)
       WHERE c_id <> q_id
       GROUP BY q_id, c_id

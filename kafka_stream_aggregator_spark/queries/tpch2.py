@@ -123,7 +123,8 @@ def q13_customer_distribution(spark, sf_dir):
     "q17_small_quantity_revenue",
     # correlated scalar-avg subquery -> decorrelated to an aggregated join
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / 7.0, 6) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#2'
       AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
@@ -134,7 +135,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
     sfx = _views(spark, sf_dir, "lineitem", "part")
     return spark.sql(
         f"""
-        SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly
         FROM lineitem_v{sfx} JOIN part_v{sfx} ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#2'
           AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem_v{sfx} l2
