@@ -254,7 +254,15 @@ def ind_holt_trend(spark, sf_dir):
     standard per-entity time-series shape at any scale), and the
     DuckDB oracle replays it with a recursive CTE in the identical
     expression order — an exact cross-engine check on a genuinely
-    sequential stateful operator."""
+    sequential stateful operator.
+
+    Scale-tier note (r6): the ORACLE is gate-tier only — a recursive
+    CTE is O(steps) self-joins, and at the sf1 tier (1M events) the
+    DuckDB side ran >10 min before being killed, while the Spark fold
+    finished the same input in 8.6 s (5 groups). The sf1 parity sweep
+    therefore skips this one query; the engine side's scaling is the
+    applyInPandas per-key fold, verified by the gate-tier hash match +
+    the numpy-reference unit tests."""
     from ..indicators import holt_smoothing
 
     # user_id slice keeps the oracle's recursive CTE at a few hundred
