@@ -374,8 +374,9 @@ def agg_cube(spark, sf_dir):
     SELECT coalesce(o_orderstatus, '<all>') AS status,
            coalesce(o_orderpriority, '<all>') AS priority,
            count(*) AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 6)
-                AS DOUBLE) AS sum_total
+           CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 1000000
+             AS sum_total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -400,8 +401,9 @@ def agg_grouping_sets(spark, sf_dir):
         SELECT coalesce(o_orderstatus, '<all>') AS status,
                coalesce(o_orderpriority, '<all>') AS priority,
                count(*) AS n_orders,
-               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 6)
-                    AS DOUBLE) AS sum_total
+               CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1000000
+                 AS sum_total
         FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """

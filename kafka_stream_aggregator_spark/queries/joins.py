@@ -47,22 +47,22 @@ def join_broadcast_dim(spark, sf_dir):
 @query(
     "join_inner_large",
     bench=True,
-    # Both sides aggregate per order first, round that partial to 6dp,
-    # and carry it as DECIMAL(18,6) into the outer sum: the outer sum is
-    # exact integer arithmetic, so the result is independent of
-    # summation order on BOTH engines (plain double re-association
-    # flipped a .005 rounding boundary here — r02 lesson).
+    # Both sides aggregate per order first and carry the partial as an
+    # EXACT decimal (2dp-clean factors -> exact 4dp product; no partial
+    # ROUNDING, whose 6dp boundary still flipped ~1-in-50k partials at
+    # the sf5 tier in the earlier round-to-6dp form), so every sum is
+    # order-independent on both engines (r02 lesson, sharpened r06).
     oracle="""
     WITH per_order AS (
       SELECT l_orderkey, count(*) AS n,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)), 6)
-                  AS DECIMAL(18,6)) AS rev
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT o_orderstatus,
            year(o_orderdate) AS order_year,
            CAST(sum(n) AS BIGINT) AS n_lines,
-           round(CAST(sum(rev) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
     FROM per_order JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus, year(o_orderdate)
     """,
@@ -79,16 +79,19 @@ def join_inner_large(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     per_order = l.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("__n"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
-        .cast("decimal(18,6)")
-        .alias("__rev"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("__rev"),
     )
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_orderstatus", F.year("o_orderdate").alias("order_year"))
         .agg(
             F.sum("__n").alias("n_lines"),
-            F.round(F.sum("__rev").cast("double"), 2).alias("revenue"),
+            # round in DECIMAL then cast: round(double) half-cases
+            # disagree between engines; round(decimal) cannot
+            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
         )
     )
 

@@ -22,12 +22,24 @@ from .base import query, t
 @query(
     "q1_pricing_summary",
     bench=True,
+    # money sums ride exact decimals (price/discount/tax are clean 2dp;
+    # the 4/6dp products are exact): double summation order flipped the
+    # 2dp rounding on 2 of 6 groups at the 30M-row sf5 tier. The avg
+    # columns stay double — their error is sum_ulp/count ~ 1e-12,
+    # far inside the 6dp quantum. Decimal agg costs ~2x on the sum
+    # columns (measured); q1 keeps bench=True with that priced in.
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_extendedprice), 6) AS avg_price,
            round(avg(l_discount), 6) AS avg_disc,
@@ -39,15 +51,20 @@ from .base import query, t
 )
 def q1_pricing_summary(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(18,2)")
+    td = F.col("l_tax").cast("decimal(18,2)")
+    disc = pd_ * (F.lit(1) - dd)
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(pd_), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc * (F.lit(1) + td)), 2)
+            .cast("double")
+            .alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -102,7 +119,10 @@ def q3_revenue_topk(spark, sf_dir):
     "q5_regional_revenue",
     bench=True,
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -134,8 +154,14 @@ def q5_regional_revenue(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -192,8 +218,8 @@ def q6_forecast_revenue(spark, sf_dir):
     oracle="""
     WITH per_order AS (
       SELECT l_orderkey,
-             CAST(round(sum(l_extendedprice * (1 - l_discount)), 6)
-                  AS DECIMAL(18,6)) AS rev
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
       FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
     ), per_cust AS (
       SELECT o_custkey, sum(rev) AS rev_c
@@ -201,7 +227,7 @@ def q6_forecast_revenue(spark, sf_dir):
       GROUP BY o_custkey
     )
     SELECT c_custkey, c_name,
-           round(CAST(rev_c AS DOUBLE), 6) AS revenue,
+           CAST(round(rev_c, 6) AS DOUBLE) AS revenue,
            round(c_acctbal, 6) AS acctbal
     FROM per_cust JOIN customer ON o_custkey = c_custkey
     ORDER BY revenue DESC, c_custkey
@@ -218,9 +244,10 @@ def q10_returned_items(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     rev_per_order = l.groupBy("l_orderkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
-        .cast("decimal(18,6)")
-        .alias("__rev")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+        ).alias("__rev")
     )
     per_cust = (
         rev_per_order.join(o, rev_per_order.l_orderkey == o.o_orderkey)
@@ -232,7 +259,7 @@ def q10_returned_items(spark, sf_dir):
         .select(
             "c_custkey",
             "c_name",
-            F.round(F.col("__rev_c").cast("double"), 6).alias("revenue"),
+            F.round(F.col("__rev_c"), 6).cast("double").alias("revenue"),
             F.round("c_acctbal", 6).alias("acctbal"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
