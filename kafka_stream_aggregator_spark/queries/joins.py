@@ -48,21 +48,25 @@ def join_broadcast_dim(spark, sf_dir):
     "join_inner_large",
     bench=True,
     # Both sides aggregate per order first and carry the partial as an
-    # EXACT decimal (2dp-clean factors -> exact 4dp product; no partial
-    # ROUNDING, whose 6dp boundary still flipped ~1-in-50k partials at
-    # the sf5 tier in the earlier round-to-6dp form), so every sum is
-    # order-independent on both engines (r02 lesson, sharpened r06).
+    # EXACT integer (cents x (100-cents) products of the 2dp-clean
+    # factors; no partial ROUNDING, whose 6dp boundary still flipped
+    # ~1-in-50k partials at sf5 in the earlier round-to-6dp-double
+    # form); the outer sum rides DECIMAL(38,0) (overflow-proof) and is
+    # emitted as the identical double — order-independent on both
+    # engines at any scale (r02 lesson, sharpened twice in r06).
     oracle="""
     WITH per_order AS (
       SELECT l_orderkey, count(*) AS n,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+               AS rev
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT o_orderstatus,
            year(o_orderdate) AS order_year,
            CAST(sum(n) AS BIGINT) AS n_lines,
-           CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+           CAST(sum(CAST(rev AS DECIMAL(38,0))) AS DOUBLE) / 10000
+             AS revenue
     FROM per_order JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus, year(o_orderdate)
     """,
@@ -80,8 +84,8 @@ def join_inner_large(spark, sf_dir):
     per_order = l.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("__n"),
         F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
         ).alias("__rev"),
     )
     return (
@@ -89,9 +93,10 @@ def join_inner_large(spark, sf_dir):
         .groupBy("o_orderstatus", F.year("o_orderdate").alias("order_year"))
         .agg(
             F.sum("__n").alias("n_lines"),
-            # round in DECIMAL then cast: round(double) half-cases
-            # disagree between engines; round(decimal) cannot
-            F.round(F.sum("__rev"), 2).cast("double").alias("revenue"),
+            (
+                F.sum(F.col("__rev").cast("decimal(38,0)")).cast("double")
+                / 10000
+            ).alias("revenue"),
         )
     )
 

@@ -22,24 +22,32 @@ from .base import query, t
 @query(
     "q1_pricing_summary",
     bench=True,
-    # money sums ride exact decimals (price/discount/tax are clean 2dp;
-    # the 4/6dp products are exact): double summation order flipped the
-    # 2dp rounding on 2 of 6 groups at the 30M-row sf5 tier. The avg
-    # columns stay double — their error is sum_ulp/count ~ 1e-12,
-    # far inside the 6dp quantum. Decimal agg costs ~2x on the sum
-    # columns (measured); q1 keeps bench=True with that priced in.
+    # money sums ride the cents-hybrid tier: per-row INTEGER cents
+    # products (floor(x*100+0.5) — price/discount/tax are clean 2dp,
+    # so the longs are exact; pure codegen, as fast as double sums —
+    # 0.36s vs double 0.39s vs full decimal 0.81s measured on this
+    # shape) summed in DECIMAL(38,0) (overflow-proof at any group
+    # size; a pure long sum of the 3-factor product would wrap around
+    # 8e7 rows/group), emitted as the identical double on both
+    # engines. Double summation order flipped the 2dp rounding on 2 of
+    # 6 groups at the 30M-row sf5 tier; this formulation is exact at
+    # every scale. The avg columns stay double — their error is
+    # sum_ulp/count ~ 1e-12, far inside the 6dp quantum.
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 6) AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
-                AS DOUBLE) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
-                AS DOUBLE) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                          * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)
-                AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 100
+             AS sum_base_price,
+           CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                         AS DECIMAL(38,0))) AS DOUBLE) / 10000
+             AS sum_disc_price,
+           CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                         * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))
+                         AS DECIMAL(38,0))) AS DOUBLE) / 1000000
+             AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_extendedprice), 6) AS avg_price,
            round(avg(l_discount), 6) AS avg_disc,
@@ -51,20 +59,27 @@ from .base import query, t
 )
 def q1_pricing_summary(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
-    pd_ = F.col("l_extendedprice").cast("decimal(18,2)")
-    dd = F.col("l_discount").cast("decimal(18,2)")
-    td = F.col("l_tax").cast("decimal(18,2)")
-    disc = pd_ * (F.lit(1) - dd)
+    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    tc = F.floor(F.col("l_tax") * 100 + 0.5).cast("long")
+    dec0 = "decimal(38,0)"
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum(pd_), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(disc * (F.lit(1) + td)), 2)
-            .cast("double")
-            .alias("sum_charge"),
+            (F.sum(pc.cast(dec0)).cast("double") / 100).alias(
+                "sum_base_price"
+            ),
+            (
+                F.sum((pc * (100 - dc)).cast(dec0)).cast("double") / 10000
+            ).alias("sum_disc_price"),
+            (
+                F.sum((pc * (100 - dc) * (100 + tc)).cast(dec0)).cast(
+                    "double"
+                )
+                / 1000000
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -120,9 +135,9 @@ def q3_revenue_topk(spark, sf_dir):
     bench=True,
     oracle="""
     SELECT n_name,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
-                AS DOUBLE) AS revenue
+           CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                         AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -153,15 +168,20 @@ def q5_regional_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            (
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+                    (
+                        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+                        * (
+                            100
+                            - F.floor(F.col("l_discount") * 100 + 0.5).cast(
+                                "long"
+                            )
+                        )
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 10000
+            ).alias("revenue")
         )
     )
 
@@ -218,16 +238,17 @@ def q6_forecast_revenue(spark, sf_dir):
     oracle="""
     WITH per_order AS (
       SELECT l_orderkey,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+               AS rev
       FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
     ), per_cust AS (
-      SELECT o_custkey, sum(rev) AS rev_c
+      SELECT o_custkey, sum(CAST(rev AS DECIMAL(38,0))) AS rev_c
       FROM per_order JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_custkey
     )
     SELECT c_custkey, c_name,
-           CAST(round(rev_c, 6) AS DOUBLE) AS revenue,
+           CAST(rev_c AS DOUBLE) / 10000 AS revenue,
            round(c_acctbal, 6) AS acctbal
     FROM per_cust JOIN customer ON o_custkey = c_custkey
     ORDER BY revenue DESC, c_custkey
@@ -245,21 +266,21 @@ def q10_returned_items(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     rev_per_order = l.groupBy("l_orderkey").agg(
         F.sum(
-            F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
         ).alias("__rev")
     )
     per_cust = (
         rev_per_order.join(o, rev_per_order.l_orderkey == o.o_orderkey)
         .groupBy("o_custkey")
-        .agg(F.sum("__rev").alias("__rev_c"))
+        .agg(F.sum(F.col("__rev").cast("decimal(38,0)")).alias("__rev_c"))
     )
     return (
         per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "c_name",
-            F.round(F.col("__rev_c"), 6).cast("double").alias("revenue"),
+            (F.col("__rev_c").cast("double") / 10000).alias("revenue"),
             F.round("c_acctbal", 6).alias("acctbal"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
