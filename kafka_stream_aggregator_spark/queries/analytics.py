@@ -208,24 +208,41 @@ def emb_quantize_int8(spark, sf_dir):
     "agg_winsorized_stats",
     # Exact per-group p05/p95 (quantile_cont == Spark percentile
     # interpolation, pinned by agg_percentiles), then clip-and-agg.
+    # Moments ride exact integer CENTS (the winsorized value is
+    # cent-quantized: prices are 2dp already, only the two interpolated
+    # bound values round to the cent — a semantic choice that makes
+    # mean/std integer-exact: avg() over 10M clipped doubles flipped
+    # the 6th decimal between engines at sf5). Sum and sum-of-squares
+    # are DECIMAL(38,0)-exact; mean/std are then one identical double
+    # chain; n_clipped still compares RAW values against the bounds.
     oracle="""
     WITH q AS (
       SELECT l_returnflag,
              quantile_cont(l_extendedprice, 0.05) AS p05,
              quantile_cont(l_extendedprice, 0.95) AS p95
       FROM lineitem GROUP BY l_returnflag
+    ), c AS (
+      SELECT l.l_returnflag,
+             CAST(floor(least(greatest(l_extendedprice, p05), p95) * 100
+                        + 0.5) AS BIGINT) AS wc,
+             CASE WHEN l_extendedprice < p05 OR l_extendedprice > p95
+                  THEN 1 ELSE 0 END AS clip
+      FROM lineitem l JOIN q USING (l_returnflag)
+    ), m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(wc AS DECIMAL(38,0))) AS sx,
+             sum(CAST(wc AS DECIMAL(38,0)) * CAST(wc AS DECIMAL(38,0))) AS sxx,
+             sum(clip) AS n_clipped
+      FROM c GROUP BY l_returnflag
     )
-    SELECT l.l_returnflag,
-           CAST(count(*) AS BIGINT) AS n,
-           round(avg(least(greatest(l_extendedprice, p05), p95)), 6)
-             AS wins_mean,
-           round(stddev(least(greatest(l_extendedprice, p05), p95)), 6)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS DOUBLE) / n / 100 AS wins_mean,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1)) / 100
              AS wins_std,
-           CAST(sum(CASE WHEN l_extendedprice < p05
-                           OR l_extendedprice > p95
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
-    FROM lineitem l JOIN q USING (l_returnflag)
-    GROUP BY l.l_returnflag
+           CAST(n_clipped AS BIGINT) AS n_clipped
+    FROM m
     """,
 )
 def agg_winsorized_stats(spark, sf_dir):
@@ -245,13 +262,14 @@ def agg_winsorized_stats(spark, sf_dir):
         F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
     )
     clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
-    return (
+    wc = F.floor(clipped * 100 + 0.5).cast("long").cast("decimal(38,0)")
+    m = (
         li.join(F.broadcast(q), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.avg(clipped), 6).alias("wins_mean"),
-            F.round(F.stddev(clipped), 6).alias("wins_std"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(wc).alias("sx"),
+            F.sum(wc * wc).alias("sxx"),
             F.sum(
                 (
                     (F.col("l_extendedprice") < F.col("p05"))
@@ -261,6 +279,21 @@ def agg_winsorized_stats(spark, sf_dir):
             .cast("bigint")
             .alias("n_clipped"),
         )
+    )
+    n = F.col("n")
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        (F.col("sx").cast("double") / n / 100).alias("wins_mean"),
+        (
+            F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                / n
+                / (n - 1)
+            )
+            / 100
+        ).alias("wins_std"),
+        "n_clipped",
     )
 
 

@@ -224,7 +224,8 @@ def q19_disjunctive_pushdown(spark, sf_dir):
     # to urgent orders — every customer has SOME order in this corpus)
     oracle="""
     SELECT substring(c_name, 10, 2) AS cseg, count(*) AS numcust,
-           round(sum(c_acctbal), 6) AS totacctbal
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -237,7 +238,8 @@ def q22_global_acctbal(spark, sf_dir):
     return spark.sql(
         f"""
         SELECT substring(c_name, 10, 2) AS cseg, count(*) AS numcust,
-               round(sum(c_acctbal), 6) AS totacctbal
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 AS totacctbal
         FROM customer_v{sfx}
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v{sfx} WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders_v{sfx} WHERE o_custkey = c_custkey

@@ -127,12 +127,19 @@ def q8_market_share(spark, sf_dir):
 @query(
     "q9_profit_by_nation",
     # profit variant: revenue minus retail-cost-weighted quantity
-    # (p_retailprice stands in for ps_supplycost). Whole-dollar rounding:
-    # a difference of two large sums amplifies float noise past cents.
+    # (p_retailprice stands in for ps_supplycost). The difference of two
+    # large sums amplifies float noise, and at sf5 a whole-DOLLAR
+    # rounding flipped between engines — so the per-row profit is one
+    # exact INTEGER in 1e-4-dollar units (cents x cents-complement
+    # minus cents x qty), summed in DECIMAL(38,0), emitted as the
+    # identical double (cents-hybrid tier, see q1).
     oracle="""
     SELECT n_name, year(o_orderdate) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * l_quantity * 0.01), 0) AS profit
+           CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                         - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS profit
     FROM lineitem
       JOIN part     ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -148,16 +155,19 @@ def q9_profit_by_nation(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders")
     n = t(spark, sf_dir, "nation")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * 0.01
+    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    rc = F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+    profit_e4 = (
+        pc * (100 - dc) - rc * F.col("l_quantity").cast("long")
+    ).cast("decimal(38,0)")
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 0).alias("profit"))
+        .agg((F.sum(profit_e4).cast("double") / 10000).alias("profit"))
     )
 
 
