@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     analytics,
+    analytics2,
     aggs,
     corpus,
     events,
