@@ -535,3 +535,158 @@ def events_top_paths(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@query(
+    "sketch_sampled_quantiles",
+    # Quantile estimation over a PORTABLE Bernoulli sample: membership
+    # is pmod(portable_u64(key), 1000) < 50 (an exact 5% hash sample,
+    # mergeable across partitions and engines), so the oracle replays
+    # the identical sample and the "approximate" quantiles hash-match
+    # exactly — the sampling tier of the percentile ladder gets the
+    # same oracle-replayed treatment as the Bloom/CMS/HLL/MinHash
+    # family. Quantile values are the identical interpolation chain on
+    # both engines (quantile_cont parity pinned by agg_percentiles),
+    # left unrounded.
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice
+      FROM lineitem
+      WHERE CAST('0x' || substr(md5(
+              CAST(l_orderkey AS VARCHAR) || ':' ||
+              CAST(l_linenumber AS VARCHAR) || ':sq'), 1, 15) AS BIGINT)
+            % 1000 < 50
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.90) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM s GROUP BY l_returnflag
+    """,
+)
+def sketch_sampled_quantiles(spark, sf_dir):
+    """Per-flag p50/p90/p99 over a reproducible 5% hash sample of
+    lineitem. The sample predicate is map-only codegen; the percentile
+    pass uses the size-tiered ladder on the 20x-reduced relation
+    (grouped, partitioned windows only)."""
+    from ..ops import exact_percentiles_auto
+    from ..sketches import portable_u64
+
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        ":", F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    s = li.filter(F.pmod(portable_u64(key, salt="sq"), 1000) < 50).select(
+        "l_returnflag", "l_extendedprice"
+    )
+    n = s.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_sampled"))
+    q = exact_percentiles_auto(
+        s,
+        "l_extendedprice",
+        [(0.50, "p50"), (0.90, "p90"), (0.99, "p99")],
+        group_cols=("l_returnflag",),
+    )
+    return n.join(q, "l_returnflag").select(
+        "l_returnflag", "n_sampled", "p50", "p90", "p99"
+    )
+
+
+@query(
+    "graph_pagerank",
+    # Two damped PageRank iterations over the undirected
+    # customer-supplier bipartite graph (edge = at least one order
+    # line), in FIXED-POINT integer arithmetic: rank unit 1e-6,
+    # contribution = (85 * (r div deg)) div 100 — every operation is
+    # integer division/truncation, so the result is deterministic,
+    # summation-order-independent, and exactly reproducible across
+    # engines (floating PageRank sums flip ulps under Spark's
+    # nondeterministic aggregation order). Long-arithmetic bounds:
+    # max node rank <= total mass = N*1e6 (< 2^63 up to ~9e12 nodes);
+    # 85*r <= 8.5e16. Each iteration is one vertex-keyed shuffle; the
+    # final top-20 is a TakeOrderedAndProject.
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                      's:' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT c AS src, s AS dst FROM e0
+      UNION ALL
+      SELECT s AS src, c AS dst FROM e0
+    ), deg AS (
+      SELECT src AS node, count(*) AS d FROM edges GROUP BY 1
+    ), r1 AS (
+      SELECT dst AS node,
+             150000 + sum((85 * (1000000 // d)) // 100) AS r
+      FROM edges JOIN deg ON edges.src = deg.node
+      GROUP BY dst
+    ), r2 AS (
+      SELECT dst AS node,
+             150000 + sum((85 * (r // d)) // 100) AS r
+      FROM edges
+      JOIN deg ON edges.src = deg.node
+      JOIN r1 ON edges.src = r1.node
+      GROUP BY dst
+    )
+    SELECT node, CAST(r AS BIGINT) AS rank_fp,
+           CAST(r AS DOUBLE) / 1000000 AS rank
+    FROM r2
+    ORDER BY rank_fp DESC, node
+    LIMIT 20
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Top-20 nodes by 2-iteration fixed-point PageRank (damping 0.85)
+    on the customer-supplier graph. Undirected doubling means no
+    dangling nodes; supplier hubs are high in-degree but the per-dst
+    sum is map-side combinable, so skew costs a hot combiner, not a
+    hot reducer."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias(
+                "c"
+            ),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias(
+                "s"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        e0.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    edges = edges.localCheckpoint()  # reused by both iterations
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    def iterate(rank_df):
+        # rank_df: (node, r) longs
+        contrib = (
+            edges.join(deg, "src")
+            .join(rank_df, edges.src == rank_df.node)
+            .select(
+                "dst",
+                F.expr("(85 * (r div d)) div 100").alias("contrib"),
+            )
+        )
+        return contrib.groupBy("dst").agg(
+            (F.lit(150000) + F.sum("contrib")).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+
+    r0 = deg.select("src").select(
+        F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r")
+    )
+    r2 = iterate(iterate(r0))
+    return (
+        r2.select(
+            "node",
+            F.col("r").alias("rank_fp"),
+            (F.col("r").cast("double") / 1000000).alias("rank"),
+        )
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(20)
+    )
