@@ -690,3 +690,198 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.desc("rank_fp"), "node")
         .limit(20)
     )
+
+
+_PROFILE_NUM = [
+    "l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+
+@query(
+    "diag_table_profile",
+    # Data profiling: per-column row/null/distinct counts + extremes
+    # over lineitem. One INDEPENDENT aggregate per column (9 pruned
+    # parquet scans, each reading exactly one column) instead of one
+    # multi-count-distinct aggregate — Spark plans N distincts in a
+    # single agg as an N-way Expand that replicates every input row
+    # N times, which is the wrong shape at scale; per-column scans
+    # are columnar-cheap and each distinct shuffles only its own
+    # column. Numeric extremes stay DOUBLE (stored values, no
+    # cross-engine string formatting); string extremes stay VARCHAR.
+    oracle="""
+    {unions}
+    """.format(
+        unions="\n    UNION ALL\n    ".join(
+            [
+                f"""SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS DOUBLE) AS min_num,
+               CAST(max({c}) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM lineitem"""
+                for c in _PROFILE_NUM
+            ]
+            + [
+                f"""SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num,
+               CAST(NULL AS DOUBLE) AS max_num,
+               min({c}) AS min_str,
+               max({c}) AS max_str
+        FROM lineitem"""
+                for c in _PROFILE_STR
+            ]
+        )
+    ),
+)
+def diag_table_profile(spark, sf_dir):
+    """Column profile of lineitem: rows, nulls, exact distinct count,
+    min/max per column — the discovery query every pipeline runs
+    first. Bounded 9-row output."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def prof(c, numeric):
+        base = li.select(c)
+        return base.agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            (
+                F.min(c).cast("double")
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.max(c).cast("double")
+                if numeric
+                else F.lit(None).cast("double")
+            ).alias("max_num"),
+            (F.min(c) if not numeric else F.lit(None).cast("string")).alias(
+                "min_str"
+            ),
+            (F.max(c) if not numeric else F.lit(None).cast("string")).alias(
+                "max_str"
+            ),
+        )
+
+    parts = [prof(c, True) for c in _PROFILE_NUM] + [
+        prof(c, False) for c in _PROFILE_STR
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@query(
+    "ts_seasonality_strength",
+    # Hour-of-day seasonality per event type, entirely in FIXED-POINT
+    # integers: hour-bucket means are truncated micro-unit integers
+    # (m_h = s_h div n_h), the between-bucket sum of squares rides
+    # DECIMAL(38,0), and total variance is the exact integer moment
+    # N*sum(x^2) - S^2 — so the strength ratio is a single identical
+    # double division, order-independent at any scale (a float
+    # version's 24-term between-variance sum flips ulps under
+    # nondeterministic aggregation order). nullif guards the
+    # zero-variance degenerate case identically on both engines.
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), hodagg AS (
+      SELECT event_type, hod,
+             count(*) AS n_h,
+             sum(CAST(v AS DECIMAL(38,0))) AS s_h
+      FROM x GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type,
+             sum(n_h) AS n,
+             sum(s_h) AS s,
+             (SELECT sum(CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)))
+              FROM x xi WHERE xi.event_type = hodagg.event_type) AS sxx
+      FROM hodagg GROUP BY event_type
+    ), m AS (
+      SELECT h.event_type, h.hod, h.n_h, t.n,
+             s_h // n_h AS m_h,
+             t.s // t.n AS m_all,
+             t.sxx, t.s
+      FROM hodagg h JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(n) * sum(CAST(n_h AS DECIMAL(38,0))
+                             * (m_h - m_all) * (m_h - m_all)) AS DOUBLE)
+             / CAST(nullif(max(n) * max(sxx) - max(s) * max(s), 0) AS DOUBLE)
+             AS seasonal_strength,
+           CAST(min(CASE WHEN m_h = max_mh THEN hod END) AS BIGINT)
+             AS peak_hod
+    FROM (SELECT *, max(m_h) OVER (PARTITION BY event_type) AS max_mh FROM m)
+    GROUP BY event_type
+    """,
+)
+def ts_seasonality_strength(spark, sf_dir):
+    """Fraction of per-type value variance explained by hour-of-day
+    (between-bucket over total), plus the peak hour (earliest on exact
+    ties). Windows and the 24-row between-sum run over the (type, hod)
+    aggregate only."""
+    ev = t(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    x = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    hodagg = x.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_h"), F.sum(F.col("v").cast(dec)).alias("s_h")
+    )
+    tot = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum(F.col("v").cast(dec) * F.col("v").cast(dec)).alias("sxx"),
+    )
+    m = hodagg.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hod",
+        "n_h",
+        "n",
+        F.expr("s_h div n_h").cast(dec).alias("m_h"),
+        F.expr("s div n").cast(dec).alias("m_all"),
+        "sxx",
+        "s",
+    )
+    m = m.withColumn(
+        "max_mh", F.max("m_h").over(W.partitionBy("event_type"))
+    )
+    return m.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        (
+            (
+                F.max("n")
+                * F.sum(
+                    F.col("n_h").cast(dec)
+                    * (F.col("m_h") - F.col("m_all"))
+                    * (F.col("m_h") - F.col("m_all"))
+                )
+            ).cast("double")
+            / F.nullif(
+                F.max("n") * F.max("sxx") - F.max("s") * F.max("s"), F.lit(0)
+            ).cast("double")
+        ).alias("seasonal_strength"),
+        F.min(
+            F.when(F.col("m_h") == F.col("max_mh"), F.col("hod"))
+        )
+        .cast("long")
+        .alias("peak_hod"),
+    )
