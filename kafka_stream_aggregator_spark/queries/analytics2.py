@@ -885,3 +885,126 @@ def ts_seasonality_strength(spark, sf_dir):
         .cast("long")
         .alias("peak_hod"),
     )
+
+
+@query(
+    "events_attribution",
+    # Last-touch attribution: every purchase joined to the user's most
+    # recent preceding click — expressed as ONE conditional running
+    # max over the (ts, event_id)-ordered per-user stream (no
+    # self-join, no as-of shuffle beyond the single user_id window).
+    # Microsecond epochs keep sub-second ordering exact; the gap and
+    # the 1h flag are pure integer arithmetic.
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id
+                     ROWS UNBOUNDED PRECEDING) AS click_us
+      FROM events
+    )
+    SELECT event_id, user_id,
+           us AS purchase_us,
+           click_us,
+           us - click_us AS gap_us,
+           (us - click_us) <= 3600000000 AS within_1h
+    FROM o WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Purchase→click last-touch attribution with microsecond-exact
+    gaps. Purchases with no prior click keep NULL attribution (and a
+    NULL flag) identically on both engines."""
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    o = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.max(F.when(F.col("event_type") == "click", us)).over(w).alias(
+            "click_us"
+        ),
+    )
+    return o.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        "click_us",
+        (F.col("us") - F.col("click_us")).alias("gap_us"),
+        ((F.col("us") - F.col("click_us")) <= 3600000000).alias("within_1h"),
+    )
+
+
+_SH_BITS = 16
+
+_SH_W_SQL = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS w{j}"
+    for j in range(_SH_BITS)
+)
+_SH_FP_SQL = " + ".join(
+    f"(CASE WHEN w{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SH_BITS)
+)
+
+
+@query(
+    "doc_simhash_portable",
+    # SimHash with a fully oracle-replayed construction (the portable
+    # twin of llm.dedup's 64-bit xxhash64 production SimHash, the same
+    # relationship sketch_minhash_portable has to the MinHash tier):
+    # per-token portable_u64, 16 bit-weight sums in ONE groupBy (no
+    # per-bit explode), sign-threshold fingerprint. Every step is
+    # integer-exact, so fingerprints — and therefore any downstream
+    # banding/recall behavior — hash-match across engines.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(t || ':sh'), 1, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t
+            FROM documents)
+    ), w AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             {_SH_W_SQL}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST({_SH_FP_SQL} AS BIGINT) AS fp16
+    FROM w
+    """,
+)
+def doc_simhash_portable(spark, sf_dir):
+    """Per-document 16-bit portable SimHash fingerprint (multiset
+    token weighting, zero-weight bits resolve to 0). One explode + one
+    aggregate; the 16 weight sums are map-side-combinable longs."""
+    from ..sketches import portable_u64
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"regexp_extract_all(text, '\\S+', 0)")
+        ).alias("tok"),
+    ).select("doc_id", portable_u64(F.col("tok"), salt="sh").alias("h"))
+    aggs = [F.count(F.lit(1)).alias("n_tokens")] + [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"w{j}")
+        for j in range(_SH_BITS)
+    ]
+    w = toks.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for j in range(_SH_BITS):
+        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return w.select(
+        "doc_id", "n_tokens", fp.cast("long").alias("fp16")
+    )
