@@ -338,8 +338,13 @@ def agg_weighted_median(spark, sf_dir):
     "ts_cusum_changepoint",
     # One-sided CUSUM per event type over the hourly series — but as
     # PREFIX SUMS, not a fold: S_i = max(0, S_{i-1} + (x_i - mean))
-    # has the closed form S_i = P_i - min_{j<=i} P_j with
-    # P_i = sum_{t<=i}(x_t - mean), so two partitioned windows replace
+    # has the closed form S_i = P_i - min_{0<=j<=i} P_j with
+    # P_i = sum_{t<=i}(x_t - mean) and P_0 = 0 — the EMPTY prefix must
+    # participate in the min (least(min OVER ..., 0)); dropping it
+    # deviates from the recurrence whenever every prefix sum is
+    # positive (caught by the sequential-fold replay in
+    # test_analytics2.py, invisible to cross-engine parity because the
+    # oracle shared the formulation). Two partitioned windows replace
     # the sequential recurrence entirely (cf. ind_holt_trend, whose
     # recurrence has no such form and needs applyInPandas). The
     # whole chain is integer-exact: x in micro-units, and P scaled by
@@ -366,9 +371,10 @@ def agg_weighted_median(spark, sf_dir):
     ), s AS (
       SELECT event_type, slot, n,
              (n * cumx - i * sumx)
-               - min(n * cumx - i * sumx)
-                   OVER (PARTITION BY event_type ORDER BY slot
-                         ROWS UNBOUNDED PRECEDING) AS cusum_scaled
+               - least(min(n * cumx - i * sumx)
+                         OVER (PARTITION BY event_type ORDER BY slot
+                               ROWS UNBOUNDED PRECEDING),
+                       0) AS cusum_scaled
       FROM p
     )
     SELECT event_type,
@@ -413,7 +419,10 @@ def ts_cusum_changepoint(spark, sf_dir):
     )
     s = pp.withColumn(
         "cusum_scaled",
-        F.col("pscaled") - F.min("pscaled").over(ordered),
+        F.col("pscaled")
+        - F.least(
+            F.min("pscaled").over(ordered), F.lit(0).cast(dec)
+        ),
     )
     s = s.withColumn("max_cusum_s", F.max("cusum_scaled").over(by_t))
     return s.groupBy("event_type", "n").agg(
