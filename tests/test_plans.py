@@ -287,3 +287,29 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
         if v:
             bad[name] = v
     assert not bad, f"unpartitioned Window over unbounded input: {bad}"
+
+
+def test_table_profile_never_expands(spark, sf_dir):
+    """diag_table_profile's whole point: per-column independent
+    aggregates, never a multi-count-distinct Expand that replicates
+    every input row N ways."""
+    plan = _plan(REGISTRY["diag_table_profile"].fn(spark, sf_dir))
+    assert "Expand" not in plan
+
+
+def test_attribution_single_shuffle(spark, sf_dir):
+    """events_attribution is one user_id window over the fact — a
+    single Exchange, no self-join."""
+    plan = _plan(REGISTRY["events_attribution"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_markov_single_fact_shuffle(spark, sf_dir):
+    """ts_markov_transitions: one user_id window shuffle on the fact;
+    the normalizing window runs over the bounded aggregate."""
+    plan = _plan(REGISTRY["ts_markov_transitions"].fn(spark, sf_dir))
+    # shuffles: user_id window + (prev,type) aggregate + from_type
+    # re-window over the bounded aggregate
+    assert plan.count("Exchange") <= 3
+    assert "Join" not in plan
