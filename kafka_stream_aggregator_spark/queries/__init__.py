@@ -3,6 +3,7 @@
 from . import (  # noqa: F401
     analytics,
     analytics2,
+    analytics3,
     aggs,
     corpus,
     events,
