@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     aggs,
     corpus,
     events,
