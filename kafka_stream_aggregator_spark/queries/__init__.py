@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     scalars,
     setops,
     sketches,
+    sketches2,
     surface2,
     streaming_q,
     tpch,
