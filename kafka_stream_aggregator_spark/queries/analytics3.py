@@ -183,13 +183,24 @@ def rec_item_affinity(spark, sf_dir):
     against the item-count relation — part-keyed, broadcast when it
     fits. The ranking key is the exact integer co-occurrence count,
     so the top-20 boundary is deterministic; cosine is a decoration
-    computed by one identical double chain on exact counts."""
+    computed by one identical double chain on exact counts.
+
+    The item-count aggregate is localCheckpoint'd: it is consumed
+    twice (ia/ib) and without the checkpoint each consumer re-runs
+    the fact scan + distinct that feeds it (AQE only reused 2 of the
+    4 op exchanges in the executed plan). The checkpoint is
+    |parts|-bounded — cheap to hold — and removes two full fact
+    scans; sf1 A/B: 10.3-10.7 s -> 8.0-9.9 s."""
     op = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    item = (
+        op.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .localCheckpoint()
+    )
     a = op.alias("a")
     b = op.alias("b")
     pairs = (
