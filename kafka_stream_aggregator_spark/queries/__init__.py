@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
     aggs,
     corpus,
     events,
