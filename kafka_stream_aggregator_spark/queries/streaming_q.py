@@ -886,3 +886,66 @@ def stream_hll_distinct(spark, sf_dir):
         ).alias("hll_estimate"),
         "exact_distinct",
     )
+
+
+@query(
+    "stream_kmv_distinct",
+    # A KMV distinct-count estimator maintained BY a streaming
+    # aggregation: per-key min-hash state (one row per distinct key —
+    # the streaming-distinct state class, same as stream_complete_topk)
+    # drained in complete mode, then the k=64 smallest hashes estimate
+    # the cardinality as (k-1)*2^60/h_(k). The hash-per-key relation is
+    # order- and batching-independent, so the drained state equals the
+    # batch build EXACTLY and the whole construction — minima included
+    # — stays SQL-oracle-able through the stream.
+    oracle=f"""
+    WITH h AS (
+      SELECT user_id,
+             {_U64.format(expr="CAST(user_id AS VARCHAR)")} AS hv
+      FROM events GROUP BY user_id
+    ), mins AS (
+      SELECT hv FROM h ORDER BY hv, user_id LIMIT 64
+    ), ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM h
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_kmv,
+           round(CASE WHEN count(*) > 1
+                 THEN (count(*) - 1) * 1152921504606846976.0 / max(hv)
+                 ELSE CAST(count(*) AS DOUBLE) END, 6) AS est_distinct,
+           max(ex.exact_distinct) AS exact_distinct
+    FROM mins CROSS JOIN ex
+    """,
+)
+def stream_kmv_distinct(spark, sf_dir):
+    """Streaming KMV distinct-user estimator: the stream groups by
+    user (complete-mode state = one row per distinct key) and the
+    batch side takes the k=64 smallest portable hashes for the
+    (k-1)*2^60/h_(k) cardinality estimate, beside the exact count from
+    the same drained state. Because per-key grouping is order- and
+    batching-independent, this streaming sketch keeps an EXACT SQL
+    oracle (the stream_cms_counts property); estimates on a stream
+    whose state must stay O(k) rather than O(distinct) would instead
+    chain this construction through the MG/HLL state shapes."""
+    from ..sketches import portable_u64
+
+    s = _events_stream(spark, sf_dir)
+    per_key = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    drained = _run_to_df(spark, per_key, mode="complete")
+    h = drained.select(
+        "user_id", portable_u64(F.col("user_id")).alias("hv")
+    )
+    mins = h.orderBy("hv", "user_id").limit(64)
+    ex = h.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    return mins.crossJoin(F.broadcast(ex)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kmv"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 1,
+                (F.count(F.lit(1)) - 1)
+                * F.lit(1152921504606846976.0)
+                / F.max("hv"),
+            ).otherwise(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("est_distinct"),
+        F.max("exact_distinct").alias("exact_distinct"),
+    )
