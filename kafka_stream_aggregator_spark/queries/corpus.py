@@ -1138,3 +1138,88 @@ def corpus_rebalance_quota(spark, sf_dir):
             .alias("n_kept"),
         )
     )
+
+
+_RAG_WIN = 24  # tokens per retrieval chunk
+_RAG_STRIDE = 16  # window stride (8-token overlap between neighbors)
+
+
+@query(
+    "doc_chunk_overlap",
+    # Sliding-window RAG chunking: windows of 24 tokens every 16
+    # tokens (8-token overlap), per-chunk token offsets and a portable
+    # 60-bit content hash — the chunk table a retrieval index ingests.
+    # Chunk count/starts/lengths are pure integer arithmetic; the hash
+    # is the canonical md5-prefix construction. sequence(0,-1) descent
+    # on empty docs is guarded exactly like doc_chunk_dedup.
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS tk
+      FROM documents
+    ), ch AS (
+      SELECT doc_id, g AS chunk_idx,
+             g * 16 AS start_token,
+             least(24, len(tk) - g * 16) AS chunk_len,
+             CAST('0x' || substr(md5(
+               array_to_string(tk[(g*16+1):(g*16+24)], ' ')
+             ), 1, 15) AS BIGINT) AS chunk_hash
+      FROM tk,
+           unnest(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS u(g)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(chunk_len AS BIGINT) AS chunk_len, chunk_hash
+    FROM ch ORDER BY doc_id, chunk_idx
+    """,
+)
+def doc_chunk_overlap(spark, sf_dir):
+    """Sliding-window chunk table for retrieval indexing (RAG): every
+    document becomes overlapping 24-token windows on a 16-token
+    stride, each with its token offsets and a portable content hash
+    (the dedup/index key). Plan: map-only — tokenize, generate the
+    per-doc window index with sequence() (bounded by doc length /
+    stride), explode, slice; no shuffle except the output sort. The
+    overlap means boundary-crossing facts appear intact in at least
+    one window — the property RAG chunking exists to provide."""
+    from ..sketches import portable_u64
+
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(data_sized_partitions(d))
+    toks = F.regexp_extract_all(
+        F.lower(F.trim(F.col("text"))), F.lit(r"\S+"), 0
+    )
+    n = F.size(F.col("tk"))
+    nch = F.ceil(n / F.lit(float(_RAG_STRIDE))).cast("int")
+    base = d.select("doc_id", toks.alias("tk")).select(
+        "doc_id",
+        "tk",
+        F.when(nch > 0, F.sequence(F.lit(0), nch - 1))
+        .otherwise(F.array().cast("array<int>"))
+        .alias("gs"),
+    )
+    ch = base.select(
+        "doc_id",
+        "tk",
+        F.explode("gs").alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g").cast("bigint").alias("chunk_idx"),
+        (F.col("g") * _RAG_STRIDE).cast("bigint").alias("start_token"),
+        F.least(
+            F.lit(_RAG_WIN),
+            F.size(F.col("tk")) - F.col("g") * _RAG_STRIDE,
+        )
+        .cast("bigint")
+        .alias("chunk_len"),
+        portable_u64(
+            F.array_join(
+                F.slice(
+                    F.col("tk"),
+                    F.col("g") * _RAG_STRIDE + 1,
+                    _RAG_WIN,
+                ),
+                " ",
+            )
+        ).alias("chunk_hash"),
+    )
+    return ch.orderBy("doc_id", "chunk_idx")
