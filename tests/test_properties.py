@@ -455,3 +455,102 @@ def test_distributed_rank_and_prefix_sums_property(spark, rows, n_buckets):
     for r in j:
         assert r["rn"] == r["rn_ref"], (r, n_buckets)
         assert r["cum_wgt"] == r["cum_ref"], (r, n_buckets)
+
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(edges=edge_strategy, k=st.integers(0, 4),
+       seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3))
+@SETTINGS
+def test_k_hop_reach_matches_bfs(spark, edges, k, seeds):
+    """graph.k_hop_reach on random directed graphs equals a pure
+    set-BFS, per seed, for every k."""
+    from kafka_stream_aggregator_spark.graph import k_hop_reach
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    edf = spark.createDataFrame(
+        [(str(s), str(d)) for s, d in edges] or [("x", "x")],
+        "src string, dst string",
+    )
+    if not edges:
+        edf = edf.filter("src != 'x'")
+    sdf = spark.createDataFrame(
+        [(str(s),) for s in seeds], "seed string"
+    )
+    got = {}
+    for r in k_hop_reach(edf, sdf, k).collect():
+        got.setdefault(r["seed"], set()).add(r["node"])
+    for seed in seeds:
+        reach = {seed}
+        frontier = {seed}
+        for _ in range(k):
+            frontier = {
+                n for f in frontier for n in adj.get(f, ())
+            } - reach
+            reach |= frontier
+        assert got[str(seed)] == {str(n) for n in reach}, (seed, k)
+
+
+@given(xs=st.lists(st.integers(0, 50), min_size=0, max_size=40),
+       ys=st.lists(st.integers(0, 50), min_size=0, max_size=40))
+@SETTINGS
+def test_cms_inner_product_upper_bounds_join_size(spark, xs, ys):
+    """CMS inner product >= the true join size on random multisets,
+    for both hashers (the guarantee is hash-agnostic)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from kafka_stream_aggregator_spark.sketches import cms_build
+
+    true = sum(
+        c * Counter(ys).get(k, 0) for k, c in Counter(xs).items()
+    )
+    xdf = spark.createDataFrame([(v,) for v in xs] or [(0,)], "k long")
+    ydf = spark.createDataFrame([(v,) for v in ys] or [(0,)], "k long")
+    if not xs:
+        xdf = xdf.filter("k < 0")
+    if not ys:
+        ydf = ydf.filter("k < 0")
+    for hasher in ["portable", "xx64"]:
+        a = cms_build(xdf, "k", 3, 16, hasher=hasher)
+        b = cms_build(ydf, "k", 3, 16, hasher=hasher).withColumnRenamed(
+            "cnt", "cnt_b"
+        )
+        dots = {
+            r["row"]: r["dot"]
+            for r in a.join(b, ["row", "cell"])
+            .groupBy("row")
+            .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
+            .collect()
+        }
+        est = min(dots.get(i, 0) for i in range(3))
+        assert est >= true, (hasher, est, true)
+
+
+@given(keys=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+       split=st.integers(0, 100))
+@SETTINGS
+def test_kmv_signature_mergeable(spark, keys, split):
+    """KMV mergeability: the k smallest hashes of a union equal the k
+    smallest of the two sides' signatures concatenated — pinned in
+    pure Python with the portable hash (the property the
+    sketch_kmv_jaccard construction relies on)."""
+    import hashlib
+
+    def u64(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    k = 8
+    a = {v for v in keys if v % 101 <= split}
+    b = keys - a
+    sig = lambda s: sorted(u64(v) for v in s)[:k]  # noqa: E731
+    merged = sorted(sig(a) + sig(b))[:k]
+    direct = sig(keys)
+    assert merged == direct
