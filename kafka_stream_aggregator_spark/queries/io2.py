@@ -455,3 +455,70 @@ def io_scd2_build(spark, sf_dir):
         F.round(nxt, 6).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "io_dynamic_partition_overwrite",
+    # Dynamic partition overwrite: rewriting ONE partition must leave
+    # every other partition's files untouched (static overwrite would
+    # truncate the whole table — the classic production data-loss
+    # trap). The overwritten partition (min event_type) is replaced by
+    # its even-event_id half; the read-back aggregate proves the other
+    # partitions survived in full. Pure integer counts/sums.
+    oracle="""
+    WITH tgt AS (
+      SELECT min(event_type) AS tt FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events CROSS JOIN tgt
+    WHERE event_type <> tt OR event_id % 2 = 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def io_dynamic_partition_overwrite(spark, sf_dir):
+    """Partition-level in-place rewrite with
+    partitionOverwriteMode=dynamic — the idempotent-backfill primitive
+    (re-run one day/partition of a 100 TB table without touching the
+    rest; INSERT OVERWRITE ... PARTITION semantics). Plan: one
+    partitioned write, one dynamic-overwrite write of the replacement
+    slice, one partition-pruned read-back aggregate. The single-row
+    min(event_type) collect is driver-side config, not data movement
+    (the BPE-argmax precedent)."""
+    import glob
+    import shutil
+
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), "ksa_dynpo_*")
+    ):
+        shutil.rmtree(stale, ignore_errors=True)
+    run_id = uuid.uuid4().hex[:8]
+    d = os.path.join(tempfile.gettempdir(), f"ksa_dynpo_{run_id}")
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(d)
+    row = ev.agg(F.min("event_type").alias("tt")).collect()[0]
+    target = row["tt"]
+    if target is not None:
+        repl = ev.filter(
+            (F.col("event_type") == target) & (F.col("event_id") % 2 == 0)
+        )
+        repl.write.partitionBy("event_type").mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).parquet(d)
+    if not glob.glob(os.path.join(d, "*", "*.parquet")):
+        # empty source: no partition directories were ever written
+        return spark.createDataFrame(
+            [], "event_type string, n_rows bigint, sum_user bigint"
+        )
+    back = spark.read.parquet(d)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("user_id").cast("bigint").alias("sum_user"),
+        )
+        .orderBy("event_type")
+    )
