@@ -230,3 +230,99 @@ def ts_theil_sen(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_funnel_latency",
+    # Time-to-convert distribution for the view -> purchase funnel:
+    # per user, the µs gap between FIRST view and the first purchase
+    # after it; quartiles + p90 via the bucketed exact-percentile tier
+    # (quantile_cont interpolation — the DuckDB twin function). Gaps
+    # are exact integers; conversion_rate is one exact-int division.
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS t_view,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_buy
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT t_buy - t_view AS gap_us FROM per_user
+      WHERE t_view IS NOT NULL AND t_buy IS NOT NULL AND t_buy > t_view
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users FROM per_user
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           (SELECT n_users FROM tot) AS n_users,
+           round(CASE WHEN (SELECT n_users FROM tot) > 0
+                 THEN count(*) / CAST((SELECT n_users FROM tot) AS DOUBLE)
+                 END, 6) AS conversion_rate,
+           round(quantile_cont(gap_us, 0.25) / 1000000.0, 6) AS p25_s,
+           round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_s,
+           round(quantile_cont(gap_us, 0.75) / 1000000.0, 6) AS p75_s,
+           round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_s
+    FROM conv
+    """,
+)
+def events_funnel_latency(spark, sf_dir):
+    """How long conversion takes, not just whether it happens: the
+    quartile/p90 distribution of first-view -> first-purchase-after-it
+    latency, plus the conversion rate — the product-analytics
+    complement to events_funnel's step counts. Plan: one per-user
+    conditional-min aggregate on the fact (map-side combine), then the
+    bucketed exact-percentile tier (ops.exact_percentiles_bucketed —
+    three fully-parallel passes, no per-group reducer sort) over the
+    converting-user gap relation; µs gaps are exact integers
+    (F.unix_micros ↔ epoch_us)."""
+    from ..ops import exact_percentiles_bucketed
+
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias(
+            "t_buy"
+        ),
+    )
+    per_user = per_user.localCheckpoint()  # feeds both conv and tot
+    conv = per_user.filter(
+        F.col("t_view").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") > F.col("t_view"))
+    ).select((F.col("t_buy") - F.col("t_view")).alias("gap_us"))
+    pct = exact_percentiles_bucketed(
+        conv,
+        "gap_us",
+        [(0.25, "p25_us"), (0.5, "p50_us"), (0.75, "p75_us"),
+         (0.9, "p90_us")],
+    )
+    counts = conv.agg(F.count(F.lit(1)).cast("bigint").alias("n_converted"))
+    tot = per_user.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    # left join on a dummy key, not crossJoin: an empty gap relation
+    # yields an EMPTY percentile frame, and crossJoin would erase the
+    # 1-row counts output where the oracle still emits its null row
+    pct1 = pct.withColumn("_k", F.lit(1))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(pct1), "_k", "left")
+        .select(
+            "n_converted",
+            "n_users",
+            F.round(
+                F.when(
+                    F.col("n_users") > 0,
+                    F.col("n_converted") / F.col("n_users").cast("double"),
+                ),
+                6,
+            ).alias("conversion_rate"),
+            # seconds, not µs: the interpolated p90 at ~4e11 µs exposes
+            # 1-ulp interpolation-formula differences ABOVE the 1e-6
+            # rounding grain; at seconds magnitude the grain dominates
+            F.round(F.col("p25_us") / 1e6, 6).alias("p25_s"),
+            F.round(F.col("p50_us") / 1e6, 6).alias("p50_s"),
+            F.round(F.col("p75_us") / 1e6, 6).alias("p75_s"),
+            F.round(F.col("p90_us") / 1e6, 6).alias("p90_s"),
+        )
+    )

@@ -99,3 +99,37 @@ def test_theil_sen_matches_loop(spark, sf_dir, daily):
         assert r["direction"] == (
             "increasing" if med > 0 else "decreasing" if med < 0 else "flat"
         )
+
+
+def test_funnel_latency_matches_loop(spark, sf_dir):
+    """view->purchase latency percentiles replayed with a linear-
+    interpolation quantile (the quantile_cont formula) in pure
+    Python."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT user_id,
+                   min(CASE WHEN event_type='view' THEN epoch_us(ts) END),
+                   min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END)
+            FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY user_id"""
+    ).fetchall()
+    gaps = sorted(
+        tb - tv for _, tv, tb in rows
+        if tv is not None and tb is not None and tb > tv
+    )
+    assert gaps, "testdata must contain converting users"
+
+    def qcont(q):
+        pos = q * (len(gaps) - 1)
+        lo, frac = int(pos), pos - int(pos)
+        hi = min(lo + 1, len(gaps) - 1)
+        return (gaps[lo] + (gaps[hi] - gaps[lo]) * frac) / 1e6
+
+    r = REGISTRY["events_funnel_latency"].fn(spark, sf_dir).collect()[0]
+    assert r["n_converted"] == len(gaps)
+    assert r["n_users"] == len(rows)
+    assert r["conversion_rate"] == pytest.approx(
+        len(gaps) / len(rows), abs=1e-6
+    )
+    for q, col in [(0.25, "p25_s"), (0.5, "p50_s"), (0.75, "p75_s"),
+                   (0.9, "p90_s")]:
+        assert r[col] == pytest.approx(qcont(q), abs=1e-5), col
