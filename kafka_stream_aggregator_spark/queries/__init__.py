@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     setops,
     sketches,
     sketches2,
+    stats,
     surface2,
     streaming_q,
     tpch,
