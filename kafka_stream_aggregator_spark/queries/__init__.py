@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     sketches2,
     stats,
     surface2,
+    textml,
     streaming_q,
     tpch,
     tpch2,
