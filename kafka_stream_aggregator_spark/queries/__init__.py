@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     aggs,
     corpus,
     events,
+    geo,
     graph2,
     indicators_q,
     io2,
