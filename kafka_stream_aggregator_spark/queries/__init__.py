@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     io2,
     joins,
     llm,
+    ml2,
     scalars,
     setops,
     sketches,
