@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
     aggs,
     corpus,
     events,
