@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     graph2,
     indicators_q,
     io2,
+    io3,
     joins,
     llm,
     ml2,
