@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     joins,
     llm,
     ml2,
+    pipeline_rules,
     scalars,
     setops,
     sketches,
