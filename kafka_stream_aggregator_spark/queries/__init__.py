@@ -7,6 +7,7 @@ from . import (  # noqa: F401
     analytics4,
     analytics5,
     analytics6,
+    analytics7,
     aggs,
     corpus,
     events,
