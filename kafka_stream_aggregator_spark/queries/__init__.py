@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     analytics5,
     analytics6,
     analytics7,
+    analytics8,
     aggs,
     corpus,
     events,
