@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     analytics6,
     analytics7,
     analytics8,
+    analytics9,
     aggs,
     corpus,
     events,
