@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     analytics7,
     analytics8,
     analytics9,
+    analytics10,
     aggs,
     corpus,
     events,
