@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     analytics10,
     aggs,
     corpus,
+    corpus2,
     events,
     geo,
     graph2,
