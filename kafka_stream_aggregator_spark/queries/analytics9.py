@@ -188,7 +188,12 @@ def ml_calibration_bins(spark, sf_dir):
     # across ALL the user's non-purchase touches in the preceding 7
     # days. Complements events_attribution (last-touch): this is the
     # position-independent credit model. Touch counts are integers;
-    # credit sums are 1/k rationals under round-6.
+    # each credit term 1/k is ONE identical IEEE division quantized to
+    # 9 dp and summed as DECIMAL(18,9) — order-independent, so the
+    # total cannot drift past the round-6 grain at any scale (a float
+    # sum FAILED exactly this way at the sf5 tier: 250k accumulation
+    # reorderings crossed 5e-7). 1/k can never land on a 9-dp rounding
+    # tie (that would need k ~ 2e9 with an odd factor of 5^10).
     oracle="""
     WITH p AS (
         SELECT event_id AS pid, user_id, ts AS pts
@@ -206,7 +211,8 @@ def ml_calibration_bins(spark, sf_dir):
     SELECT event_type AS channel,
            CAST(count(*) AS BIGINT) AS n_touches,
            CAST(count(DISTINCT touch.pid) AS BIGINT) AS n_conversions,
-           round(sum(1.0 / kk), 6) AS credit
+           round(CAST(sum(CAST(round(1.0 / kk, 9) AS DECIMAL(18,9)))
+                      AS DOUBLE), 6) AS credit
     FROM touch JOIN k USING (pid)
     GROUP BY event_type
     """,
@@ -239,7 +245,12 @@ def events_attribution_linear(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_touches"),
             F.countDistinct("pid").cast("bigint").alias("n_conversions"),
-            F.round(F.sum(1.0 / F.col("kk")), 6).alias("credit"),
+            F.round(
+                F.sum(
+                    F.round(1.0 / F.col("kk"), 9).cast("decimal(18,9)")
+                ).cast("double"),
+                6,
+            ).alias("credit"),
         )
     )
 
