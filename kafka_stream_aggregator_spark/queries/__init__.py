@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     indicators_q,
     io2,
     io3,
+    io4,
     joins,
     llm,
     ml2,
