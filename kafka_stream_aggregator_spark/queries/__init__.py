@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     aggs,
     corpus,
     corpus2,
+    corpus3,
     events,
     geo,
     graph2,
