@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     joins,
     llm,
     ml2,
+    ml3,
     pipeline_rules,
     scalars,
     setops,
