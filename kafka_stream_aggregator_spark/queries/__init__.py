@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     analytics8,
     analytics9,
     analytics10,
+    analytics11,
     aggs,
     corpus,
     corpus2,
