@@ -949,3 +949,58 @@ def stream_kmv_distinct(spark, sf_dir):
         ).alias("est_distinct"),
         F.max("exact_distinct").alias("exact_distinct"),
     )
+
+
+@query(
+    "stream_cdc_materialize",
+    # CDC materialization as a stream: every event is a change record
+    # for its user key — op = DELETE when event_type='error' (the
+    # tombstone), else UPSERT of (value, type). The materialized table
+    # is last-writer-wins by (ts, event_id); because "latest change
+    # per key" is a per-key MAX over the total (ts, event_id) order it
+    # is order- AND batching-independent, so the streamed state equals
+    # the batch argmax EXACTLY and this third streaming operator keeps
+    # a full SQL oracle (after stream_cms_counts / stream_kmv_distinct).
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, epoch_us(ts) AS us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_op_type,
+           round(value, 6) AS last_value,
+           CAST(us AS BIGINT) AS last_us
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def stream_cdc_materialize(spark, sf_dir):
+    """Streaming CDC apply: complete-mode per-key MAX of the change
+    struct (ts, event_id, type, value) — state is one row per live
+    key, the streaming-upsert state class — then tombstones (last op =
+    'error') drop out of the materialized table. The struct-max is
+    declarative (no max_by object-hash fallback past 128 groups) and
+    commutative, which is the whole reason a stream can maintain it
+    with an exact batch equivalence at any batching."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("value"),
+            )
+        ).alias("last")
+    )
+    drained = _run_to_df(spark, agg, mode="complete")
+    return drained.where(
+        F.col("last.event_type") != "error"
+    ).select(
+        "user_id",
+        F.col("last.event_type").alias("last_op_type"),
+        F.round(F.col("last.value"), 6).alias("last_value"),
+        F.unix_micros(F.col("last.ts")).cast("bigint").alias("last_us"),
+    )
