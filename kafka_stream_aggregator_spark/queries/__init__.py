@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     llm,
     ml2,
     ml3,
+    ml4,
     pipeline_rules,
     scalars,
     setops,
