@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     analytics9,
     analytics10,
     analytics11,
+    analytics12,
     aggs,
     corpus,
     corpus2,
