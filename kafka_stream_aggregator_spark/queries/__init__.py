@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     analytics10,
     analytics11,
     analytics12,
+    analytics13,
     aggs,
     corpus,
     corpus2,

@@ -145,7 +145,13 @@ _TE_M = 10
     # against order value — the feature-engineering staple whose naive
     # form leaks the row's own label. enc_i =
     # (S_nat - x_i + m*mu) / (n_nat - 1 + m), m=10, all on exact
-    # integer cents with one shared double mu.
+    # integer cents with one shared double mu. The chain is a single
+    # identical IEEE sequence on both engines, so it is emitted
+    # UNROUNDED (the round-6 terminating-tie lesson: at sf1 ~10 of
+    # 1.5M rows landed exactly on x.xxxxxx5 shortest-decimal ties
+    # where Spark's BigDecimal HALF_UP and DuckDB's scaled-multiply
+    # round differently — caught by the sf1 window, fixed by removing
+    # the engine-side round).
     oracle=f"""
     WITH o AS (
         SELECT o_orderkey, c_nationkey AS nat,
@@ -160,8 +166,8 @@ _TE_M = 10
         SELECT CAST(sum(s) AS DOUBLE) / sum(n) AS mu FROM g
     )
     SELECT o_orderkey, nat,
-           round((CAST(s - cents AS DOUBLE) + {_TE_M} * mu)
-                 / (n - 1 + {_TE_M}) / 100.0, 6) AS nation_enc
+           (CAST(s - cents AS DOUBLE) + {_TE_M} * mu)
+                 / (n - 1 + {_TE_M}) / 100.0 AS nation_enc
     FROM o JOIN g USING (nat) CROSS JOIN mu
     """,
 )
@@ -202,14 +208,13 @@ def ml_target_encoding(spark, sf_dir):
         .select(
             "o_orderkey",
             "nat",
-            F.round(
+            (
                 (
                     (F.col("s") - F.col("cents")).cast("double")
                     + _TE_M * F.col("mu")
                 )
                 / (F.col("n") - 1 + _TE_M)
-                / 100.0,
-                6,
+                / 100.0
             ).alias("nation_enc"),
         )
     )
