@@ -14,6 +14,8 @@ from . import (  # noqa: F401
     analytics11,
     analytics12,
     analytics13,
+    analytics14,
+    analytics15,
     aggs,
     corpus,
     corpus2,
