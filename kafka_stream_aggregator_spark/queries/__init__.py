@@ -37,6 +37,7 @@ from . import (  # noqa: F401
     setops,
     sketches,
     sketches2,
+    sketches3,
     stats,
     surface2,
     textml,
