@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     analytics13,
     analytics14,
     analytics15,
+    analytics16,
     aggs,
     corpus,
     corpus2,
