@@ -508,7 +508,12 @@ def ts_peak_detection(spark, sf_dir):
     # microseconds via lag over (user_id, event_type) sessions):
     # count, mean, median and p90 via the counts-tier quantile on the
     # bounded distinct-gap relation (midrank selectors, linear
-    # interpolation identical to quantile_cont).
+    # interpolation identical to quantile_cont). The three float
+    # outputs are emitted UNROUNDED: an sf5 window caught the p90
+    # chain landing on a terminating-decimal round-6 tie (Spark
+    # HALF_UP vs DuckDB scaled-multiply disagree exactly there — the
+    # recorded r6 lesson); the driver's symmetric canonicalization
+    # does the rounding.
     oracle="""
     WITH gaps AS (
       SELECT event_type,
@@ -541,11 +546,11 @@ def ts_peak_detection(spark, sf_dir):
       FROM qcum GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
-           round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean_gap_sec,
-           round((lo5 + (0.5 * (n - 1) - floor(0.5 * (n - 1)))
-                        * (hi5 - lo5)) / 1e6, 6) AS p50_gap_sec,
-           round((lo9 + (0.9 * (n - 1) - floor(0.9 * (n - 1)))
-                        * (hi9 - lo9)) / 1e6, 6) AS p90_gap_sec
+           CAST(s AS DOUBLE) / n / 1e6 AS mean_gap_sec,
+           (lo5 + (0.5 * (n - 1) - floor(0.5 * (n - 1)))
+                  * (hi5 - lo5)) / 1e6 AS p50_gap_sec,
+           (lo9 + (0.9 * (n - 1) - floor(0.9 * (n - 1)))
+                  * (hi9 - lo9)) / 1e6 AS p90_gap_sec
     FROM sel
     """,
 )
@@ -596,14 +601,12 @@ def events_interarrival_stats(spark, sf_dir):
     def interp(q: float, lo: str, hi: str):
         pos = F.lit(q) * (F.col("n") - 1)
         frac = pos - F.floor(pos)
-        return F.round(
-            (F.col(lo) + frac * (F.col(hi) - F.col(lo))) / 1e6, 6
-        )
+        return (F.col(lo) + frac * (F.col(hi) - F.col(lo))) / 1e6
 
     return sel.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_gaps"),
-        F.round(F.col("s").cast("double") / F.col("n") / 1e6, 6).alias(
+        (F.col("s").cast("double") / F.col("n") / 1e6).alias(
             "mean_gap_sec"
         ),
         interp(0.5, "lo5", "hi5").alias("p50_gap_sec"),
