@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     analytics14,
     analytics15,
     analytics16,
+    analytics17,
     aggs,
     corpus,
     corpus2,

@@ -127,10 +127,13 @@ def ts_hampel_filter(spark, sf_dir):
                   AS DECIMAL(38,6)) AS s
       FROM events GROUP BY event_type
     ), terms AS (
+      -- x = 0 contributes lim x->0 (x/mu)ln(x/mu) = 0 (events carry
+      -- exact zeros at sf0.1+; unguarded ln(0) is an error)
       SELECT e.event_type, g.n,
-             round((round(e.value, 6) / (CAST(g.s AS DOUBLE) / g.n))
-                   * ln(round(e.value, 6) / (CAST(g.s AS DOUBLE) / g.n)),
-                   9) AS term
+             CASE WHEN round(e.value, 6) > 0 THEN
+               round((round(e.value, 6) / (CAST(g.s AS DOUBLE) / g.n))
+                     * ln(round(e.value, 6) / (CAST(g.s AS DOUBLE) / g.n)),
+                     9) ELSE 0 END AS term
       FROM events e JOIN g ON e.event_type = g.event_type
     )
     SELECT event_type,
@@ -155,7 +158,9 @@ def agg_theil_index(spark, sf_dir):
     terms = ev.join(F.broadcast(g), "event_type").select(
         "event_type",
         "n",
-        F.round((x / mu) * F.log(x / mu), 9).alias("term"),
+        F.when(x > 0, F.round((x / mu) * F.log(x / mu), 9))
+        .otherwise(F.lit(0.0))
+        .alias("term"),
     )
     return terms.groupBy("event_type").agg(
         F.max("n").cast("bigint").alias("n"),
