@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     analytics15,
     analytics16,
     analytics17,
+    analytics18,
     aggs,
     corpus,
     corpus2,
