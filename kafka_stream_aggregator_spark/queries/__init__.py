@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     io2,
     io3,
     io4,
+    io5,
     joins,
     llm,
     ml2,

@@ -1,0 +1,120 @@
+"""Replays for IO wave 5 (queries/io5.py) and the custom Python
+DataSource."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import duckdb
+
+from kafka_stream_aggregator_spark.queries import REGISTRY
+from kafka_stream_aggregator_spark.sources import gen_row, register
+
+from conftest import SF_DIR
+
+
+def _duck(sql):
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def test_datasource_partitions_and_rows(spark):
+    register(spark)
+    df = (
+        spark.read.format("tradegen")
+        .option("n_rows", 100)
+        .option("n_parts", 5)
+        .option("seed", 3)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r["trade_seq"]: tuple(r) for r in df.collect()}
+    assert len(rows) == 100
+    for i in (0, 17, 99):
+        assert rows[i] == gen_row(3, i)
+
+
+def test_datasource_scan_query_is_input_independent(spark, sf_dir):
+    out = REGISTRY["io_python_datasource_scan"].fn(spark, sf_dir).collect()
+    n = sum(r["n"] for r in out)
+    assert n == 2000
+    insts = {r["instrument"] for r in out}
+    assert insts == {"BTC-OPT-A", "BTC-OPT-B", "ETH-OPT-A", "ETH-OPT-B"}
+    # exact micro-sums replay
+    exp = defaultdict(lambda: [0, 0, 0])
+    for i in range(2000):
+        _seq, inst, d, p, a, _ts = gen_row(7, i)
+        cell = exp[(inst, d)]
+        cell[0] += 1
+        cell[1] += round(p * 1e6)
+        cell[2] += round(a * 1e6)
+    for r in out:
+        c = exp[(r["instrument"], r["direction"])]
+        assert (r["n"], r["sum_price_micro"], r["sum_amount_micro"]) == tuple(c)
+
+
+def test_asof_forward_replay(spark, sf_dir):
+    rows = _duck(
+        f"""SELECT event_type, event_id, user_id, epoch_us(ts),
+                   round(value, 6)
+            FROM read_parquet('{SF_DIR}/events.parquet')
+            WHERE event_type IN ('click', 'purchase')"""
+    )
+    purchases = defaultdict(list)
+    clicks = []
+    for et, eid, u, ts, v in rows:
+        if et == "purchase":
+            purchases[u].append((ts, eid, v))
+        else:
+            clicks.append((eid, u, ts))
+    out = {r["event_id"]: r for r in REGISTRY["join_asof_forward"].fn(spark, sf_dir).collect()}
+    assert set(out) == {eid for eid, _u, _t in clicks}
+    for eid, u, ts in clicks:
+        after = sorted(p for p in purchases[u] if p[0] >= ts)
+        r = out[eid]
+        if after:
+            assert r["converts"] == 1.0
+            assert abs(r["next_purchase_value"] - after[0][2]) < 1e-6
+        else:
+            assert r["converts"] == 0.0
+            assert r["next_purchase_value"] == -1.0
+
+
+def test_dedup_curve_replay(spark, sf_dir):
+    raw, norm, pref = _duck(
+        f"""SELECT count(DISTINCT md5(text)),
+                   count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                   count(DISTINCT md5(array_to_string(
+                     regexp_extract_all(lower(text), '\\S+')[1:8], ' ')))
+            FROM read_parquet('{SF_DIR}/documents.parquet')"""
+    )[0]
+    (n,) = _duck(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )[0]
+    out = {r["tier"]: r for r in REGISTRY["corpus_dedup_curve"].fn(spark, sf_dir).collect()}
+    assert out["raw"]["n_distinct"] == raw
+    assert out["norm"]["n_distinct"] == norm
+    assert out["prefix8"]["n_distinct"] == pref
+    for r in out.values():
+        assert r["n_docs"] == n
+        assert abs(r["dup_rate"] - (1 - r["n_distinct"] / n)) < 1e-9
+    # aggressiveness ordering: coarser keys can only dedup MORE
+    assert out["raw"]["n_distinct"] >= out["norm"]["n_distinct"] >= out["prefix8"]["n_distinct"]
+
+
+def test_session_entropy_replay(spark, sf_dir):
+    rows = _duck(
+        f"""SELECT user_id, event_type, count(*)
+            FROM read_parquet('{SF_DIR}/events.parquet') GROUP BY 1, 2"""
+    )
+    per = defaultdict(dict)
+    for u, et, k in rows:
+        per[u][et] = k
+    out = {r["user_id"]: r for r in REGISTRY["events_session_entropy"].fn(spark, sf_dir).collect()}
+    assert set(out) == set(per)
+    for u, m in per.items():
+        n = sum(m.values())
+        ent = sum(-(k / n) * math.log(k / n) for k in m.values())
+        assert out[u]["n_events"] == n
+        assert abs(out[u]["entropy"] - ent) < 1e-5
+        assert -1e-9 <= out[u]["entropy"] <= math.log(5) + 1e-9
