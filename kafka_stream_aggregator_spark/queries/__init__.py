@@ -44,6 +44,7 @@ from . import (  # noqa: F401
     sketches3,
     stats,
     surface2,
+    surface3,
     textml,
     streaming_q,
     tpch,
