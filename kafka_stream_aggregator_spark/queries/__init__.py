@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     analytics16,
     analytics17,
     analytics18,
+    analytics19,
     aggs,
     corpus,
     corpus2,
