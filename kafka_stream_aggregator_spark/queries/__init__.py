@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     analytics17,
     analytics18,
     analytics19,
+    analytics20,
     aggs,
     corpus,
     corpus2,
