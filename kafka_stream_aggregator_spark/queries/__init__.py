@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     corpus3,
     events,
     geo,
+    geo2,
     graph2,
     indicators_q,
     io2,
