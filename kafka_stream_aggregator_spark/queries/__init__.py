@@ -43,6 +43,7 @@ from . import (  # noqa: F401
     scalars,
     setops,
     sketches,
+    sqlfront,
     sketches2,
     sketches3,
     stats,
