@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     corpus,
     corpus2,
     corpus3,
+    corpus4,
     events,
     geo,
     geo2,
