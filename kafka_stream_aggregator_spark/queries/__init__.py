@@ -54,6 +54,7 @@ from . import (  # noqa: F401
     streaming_q,
     tpch,
     tpch2,
+    trading,
     tpch3,
     tpch4,
     udf_io,
