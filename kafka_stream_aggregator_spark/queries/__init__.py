@@ -37,6 +37,7 @@ from . import (  # noqa: F401
     io5,
     joins,
     llm,
+    llm2,
     ml2,
     ml3,
     ml4,
