@@ -53,6 +53,7 @@ from . import (  # noqa: F401
     surface3,
     textml,
     streaming_q,
+    streaming_q2,
     tpch,
     tpch2,
     trading,

@@ -24,7 +24,12 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _h(s: str) -> int:
@@ -78,8 +83,41 @@ class TradeGenReader(DataSourceReader):
             yield gen_row(partition.seed, i)
 
 
+class TradeGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched stream over the same deterministic generator:
+    offsets are row indices; each trigger serves `batch_rows`; once
+    `n_rows` are served the reader reports no new data (same offset),
+    so availableNow triggers drain exactly the batch row set."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 500))
+        self.seed = int(options.get("seed", 7))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def read(self, start):
+        lo = start["i"]
+        hi = min(lo + self.batch_rows, self.n_rows)
+        # iter(list), precisely: the runner's prefetch cache consumes
+        # the result with next() (a bare list fails), but a generator
+        # fails the planner's pickling — the materialized-list
+        # iterator satisfies both.
+        return iter([gen_row(self.seed, i) for i in range(lo, hi)]), {
+            "i": hi
+        }
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [gen_row(self.seed, i) for i in range(start["i"], end["i"])]
+        )
+
+
 class TradeGenDataSource(DataSource):
-    """spark.read.format("tradegen").option("n_rows", N).load()"""
+    """spark.read.format("tradegen").option("n_rows", N).load() — and
+    spark.readStream.format("tradegen")... for the micro-batched
+    stream over the same rows."""
 
     @classmethod
     def name(cls) -> str:
@@ -93,6 +131,9 @@ class TradeGenDataSource(DataSource):
 
     def reader(self, schema) -> TradeGenReader:
         return TradeGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> TradeGenStreamReader:
+        return TradeGenStreamReader(self.options)
 
 
 def register(spark) -> None:

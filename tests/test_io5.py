@@ -118,3 +118,23 @@ def test_session_entropy_replay(spark, sf_dir):
         assert out[u]["n_events"] == n
         assert abs(out[u]["entropy"] - ent) < 1e-5
         assert -1e-9 <= out[u]["entropy"] <= math.log(5) + 1e-9
+
+
+def test_streaming_datasource_drains_all_batches(spark, sf_dir):
+    """The custom streaming source serves 2000 rows in 5 uneven
+    450-row micro-batches; the drained complete-mode counts must equal
+    the batch generator aggregate exactly."""
+    from collections import Counter
+
+    out = {
+        r["instrument"]: (r["n"], r["buys"])
+        for r in REGISTRY["stream_pydatasource_counts"].fn(spark, sf_dir).collect()
+    }
+    exp_n = Counter()
+    exp_b = Counter()
+    for i in range(2000):
+        _s, inst, d, _p, _a, _t = gen_row(7, i)
+        exp_n[inst] += 1
+        if d == "buy":
+            exp_b[inst] += 1
+    assert out == {k: (exp_n[k], exp_b[k]) for k in exp_n}
