@@ -41,6 +41,7 @@ from . import (  # noqa: F401
     ml2,
     ml3,
     ml4,
+    ml5,
     pipeline_rules,
     scalars,
     setops,
