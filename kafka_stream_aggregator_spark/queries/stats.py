@@ -338,9 +338,14 @@ def stat_spearman_corr(spark, sf_dir):
     # column is quantized once to DECIMAL(18,6) (the proven
     # double->decimal cast both engines share), making every group
     # moment an EXACT decimal: sums in (38,6), sums of squares in
-    # (38,12). The cross-group sum of s_g^2/n_g uses the chi-square
-    # pattern (per-group double chain, round 9, DECIMAL(38,9) exact
-    # sum) so k-group addition order cannot leak into the hash.
+    # (38,12). The cross-group sum of s_g^2/n_g is a FIXED-ORDER fold
+    # over the event_type-sorted term list (list_reduce / F.aggregate
+    # — one identical double chain): at sf5 the terms reach ~6e10,
+    # where the double ulp (7.6e-6) exceeds both a round-9 grain and
+    # the round-6 output grain, so the earlier round-9+DECIMAL-sum
+    # pattern itself diverged (the engines' round() paths differ by an
+    # ulp at that magnitude — caught by the round-7 sf5 window).
+    # Outputs are emitted UNROUNDED; the driver rounds symmetrically.
     oracle="""
     WITH g AS (
       SELECT event_type,
@@ -355,27 +360,26 @@ def stat_spearman_corr(spark, sf_dir):
              CAST(sum(n_g) AS BIGINT) AS n,
              CAST(sum(s_g) AS DECIMAL(38,6)) AS s,
              CAST(sum(q_g) AS DECIMAL(38,12)) AS q,
-             CAST(sum(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
-                                 / CAST(n_g AS DOUBLE), 9)
-                           AS DECIMAL(38,9))) AS DECIMAL(38,9)) AS sg2
+             list_reduce(
+               list_prepend(0.0,
+                 list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                      / CAST(n_g AS DOUBLE) ORDER BY event_type)),
+               (a, b) -> a + b) AS sg2
       FROM g
     )
     SELECT k, n,
-           round(CAST(sg2 AS DOUBLE)
-                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                   / CAST(n AS DOUBLE), 6) AS ss_between,
-           round(CAST(q AS DOUBLE) - CAST(sg2 AS DOUBLE), 6) AS ss_within,
-           round(((CAST(sg2 AS DOUBLE)
-                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                     / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
-                 / ((CAST(q AS DOUBLE) - CAST(sg2 AS DOUBLE))
-                    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat,
-           round((CAST(sg2 AS DOUBLE)
-                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                    / CAST(n AS DOUBLE))
-                 / (CAST(q AS DOUBLE)
-                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                      / CAST(n AS DOUBLE)), 6) AS eta_sq
+           sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS ss_between,
+           CAST(q AS DOUBLE) - sg2 AS ss_within,
+           ((sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((CAST(q AS DOUBLE) - sg2)
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat,
+           (sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS eta_sq
     FROM m
     """,
 )
@@ -395,29 +399,36 @@ def stat_anova_oneway(spark, sf_dir):
         F.sum(v * v).cast("decimal(38,12)").alias("q_g"),
     )
     sgd = F.col("s_g").cast("double")
-    term = F.round(sgd * sgd / F.col("n_g").cast("double"), 9).cast(
-        "decimal(38,9)"
-    )
+    term = sgd * sgd / F.col("n_g").cast("double")
     m = g.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("n_g").cast("bigint").alias("n"),
         F.sum("s_g").cast("decimal(38,6)").alias("s"),
         F.sum("q_g").cast("decimal(38,12)").alias("q"),
-        F.sum(term).cast("decimal(38,9)").alias("sg2"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("event_type"), term.alias("t")))
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sg2"),
     )
     kd = F.col("k").cast("double")
     nd = F.col("n").cast("double")
     sd = F.col("s").cast("double")
     qd = F.col("q").cast("double")
-    sg2d = F.col("sg2").cast("double")
+    sg2d = F.col("sg2")
     ssb = sg2d - sd * sd / nd
     ssw = qd - sg2d
     sst = qd - sd * sd / nd
     return m.select(
         "k",
         "n",
-        F.round(ssb, 6).alias("ss_between"),
-        F.round(ssw, 6).alias("ss_within"),
-        F.round((ssb / (kd - 1.0)) / (ssw / (nd - kd)), 6).alias("f_stat"),
-        F.round(ssb / sst, 6).alias("eta_sq"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        ((ssb / (kd - 1.0)) / (ssw / (nd - kd))).alias("f_stat"),
+        (ssb / sst).alias("eta_sq"),
     )
