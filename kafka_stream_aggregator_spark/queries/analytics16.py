@@ -29,8 +29,11 @@ N_FOLDS = 5
     # 5-fold CV of simple OLS (l_extendedprice ~ l_quantity): folds
     # from the portable hash of the line key; train moments for fold f
     # are the EXACT decimal totals minus fold f's moments; per-fold
-    # slope/intercept are one double chain; test RMSE sums round-9
-    # squared residuals in DECIMAL.
+    # slope/intercept are one double chain; the test-side PREDICTION
+    # quantizes to 6 dp (round-6 at ~1e5 magnitude is deterministic:
+    # ulp 1.5e-11 << the grain) so every squared residual is an EXACT
+    # DECIMAL — no float accumulation anywhere (the anova sf5 lesson:
+    # round-9 of ~1e10-magnitude doubles is NOT cross-engine-stable).
     oracle=f"""
     WITH d AS (
       SELECT CAST({U64.format(expr="(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || ':cv')")}
@@ -69,15 +72,16 @@ N_FOLDS = 5
       FROM coef JOIN fm USING (fold), tot
     ), res AS (
       SELECT d.fold,
-             round(pow(CAST(d.y AS DOUBLE)
-                       - c.a - c.b * CAST(d.x AS DOUBLE), 2), 9) AS t2
+             (d.y - CAST(round(c.a + c.b * CAST(d.x AS DOUBLE), 6)
+                         AS DECIMAL(16,6))) AS rz
       FROM d JOIN coef2 c ON d.fold = c.fold
     )
     SELECT c.fold, c.n_train, c.n_test,
            round(c.a, 6) AS intercept, round(c.b, 6) AS coef_qty,
            round(sqrt(CAST(r.s2 AS DOUBLE) / c.n_test), 6) AS rmse
     FROM coef2 c JOIN (
-      SELECT fold, CAST(sum(CAST(t2 AS DECIMAL(30,9))) AS DECIMAL(38,9)) AS s2
+      SELECT fold, CAST(sum(CAST(rz AS DECIMAL(19,6)) * rz) AS DECIMAL(38,12))
+               AS s2
       FROM res GROUP BY fold
     ) r ON c.fold = r.fold
     """,
@@ -146,18 +150,17 @@ def ml_kfold_cv_linreg(spark, sf_dir):
         F.broadcast(coef2.select("fold", "a", "b")), "fold"
     ).select(
         "fold",
-        F.round(
-            F.pow(
-                F.col("y").cast("double")
-                - F.col("a")
-                - F.col("b") * F.col("x").cast("double"),
-                F.lit(2),
-            ),
-            9,
-        ).alias("t2"),
+        (
+            F.col("y")
+            - F.round(
+                F.col("a") + F.col("b") * F.col("x").cast("double"), 6
+            ).cast("decimal(16,6)")
+        ).alias("rz"),
     )
     s2 = res.groupBy("fold").agg(
-        F.sum(F.col("t2").cast("decimal(30,9)")).cast("decimal(38,9)").alias("s2")
+        F.sum(F.col("rz").cast("decimal(19,6)") * F.col("rz"))
+        .cast("decimal(38,12)")
+        .alias("s2")
     )
     return coef2.join(s2, "fold").select(
         "fold",
