@@ -436,13 +436,13 @@ def q_simhash_near_dup(spark, sf_dir):
     # the whole approximate search has an exact SQL oracle: centroid
     # seeding, 1-probe candidate / 4-probe query assignment, equi join
     # on cell_id, multi-probe dedup, per-query top-5.
-    # bench=True (VERDICT r6 item 4): cos_topk_bruteforce is the
-    # documented exact-oracle tier whose O(N*Q) ratio degrades with
-    # scale; this is the production path the 100 TB story rests on, so
-    # the driver-tracked number must include it. Recall floor vs brute
-    # force: tests/test_llm.py::test_ivf_recall pins recall@5 >= 0.5 at
-    # this config (measured 0.664-0.772, docs/ANN_RECALL.md).
-    bench=True,
+    # Bench flag moved to ann_ivf_numpy_topk in round 8 (VERDICT r7
+    # item 1): this HOF tier stays the exactly-SQL-oracled REFERENCE
+    # (interpreted aggregate/zip_with folds, ~2x the numpy tier's
+    # cost); the numpy tier with identical cells/probes/ranking is the
+    # measured production path. Recall floor vs brute force:
+    # tests/test_llm.py::test_ivf_recall pins recall@5 >= 0.5 at this
+    # config (measured 0.664-0.772, docs/ANN_RECALL.md).
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (SELECT vec_id AS cell_id, v AS c_vec FROM e ORDER BY vec_id LIMIT 16),

@@ -12,8 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..llm.numpy_topk import numpy_topk
-from ..llm.similarity import as_double
+from ..llm.numpy_topk import ivf_numpy_topk, numpy_topk
+from ..llm.similarity import as_double, pseudo_centroids
 from .base import query, t
 
 
@@ -32,6 +32,33 @@ def ann_numpy_topk(spark, sf_dir):
     )
     cands = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
     out = numpy_topk(queries, cands, k=5)
+    return out.select(
+        "q_id", "c_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+@query("ann_ivf_numpy_topk", oracle=None, bench=True)
+def ann_ivf_numpy_topk_q(spark, sf_dir):
+    """IVF + Arrow/numpy scoring — the production measured ANN tier
+    (VERDICT r7 item 1): same cells/probes/ranking as ann_ivf_topk
+    (the exactly-SQL-oracled reference tier, llm/similarity.py), with
+    candidate cell-assignment and pair scoring as per-batch numpy
+    matmuls in one mapInPandas pass instead of interpreted
+    higher-order-function folds. Top-k sets pinned equal to the HOF
+    tier in tests/test_numpy_topk.py; recall floor vs brute force in
+    docs/ANN_RECALL.md. oracle=None by design (float-sum order)."""
+    # raw array<float> throughout: driver-side np.array / in-batch
+    # astype widen float32->float64 exactly, so values match the HOF
+    # tier's transform(cast) without an interpreted pass over the table
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    cents = pseudo_centroids(e, "v", "vec_id", n_cells=16)
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
+    )
+    cands = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
+    out = ivf_numpy_topk(queries, cands, cents, k=5, n_probe=4)
     return out.select(
         "q_id", "c_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
     )
