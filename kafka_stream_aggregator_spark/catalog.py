@@ -38,18 +38,32 @@ def register_tables(
 ) -> list[str]:
     """Create or replace one temp view per testdata table; returns the
     registered names. With `database`, views are prefixed
-    (`db_table`) — temp views have no namespace, so the prefix IS the
-    database encoding (documented limitation until a real metastore
-    ships in this sandbox)."""
+    (`db__table`, double underscore — ADVICE r7: a single `_` collides
+    with plain view names like `x_events`) — temp views have no
+    namespace, so the prefix IS the database encoding (documented
+    limitation until a real metastore ships in this sandbox).
+    `database` must be a bare identifier (no `__`), so encoded names
+    decode unambiguously."""
+    if database is not None and (
+        "__" in database or not database.isidentifier()
+    ):
+        raise ValueError(
+            f"database must be a bare identifier without '__': {database!r}"
+        )
     names = []
     for t in TABLES:
-        name = f"{database}_{t}" if database else t
+        name = f"{database}__{t}" if database else t
         load_table(spark, sf_dir, t).createOrReplaceTempView(name)
         names.append(name)
     return names
 
 
 def sql(spark: SparkSession, sf_dir: str, statement: str) -> DataFrame:
-    """One-call SQL front door: register the catalog, run the statement."""
+    """One-call SQL front door: register the catalog, run the statement.
+
+    Registers exactly the ten TABLES names (clobbering a user temp view
+    that happens to shadow a TESTDATA TABLE name is the documented
+    contract — the front door owns those ten names; anything else in
+    the session catalog is untouched, ADVICE r7)."""
     register_tables(spark, sf_dir)
     return spark.sql(statement)

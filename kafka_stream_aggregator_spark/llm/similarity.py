@@ -86,7 +86,15 @@ def assign_cells(
     0.7 s; at 100 TB the exchange would have been the dominant cost
     of every IVF build). The row-vector norm still divides every
     candidate's score equally, so cell ranking only needs
-    dot/centroid_norm — same argmax, one fold less per pair."""
+    dot/centroid_norm — same argmax, one fold less per pair.
+
+    Degenerate-vector note (ADVICE r7): a zero-norm row or centroid
+    yields NaN sims; array_sort orders NaN structs LAST, whereas the
+    old Window orderBy(sim DESC) put NaN FIRST — so zero-norm inputs
+    now fall back to the lowest cell_ids instead of hijacking the
+    ranking. Well-defined either way; the new order is the saner one
+    and no testdata vector has zero norm (pinned nowhere — documented
+    here only)."""
     cents = centroids.withColumn("__cnorm", norm(F.col("c_vec")))
     carr = cents.agg(
         F.collect_list(F.struct("cell_id", "c_vec", "__cnorm")).alias("__cents")
@@ -99,7 +107,7 @@ def assign_cells(
         ),
     )
     return (
-        df.join(F.broadcast(carr))
+        df.crossJoin(F.broadcast(carr))  # explicit: 1-row centroid array
         .withColumn("__top", F.slice(F.array_sort(sims), 1, n_probe))
         .drop("__cents")
         .withColumn("__c", F.explode("__top"))

@@ -60,7 +60,10 @@ def doc_contamination_overlap(spark, sf_dir):
     gram hashes (the only shuffled relation), eval membership via a
     hash equi-join. The >= 0.5 flag is integer arithmetic."""
     d = t(spark, sf_dir, "documents")
-    tk = F.split(F.lower("text"), r"\s+")
+    # regexp_extract_all('\S+') not split('\s+'): split yields spurious
+    # empty tokens on boundary whitespace, diverging 5-grams from the
+    # oracle's tokenizer (ADVICE r7; house rule analytics17.py:127)
+    tk = F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)
     toks = d.select("doc_id", "lang", tk.alias("tk")).filter(
         F.size("tk") >= 5
     )

@@ -51,11 +51,19 @@ from .base import query, t
              CAST(sum(neg) AS BIGINT) AS tneg
       FROM cells
     )
-    SELECT bin, pos, neg,
-           round(ln((CAST(pos AS DOUBLE) / tpos)
-                    / (CAST(neg AS DOUBLE) / tneg)), 6) AS woe
-    FROM cells, tot
-    WHERE pos > 0 AND neg > 0
+    , kept AS (
+      SELECT bin, pos, neg,
+             round(ln((CAST(pos AS DOUBLE) / tpos)
+                      / (CAST(neg AS DOUBLE) / tneg)), 6) AS woe,
+             CAST(pos AS DOUBLE) / tpos - CAST(neg AS DOUBLE) / tneg
+               AS diff
+      FROM cells, tot
+      WHERE pos > 0 AND neg > 0
+    )
+    SELECT bin, pos, neg, woe,
+           round(CAST(sum(CAST(round(diff * woe, 9) AS DECIMAL(20,9)))
+                      OVER () AS DOUBLE), 6) AS iv
+    FROM kept
     """,
 )
 def ml_woe_encoding(spark, sf_dir):
@@ -90,7 +98,7 @@ def ml_woe_encoding(spark, sf_dir):
         F.sum("pos").cast("bigint").alias("tpos"),
         F.sum("neg").cast("bigint").alias("tneg"),
     )
-    return (
+    kept = (
         cells.crossJoin(F.broadcast(tot))
         .filter((F.col("pos") > 0) & (F.col("neg") > 0))
         .select(
@@ -104,8 +112,25 @@ def ml_woe_encoding(spark, sf_dir):
                 ),
                 6,
             ).alias("woe"),
+            (
+                F.col("pos").cast("double") / F.col("tpos")
+                - F.col("neg").cast("double") / F.col("tneg")
+            ).alias("diff"),
         )
     )
+    # IV = sum over kept bins of (dist_pos - dist_neg) * WoE; terms use
+    # the ROUNDED woe (round-6 ln is the cross-libm-safe value) and the
+    # exact double diff chain, round-9 + DECIMAL sum (house pattern;
+    # magnitudes < 1 so the anova magnitude rule is satisfied)
+    iv = F.round(
+        F.sum(
+            F.round(F.col("diff") * F.col("woe"), 9).cast("decimal(20,9)")
+        )
+        .over(W.partitionBy())
+        .cast("double"),
+        6,
+    )
+    return kept.select("bin", "pos", "neg", "woe", iv.alias("iv"))
 
 
 @query(

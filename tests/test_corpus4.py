@@ -108,6 +108,13 @@ def test_sql_catalog_front_door(spark, sf_dir):
     assert n == exp
     # prefixed database encoding
     pnames = register_tables(spark, sf_dir, database="sf")
-    assert "sf_lineitem" in pnames
-    n2 = spark.sql("SELECT count(*) AS n FROM sf_lineitem").collect()[0]["n"]
+    assert "sf__lineitem" in pnames
+    n2 = spark.sql("SELECT count(*) AS n FROM sf__lineitem").collect()[0]["n"]
     assert n2 == exp
+    # encoding is validated: '__' in the database name would be ambiguous
+    import pytest
+
+    with pytest.raises(ValueError):
+        register_tables(spark, sf_dir, database="a__b")
+    with pytest.raises(ValueError):
+        register_tables(spark, sf_dir, database="not an ident")
