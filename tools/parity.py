@@ -100,7 +100,14 @@ def canon(rows, cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:] or list(REGISTRY)
-    spark = get_spark("parity", cpus=8, shuffle_partitions=8)
+    # no console progress bar: its \r rewrites garble FAIL diagnostics
+    # in tee'd artifacts (VERDICT r7 item 6, docs/PARITY_r07_sf5_w1.txt)
+    spark = get_spark(
+        "parity",
+        cpus=8,
+        shuffle_partitions=8,
+        extra={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -167,10 +174,13 @@ def main():
             continue
         bad = [(a, b) for a, b in zip(sr, orows) if a != b]
         if bad:
+            def clean(v):  # keep FAIL rows single-line in artifacts
+                return repr(v).replace("\r", "\\r").replace("\n", "\\n")
+
             print(f"FAIL {name}: {len(bad)}/{len(sr)} rows differ; first: ")
             print(f"  cols:   {sc}")
-            print(f"  spark:  {bad[0][0]}")
-            print(f"  oracle: {bad[0][1]}")
+            print(f"  spark:  {clean(bad[0][0])}")
+            print(f"  oracle: {clean(bad[0][1])}")
             n_fail += 1
             continue
         print(f"PASS {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
