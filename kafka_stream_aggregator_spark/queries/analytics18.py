@@ -262,20 +262,23 @@ def join_asof_tolerance(spark, sf_dir):
                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                 * sx) / n AS a
       FROM m1
-    ), t2 AS (
-      SELECT d.x, b1.a, b1.b,
-             round(exp(b1.a + b1.b * d.x), 9) AS w,
-             round(exp(b1.a + b1.b * d.x) * d.x, 9) AS wx,
-             round(exp(b1.a + b1.b * d.x) * d.x * d.x, 9) AS wxx,
-             round(exp(b1.a + b1.b * d.x)
-                   * ((b1.a + b1.b * d.x)
-                      + (d.y - exp(b1.a + b1.b * d.x))
-                        / exp(b1.a + b1.b * d.x)), 9) AS wz,
-             round(exp(b1.a + b1.b * d.x) * d.x
-                   * ((b1.a + b1.b * d.x)
-                      + (d.y - exp(b1.a + b1.b * d.x))
-                        / exp(b1.a + b1.b * d.x)), 9) AS wxz
+    ), tq AS (
+      -- ROUND9_AUDIT r8: mu reaches 4.3e5 and wxx 3.2e8 at sf5 — far
+      -- past the magnitude where a cross-libm exp() ulp survives
+      -- round-9 (the anova rule). Quantize mu to 6 dp ONCE (robust:
+      -- exp ulp 9e-11 << the 0.5e-6 grain), so every downstream term
+      -- is pure IEEE arithmetic on identical doubles in both engines.
+      SELECT d.x, d.y, b1.a, b1.b,
+             round(exp(b1.a + b1.b * d.x), 6) AS mu
       FROM d, b1
+    ), t2 AS (
+      SELECT x, a, b,
+             round(mu, 9) AS w,
+             round(mu * x, 9) AS wx,
+             round(mu * x * x, 9) AS wxx,
+             round(mu * ((a + b * x) + (y - mu) / mu), 9) AS wz,
+             round(mu * x * ((a + b * x) + (y - mu) / mu), 9) AS wxz
+      FROM tq
     ), m2 AS (
       SELECT max(a) AS a1, max(b) AS b1v,
              CAST(sum(CAST(w AS DECIMAL(30,9))) AS DOUBLE) AS sw,
@@ -320,9 +323,15 @@ def ml_poisson_irls(spark, sf_dir):
         ((F.col("sz").cast("double") - bb * F.col("sx")) / F.col("n")).alias("a"),
     )
     eta = F.col("a") + F.col("b") * F.col("x")
-    mu = F.exp(eta)
-    zz = eta + (F.col("y") - mu) / mu
-    t2 = d.crossJoin(F.broadcast(b1)).select(
+    # mu quantized to 6 dp before ANY term algebra (ROUND9_AUDIT r8:
+    # terms reach 3.2e8 at sf5; see the oracle comment) — keep the
+    # intermediate under its own name, not a lateral alias
+    tq = d.crossJoin(F.broadcast(b1)).select(
+        "x", "y", "a", "b", F.round(F.exp(eta), 6).alias("mu")
+    )
+    zz = eta + (F.col("y") - F.col("mu")) / F.col("mu")
+    mu = F.col("mu")
+    t2 = tq.select(
         "x",
         "a",
         "b",
