@@ -36,3 +36,102 @@ def sql_catalog_query(spark, sf_dir):
     from ..catalog import sql
 
     return sql(spark, sf_dir, _STMT)
+
+
+# --------------------------------------------------------------------------
+# Round-8 suite (VERDICT r7 item 7): one verbatim ANSI statement per row,
+# run through the catalog front door on Spark and UNCHANGED as the DuckDB
+# oracle. Coverage: correlated scalar subquery, inline VALUES relation,
+# CTE + bounded window frame, EXISTS/NOT EXISTS semi/anti join,
+# INTERSECT/EXCEPT set ops, HAVING + CASE aggregation. Dialect-common
+# subset rules as above (BIGINT casts, cents for money sums).
+# --------------------------------------------------------------------------
+
+
+def _front_door(stmt):
+    def fn(spark, sf_dir):
+        from ..catalog import sql
+
+        return sql(spark, sf_dir, stmt)
+
+    return fn
+
+
+_SQL_SUITE = {
+    # correlated scalar subquery in WHERE — the classic decorrelation
+    # test; Catalyst rewrites it to an aggregate + join
+    "sql_correlated_subquery": """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       WHERE o.o_custkey = c.c_custkey) > 8
+""",
+    # inline VALUES relation joined as a dimension (broadcast-able
+    # literal table — the SQL twin of the DataFrame lookup-join rows)
+    "sql_values_join": """
+SELECT t.grade, CAST(count(*) AS BIGINT) AS n
+FROM orders
+JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+             ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+             ('5-LOW', 'cold')) AS t(prio, grade)
+  ON o_orderpriority = t.prio
+GROUP BY t.grade
+""",
+    # CTE + bounded ROWS frame; money in integer cents so the rolling
+    # sum is exact on both engines
+    "sql_cte_window_frame": """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 200
+)
+SELECT o_custkey, o_orderkey,
+       CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS rolling_cents
+FROM o
+""",
+    # EXISTS semi join + NOT EXISTS anti join, both correlated
+    "sql_exists_anti": """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_suppkey = s.s_suppkey
+                    AND l2.l_quantity < 2 AND l2.l_discount > 0.09
+                    AND l2.l_returnflag = 'R')
+""",
+    # INTERSECT / EXCEPT (both DISTINCT semantics on both engines)
+    "sql_set_ops": """
+SELECT 'both' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') x
+UNION ALL
+SELECT 'f_only' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') y
+""",
+    # HAVING over a joined aggregate + CASE-conditional count
+    "sql_having_case": """
+SELECT n_name,
+       CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_positive,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+HAVING count(*) > 5
+""",
+}
+
+for _name, _stmt in _SQL_SUITE.items():
+    _fn = _front_door(_stmt)
+    _fn.__name__ = _name
+    _fn.__doc__ = (
+        "SQL front-door suite row: this ANSI statement runs VERBATIM "
+        "through catalog.sql on Spark and as its own DuckDB oracle.\n"
+        + _stmt
+    )
+    query(_name, oracle=_stmt)(_fn)
