@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     analytics18,
     analytics19,
     analytics20,
+    analytics21,
     aggs,
     corpus,
     corpus2,
