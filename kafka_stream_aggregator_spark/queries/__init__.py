@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     corpus2,
     corpus3,
     corpus4,
+    corpus5,
     events,
     geo,
     geo2,

@@ -579,3 +579,71 @@ def join_set_similarity_prefix(spark, sf_dir):
         .filter(jac >= thr)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query(
+    "join_salted_skew",
+    # The salted JOIN (round 8; the groupBy twin is
+    # agg_salted_heavy_key): events join a 5-row weight dim on
+    # event_type — 5 enormous keys, the shape where a shuffle join
+    # hot-spots one reducer per key. The engine salts the DIM (each
+    # key replicated x8 with a salt column) and spreads the fact side
+    # with pmod(xxhash64(user_id), 8), so the equi join key becomes
+    # (event_type, salt) and each hot key fans across 8 reducers.
+    # Salting is result-invariant, so the oracle is the PLAIN join +
+    # aggregate; sums are DECIMAL/integer-exact.
+    oracle="""
+    WITH dim(event_type, weight) AS (
+      VALUES ('view', 1.0), ('click', 2.0), ('purchase', 10.0),
+             ('signup', 5.0), ('error', 0.0)
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value, 6) AS DECIMAL(18,6))
+                    * CAST(d.weight AS DECIMAL(6,1))) * 10000000
+                AS BIGINT) AS weighted_value_e7
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted skew join: dim replicated x SALT_N (still broadcast-size
+    — salting a dim multiplies rows, not bytes that matter), fact rows
+    pick a uniform salt from a row-local hash, join on the compound
+    key. At 100 TB this is the standard answer when AQE's skew split
+    can't see the skew (e.g. post-aggregation joins); result is
+    bit-equal to the unsalted join, which the oracle verifies."""
+    SALT_N = 8
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        )
+    )
+    dim = spark.createDataFrame(
+        [
+            ("view", "1.0"),
+            ("click", "2.0"),
+            ("purchase", "10.0"),
+            ("signup", "5.0"),
+            ("error", "0.0"),
+        ],
+        "event_type string, weight string",
+    ).select("event_type", F.col("weight").cast("decimal(6,1)").alias("w"))
+    salted_dim = dim.crossJoin(
+        spark.range(SALT_N).select(F.col("id").cast("int").alias("salt"))
+    )
+    fact = ev.withColumn(
+        "salt", F.pmod(F.xxhash64("user_id"), F.lit(SALT_N)).cast("int")
+    )
+    j = fact.join(F.broadcast(salted_dim), ["event_type", "salt"])
+    return j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.sum(F.col("v") * F.col("w")) * 10_000_000)
+        .cast("bigint")
+        .alias("weighted_value_e7"),
+    )
