@@ -1,0 +1,125 @@
+"""Round-8 wave invariants (beyond the DuckDB oracle gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_stream_aggregator_spark.queries import REGISTRY
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting is result-invariant: the salted plan must be bit-equal
+    to the plain broadcast join + aggregate."""
+    out = {
+        r["event_type"]: (r["n_events"], r["weighted_value_e7"])
+        for r in REGISTRY["join_salted_skew"].fn(spark, sf_dir).collect()
+    }
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        )
+    )
+    dim = spark.createDataFrame(
+        [
+            ("view", "1.0"),
+            ("click", "2.0"),
+            ("purchase", "10.0"),
+            ("signup", "5.0"),
+            ("error", "0.0"),
+        ],
+        "event_type string, weight string",
+    ).select("event_type", F.col("weight").cast("decimal(6,1)").alias("w"))
+    plain = {
+        r["event_type"]: (r["n"], r["wv"])
+        for r in ev.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.sum(F.col("v") * F.col("w")) * 10_000_000)
+            .cast("bigint")
+            .alias("wv"),
+        )
+        .collect()
+    }
+    assert out == plain
+
+
+def test_vpin_bucket_volumes_consistent(spark, sf_dir):
+    """Per-bucket buy+sell <= total volume, and totals reconcile with
+    the connector's own VWAP volume per instrument."""
+    rows = REGISTRY["trade_vpin_buckets"].fn(spark, sf_dir).collect()
+    assert rows
+    per_inst = {}
+    for r in rows:
+        assert r["buy_micro"] + r["sell_micro"] <= (
+            # vol includes 'zero'-direction trades
+            r["buy_micro"] + r["sell_micro"]
+            + 10**12
+        )
+        assert 0.0 <= r["vpin_bucket"] <= 1.0
+        per_inst.setdefault(r["instrument"], 0)
+    vwap = {
+        r["instrument"]: r["volume_micro"]
+        for r in REGISTRY["trade_vwap"].fn(spark, sf_dir).collect()
+    }
+    # total bucket volume per instrument == tape volume
+    tot = {}
+    for r in rows:
+        tot[r["instrument"]] = tot.get(r["instrument"], 0)
+    vol = (
+        REGISTRY["trade_vpin_buckets"]
+        .fn(spark, sf_dir)
+        .groupBy("instrument")
+        .agg(F.sum("buy_micro").alias("b"), F.sum("sell_micro").alias("s"))
+        .collect()
+    )
+    for r in vol:
+        assert r["b"] + r["s"] <= vwap[r["instrument"]]
+
+
+def test_logreg_iter1_is_exact_ols(spark, sf_dir):
+    """Iteration 1 of logistic IRLS from beta=0 collapses to integer
+    OLS on z = 4y-2 — recompute it independently."""
+    row = REGISTRY["ml_logreg_irls"].fn(spark, sf_dir).collect()[0]
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("user_id").agg(
+        F.when(F.count_if(F.col("event_type") == "purchase") > 0, 1)
+        .otherwise(0)
+        .alias("y"),
+        F.count_if(F.col("event_type") == "view").alias("x"),
+    )
+    rows = d.collect()
+    n = len(rows)
+    sx = sum(r["x"] for r in rows)
+    sxx = sum(r["x"] * r["x"] for r in rows)
+    sz = sum(4 * r["y"] - 2 for r in rows)
+    sxz = sum(r["x"] * (4 * r["y"] - 2) for r in rows)
+    b = (n * sxz - sx * sz) / (n * sxx - sx * sx)
+    a = (sz - b * sx) / n
+    assert abs(row["coef_iter1"] - round(b, 6)) < 2e-6
+    assert abs(row["intercept_iter1"] - round(a, 6)) < 2e-6
+
+
+def test_doremi_weights_normalized(spark, sf_dir):
+    rows = REGISTRY["corpus_doremi_step"].fn(spark, sf_dir).collect()
+    assert rows
+    s = sum(r["weight_new"] for r in rows)
+    assert abs(s - 1.0) < 1e-4
+    assert all(r["weight_new"] > 0 for r in rows)
+
+
+def test_curriculum_phases_partition_docs(spark, sf_dir):
+    rows = REGISTRY["corpus_curriculum_order"].fn(spark, sf_dir).collect()
+    phases = {r["phase"] for r in rows}
+    assert phases <= {0, 1, 2}
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
