@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     analytics19,
     analytics20,
     analytics21,
+    analytics22,
     aggs,
     corpus,
     corpus2,
