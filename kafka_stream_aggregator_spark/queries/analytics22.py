@@ -284,3 +284,57 @@ def emb_triplet_margin(spark, sf_dir):
         F.round(cp - cn, 6).alias("margin"),
         (cp - cn > 0.05).alias("satisfied"),
     )
+
+
+@query(
+    "events_hazard_rate",
+    # Discrete-time churn hazard: week k's hazard = users whose LAST
+    # activity falls in week k / users still at risk at week k
+    # (last activity >= k). Exact integer counts; the at-risk series
+    # is a reversed cumulative sum over the bounded week relation.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(max(floor(epoch(ts) / 604800)) AS BIGINT) AS last_wk
+      FROM events GROUP BY user_id
+    ), wk AS (
+      SELECT last_wk AS wk, CAST(count(*) AS BIGINT) AS churned
+      FROM u GROUP BY last_wk
+    ), r AS (
+      SELECT wk, churned,
+             CAST(sum(churned) OVER (ORDER BY wk DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS at_risk
+      FROM wk
+    )
+    SELECT wk, churned, at_risk,
+           round(CAST(churned AS DOUBLE) / at_risk, 6) AS hazard
+    FROM r
+    """,
+)
+def events_hazard_rate(spark, sf_dir):
+    """Churn hazard: one user-grain max (map-combinable), one count
+    over the bounded week relation, one reversed cumulative window on
+    it — at 100 TB only the first aggregate sees data."""
+    ev = t(spark, sf_dir, "events")
+    wk = F.floor(F.col("ts").cast("double") / 604800).cast("bigint")
+    u = ev.groupBy("user_id").agg(F.max(wk).alias("last_wk"))
+    wkr = u.groupBy(F.col("last_wk").alias("wk")).agg(
+        F.count("*").cast("bigint").alias("churned")
+    )
+    rev = W.orderBy(F.col("wk").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    r = wkr.select(
+        "wk",
+        "churned",
+        F.sum("churned").over(rev).cast("bigint").alias("at_risk"),
+    )
+    return r.select(
+        "wk",
+        "churned",
+        "at_risk",
+        F.round(F.col("churned").cast("double") / F.col("at_risk"), 6).alias(
+            "hazard"
+        ),
+    )

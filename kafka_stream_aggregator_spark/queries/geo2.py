@@ -178,3 +178,84 @@ def ml_feature_hashing(spark, sf_dir):
     return per.groupBy("n_feats").agg(
         F.count("*").cast("bigint").alias("n_buckets")
     )
+
+
+@query(
+    "geo_dbscan_core",
+    # DBSCAN core-point census: a point is CORE if >= min_pts (5)
+    # points (including itself) lie within eps = 15000 thousandths.
+    # Grid-bucketed like geo_radius_pairs: eps-sided cells, probe side
+    # exploded to its 3x3 neighborhood, one equi join on the cell key,
+    # EXACT integer distance^2 filter — never all pairs. Report per
+    # neighbor-count bucket how many points are core/non-core.
+    oracle=f"""
+    WITH p AS ({{pts}}),
+    cells AS (
+      SELECT pid, xi, yi, xi // {{eps}} AS cx, yi // {{eps}} AS cy FROM p
+    ),
+    probe AS (
+      SELECT pid, xi, yi, cx + dx AS cx, cy + dy AS cy
+      FROM cells,
+           (SELECT unnest([-1, 0, 1]) AS dx) t1,
+           (SELECT unnest([-1, 0, 1]) AS dy) t2
+    ),
+    nbr AS (
+      SELECT a.pid,
+             CAST(count(*) AS BIGINT) AS n_nbr  -- includes self (d=0)
+      FROM probe a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+      WHERE (a.xi - b.xi) * (a.xi - b.xi)
+            + (a.yi - b.yi) * (a.yi - b.yi) <= {{eps}} * {{eps}}
+      GROUP BY a.pid
+    )
+    SELECT least(n_nbr, 10) AS nbr_bucket,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count_if(n_nbr >= 5) AS BIGINT) AS n_core
+    FROM nbr GROUP BY least(n_nbr, 10)
+    """.format(pts=_PTS_SQL, eps=15_000),
+)
+def geo_dbscan_core(spark, sf_dir):
+    """DBSCAN's expensive half (the eps-neighborhood census) as a
+    density-bounded grid join; the label-propagation half is
+    near_dup_clusters' connected components, already in-registry.
+    Exact integer distances — both engines agree bit-for-bit."""
+    from .geo import _points
+
+    eps = 15_000
+    p = _points(spark, sf_dir)
+    cells = p.select(
+        "pid",
+        "xi",
+        "yi",
+        (F.col("xi") / eps).cast("bigint").alias("cx"),
+        (F.col("yi") / eps).cast("bigint").alias("cy"),
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    probe = (
+        cells.withColumn("dx", d)
+        .withColumn("dy", d)
+        .select(
+            "pid",
+            "xi",
+            "yi",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    b = cells.select(
+        F.col("xi").alias("bx"), F.col("yi").alias("by"), "cx", "cy"
+    )
+    dist2 = (F.col("xi") - F.col("bx")) * (F.col("xi") - F.col("bx")) + (
+        F.col("yi") - F.col("by")
+    ) * (F.col("yi") - F.col("by"))
+    nbr = (
+        probe.join(b, ["cx", "cy"])
+        .filter(dist2 <= eps * eps)
+        .groupBy("pid")
+        .agg(F.count("*").cast("bigint").alias("n_nbr"))
+    )
+    return nbr.groupBy(
+        F.least(F.col("n_nbr"), F.lit(10)).alias("nbr_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.count_if(F.col("n_nbr") >= 5).cast("bigint").alias("n_core"),
+    )
