@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     analytics20,
     analytics21,
     analytics22,
+    analytics23,
     aggs,
     corpus,
     corpus2,
