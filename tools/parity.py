@@ -117,9 +117,23 @@ def main():
     for name in names:
         spec = REGISTRY[name]
         t0 = time.time()
+        max_rows = int(os.environ.get("SPARK_GRAFT_PARITY_MAX_ROWS", "0"))
         try:
             df = spec.fn(spark, sf_dir)
             s_cols = df.columns
+            if max_rows and spec.oracle is not None:
+                # scale-tier guard: a data-sized output (e.g. 30M window
+                # rows at sf5) makes the in-Python canonicalize/compare
+                # the bottleneck (hours + tens of GB), not the engines —
+                # those queries are value-compared at tiers where the
+                # output fits (sf0.01 driver gate + full sf1 coverage).
+                n = df.count()
+                if n > max_rows:
+                    print(
+                        f"SKIP {name}: output {n} rows > cap {max_rows} "
+                        f"(value-compared at smaller tiers)"
+                    )
+                    continue
             s_rows = [tuple(r) for r in df.collect()]
         except Exception:
             print(f"FAIL {name}: SPARK ERROR")
