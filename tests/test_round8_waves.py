@@ -123,3 +123,26 @@ def test_curriculum_phases_partition_docs(spark, sf_dir):
 
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_sql_suite_rows_nonempty(spark, sf_dir):
+    """Every SQL front-door row must return rows at the test SFs —
+    guards the threshold choices against future testdata regen."""
+    for name in (
+        "sql_correlated_subquery",
+        "sql_values_join",
+        "sql_cte_window_frame",
+        "sql_exists_anti",
+        "sql_set_ops",
+        "sql_having_case",
+    ):
+        assert REGISTRY[name].fn(spark, sf_dir).count() > 0, name
+
+
+def test_ann_recall_matches_pinned_floor(spark, sf_dir):
+    """The registered recall op must agree with the recall floor the
+    ANN tests pin (>= 0.5 mean at 16 cells / 4 probes)."""
+    rows = REGISTRY["ann_recall_at5"].fn(spark, sf_dir).collect()
+    assert rows
+    mean = sum(r["recall_at5"] for r in rows) / len(rows)
+    assert mean >= 0.5, mean
