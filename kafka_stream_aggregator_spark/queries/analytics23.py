@@ -282,3 +282,86 @@ def events_markov_entropy_rate(spark, sf_dir):
             6,
         ).alias("marginal_entropy"),
     )
+
+
+@query(
+    "win_session_concurrency",
+    # Max concurrent sessions per day (sweep line / interval
+    # stabbing): session = [first, last] active minute per
+    # (user, day); +1 at start, -1 at end+1; per-minute deltas
+    # aggregate first (so ordering ties never matter), then a running
+    # sum ORDERED WITHIN THE DAY PARTITION gives the concurrency
+    # profile; max + first argmax minute per day. All integers.
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS dy,
+             CAST(min(floor(epoch(ts) / 60)) AS BIGINT) AS m0,
+             CAST(max(floor(epoch(ts) / 60)) AS BIGINT) AS m1
+      FROM events GROUP BY 1, 2
+    ), deltas AS (
+      SELECT dy, m0 AS minute, 1 AS d FROM s
+      UNION ALL
+      SELECT dy, m1 + 1 AS minute, -1 AS d FROM s
+    ), per_min AS (
+      SELECT dy, minute, CAST(sum(d) AS BIGINT) AS d
+      FROM deltas GROUP BY dy, minute
+    ), sweep AS (
+      SELECT dy, minute,
+             CAST(sum(d) OVER (PARTITION BY dy ORDER BY minute
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS conc
+      FROM per_min
+    ), mx AS (
+      SELECT dy, max(conc) AS max_conc FROM sweep GROUP BY dy
+    )
+    SELECT s2.dy, CAST(mx.max_conc AS BIGINT) AS max_concurrency,
+           CAST(min(s2.minute) AS BIGINT) AS first_peak_minute
+    FROM sweep s2 JOIN mx ON s2.dy = mx.dy AND s2.conc = mx.max_conc
+    GROUP BY s2.dy, mx.max_conc
+    """,
+)
+def win_session_concurrency(spark, sf_dir):
+    """Sweep-line concurrency: the data-sized stage is the (user, day)
+    session aggregate; the sweep runs on the bounded per-minute delta
+    relation, PARTITIONED BY DAY (sessions never span days by
+    construction), so no global-order window exists at any scale."""
+    ev = t(spark, sf_dir, "events")
+    dy = F.floor(F.col("ts").cast("double") / 86400).cast("bigint")
+    mn = F.floor(F.col("ts").cast("double") / 60).cast("bigint")
+    s = ev.groupBy("user_id", dy.alias("dy")).agg(
+        F.min(mn).alias("m0"), F.max(mn).alias("m1")
+    )
+    deltas = s.select(
+        "dy", F.col("m0").alias("minute"), F.lit(1).alias("d")
+    ).unionAll(
+        s.select("dy", (F.col("m1") + 1).alias("minute"), F.lit(-1).alias("d"))
+    )
+    per_min = deltas.groupBy("dy", "minute").agg(
+        F.sum("d").cast("bigint").alias("d")
+    )
+    w = (
+        W.partitionBy("dy")
+        .orderBy("minute")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sweep = per_min.select(
+        "dy", "minute", F.sum("d").over(w).cast("bigint").alias("conc")
+    )
+    mx = sweep.groupBy("dy").agg(F.max("conc").alias("max_conc")).select(
+        F.col("dy").alias("mdy"), "max_conc"
+    )
+    return (
+        sweep.join(
+            mx,
+            (F.col("dy") == F.col("mdy"))
+            & (F.col("conc") == F.col("max_conc")),
+        )
+        .groupBy("dy", "max_conc")
+        .agg(F.min("minute").cast("bigint").alias("first_peak_minute"))
+        .select(
+            "dy",
+            F.col("max_conc").cast("bigint").alias("max_concurrency"),
+            "first_peak_minute",
+        )
+    )
