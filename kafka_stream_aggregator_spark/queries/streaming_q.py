@@ -379,7 +379,14 @@ def stream_join_purchase_click(spark, sf_dir):
     # is emitted exactly once — the oracle is the plain batch join.
     oracle="""
     WITH dim AS (
-      SELECT user_id, round(avg(value), 6) AS user_avg, count(*) AS n_events
+      -- exact-decimal mean (sf5 catch r8: avg() is an order-dependent
+      -- double fold; at 1M users one landed a round-6 half-tie apart
+      -- between engines — the deterministic decimal-sum/count chain
+      -- cannot)
+      SELECT user_id,
+             round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*), 6) AS user_avg,
+             count(*) AS n_events
       FROM events GROUP BY user_id
     )
     SELECT e.event_id, e.user_id,
@@ -401,7 +408,12 @@ def stream_static_enrich(spark, sf_dir):
         t(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
-            F.round(F.avg("value"), 6).alias("user_avg"),
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("user_avg"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
