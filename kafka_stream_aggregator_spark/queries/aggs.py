@@ -438,7 +438,8 @@ def agg_pivot(spark, sf_dir):
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
            count(*) AS n_orders,
-           round(avg(o_totalprice), 6) AS avg_total
+           round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS avg_total
     FROM orders GROUP BY 1
     """,
 )
@@ -450,7 +451,12 @@ def agg_histogram(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+            F.round(
+                F.sum(F.round("o_totalprice", 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_total"),
         )
     )
 

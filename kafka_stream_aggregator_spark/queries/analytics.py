@@ -846,7 +846,8 @@ def diag_referential_integrity(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n,
            round(min(v), 6) AS lo,
            round(max(v), 6) AS hi,
-           round(avg(v), 6) AS mean_v
+           round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS mean_v
     FROM b GROUP BY bin
     """,
 )
@@ -900,7 +901,12 @@ def agg_equidepth_histogram(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.round(F.min("v"), 6).alias("lo"),
             F.round(F.max("v"), 6).alias("hi"),
-            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(
+                F.sum(F.round("v", 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_v"),
         )
     )
 

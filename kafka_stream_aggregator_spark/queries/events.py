@@ -117,7 +117,8 @@ def ewma_1min_all(spark, sf_dir):
     SELECT event_type,
            CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
            count(*) AS n_rows,
-           round(avg(value), 6) AS sma,
+           round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS sma,
            round(min(value), 6) AS min_v,
            round(max(value), 6) AS max_v
     FROM events GROUP BY event_type, 2
@@ -130,7 +131,12 @@ def sma_5min_window(spark, sf_dir):
         e.groupBy("event_type", wstart.alias("window_start"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.avg("value"), 6).alias("sma"),
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("sma"),
             F.round(F.min("value"), 6).alias("min_v"),
             F.round(F.max("value"), 6).alias("max_v"),
         )

@@ -23,7 +23,8 @@ from .base import query, t
     oracle="""
     SELECT r_name, n_name,
            count(*) AS n_customers,
-           round(avg(c_acctbal), 6) AS avg_acctbal
+           round(CAST(sum(CAST(round(c_acctbal, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS avg_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
                   JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name, n_name
@@ -39,7 +40,12 @@ def join_broadcast_dim(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+            F.round(
+                F.sum(F.round("c_acctbal", 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_acctbal"),
         )
     )
 
@@ -246,7 +252,7 @@ def join_cross(spark, sf_dir):
       VALUES ('xs', 0, 10), ('s', 10, 20), ('m', 20, 30),
              ('l', 30, 40), ('xl', 40, 50)
     )
-    SELECT bucket, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+    SELECT bucket, count(*) AS n_parts, round(CAST(sum(CAST(round(p_retailprice, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price
     FROM part JOIN buckets ON p_size > lo AND p_size <= hi
     GROUP BY bucket
     """,
@@ -265,7 +271,12 @@ def join_range_theta(spark, sf_dir):
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+            F.round(
+                F.sum(F.round("p_retailprice", 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
         )
     )
 
