@@ -779,6 +779,16 @@ def emb_semantic_decontaminate(spark, sf_dir):
         .withColumn("e_norm", norm(F.col("ev")))
     )
     tr = e.filter(F.col("label") != 0).withColumn("t_norm", norm(F.col("v")))
+    # parallelism guard (sf5 catch r8): a small embeddings table is ONE
+    # parquet split, so the |tr| x |ev| interpreted-HOF scoring would
+    # run in ONE task (measured: 40M dots single-core at sf5). The
+    # per-pair work is huge relative to row bytes, so fan the train
+    # side out when the scan under-partitions; at real scale the scan
+    # is already multi-split and this branch never fires (repartition
+    # of a 100 TB train side would be the bug, not the fix).
+    par = tr.sparkSession.sparkContext.defaultParallelism
+    if tr.rdd.getNumPartitions() < par:
+        tr = tr.repartition(par)
     sims = (
         tr.crossJoin(F.broadcast(ev))
         .select(
