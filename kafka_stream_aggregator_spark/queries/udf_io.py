@@ -296,7 +296,11 @@ def io_jdbc_roundtrip(spark, sf_dir):
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_items,
-           round(sum(l_extendedprice), 2) AS revenue
+           -- DECIMAL-exact revenue (sf5 catch r8: a raw double sum at
+           -- 3e11 magnitude diverges ~0.03 between engines' fold orders
+           -- — the r6 cube/grouping-sets lesson)
+           round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
     """,
@@ -341,6 +345,11 @@ def io_bucketed_join(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.round("l_extendedprice", 2).cast("decimal(18,2)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
         )
     )
