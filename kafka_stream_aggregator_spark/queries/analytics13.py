@@ -114,11 +114,18 @@ def ts_periodogram(spark, sf_dir):
         FROM orders
     ),
     m AS (
+        -- EXACT integer power sums (sf5 catch r8: double power sums at
+        -- 1e31 magnitude diverge between fold orders, and JB's n/6
+        -- factor amplifies the kurtosis ulp past round-6). HUGEINT
+        -- holds sum(v^4) <= 7e37; both engines then cast the SAME
+        -- integers to DOUBLE.
         SELECT count(*) AS n,
-               avg(CAST(v AS DOUBLE)) AS m1,
-               avg(CAST(v AS DOUBLE) * v) AS m2,
-               avg(CAST(v AS DOUBLE) * v * v) AS m3,
-               avg(CAST(v AS DOUBLE) * v * v * v) AS m4
+               CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / count(*) AS m1,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) / count(*) AS m2,
+               CAST(sum(CAST(v AS HUGEINT) * v * v) AS DOUBLE)
+                 / count(*) AS m3,
+               CAST(sum(CAST(v AS HUGEINT) * v * v * v) AS DOUBLE)
+                 / count(*) AS m4
         FROM c
     ),
     k AS (
@@ -149,13 +156,20 @@ def stat_jarque_bera(spark, sf_dir):
         .cast("bigint")
         .alias("v")
     )
-    vd = F.col("v").cast("double")
+    # exact integer power sums in DECIMAL (v is <= 9-digit cents, so
+    # v^2/v^3/v^4 are exact at DECIMAL(19/29/38,0) and sum(v^4) fits
+    # 38 digits at any realistic order count); the only doubles are
+    # the final m_j = s_j / n divisions — identical in both engines
+    v9 = F.col("v").cast("decimal(9,0)")
+    v2 = v9 * v9
+    v3 = v2 * v9
+    v4 = v2 * v2
     m = c.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(vd).alias("m1"),
-        F.avg(vd * F.col("v")).alias("m2"),
-        F.avg(vd * F.col("v") * F.col("v")).alias("m3"),
-        F.avg(vd * F.col("v") * F.col("v") * F.col("v")).alias("m4"),
+        (F.sum(v9).cast("double") / F.count(F.lit(1))).alias("m1"),
+        (F.sum(v2).cast("double") / F.count(F.lit(1))).alias("m2"),
+        (F.sum(v3).cast("double") / F.count(F.lit(1))).alias("m3"),
+        (F.sum(v4).cast("double") / F.count(F.lit(1))).alias("m4"),
     )
     mu2 = F.col("m2") - F.col("m1") * F.col("m1")
     mu3 = (
