@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     analytics21,
     analytics22,
     analytics23,
+    analytics24,
     aggs,
     corpus,
     corpus2,

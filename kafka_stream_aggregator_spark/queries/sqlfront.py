@@ -114,6 +114,32 @@ SELECT 'f_only' AS tag, CAST(count(*) AS BIGINT) AS n FROM (
   EXCEPT
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') y
 """,
+    # GROUPING SETS with the full/partial/grand-total rollup levels
+    # disambiguated by COALESCE sentinels (identical semantics and
+    # syntax on both engines)
+    "sql_grouping_sets": """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+       coalesce(l_linestatus, 'ALL') AS ls,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), ())
+""",
+    # correlated LATERAL subquery with ORDER BY ... LIMIT — top-2
+    # orders per customer; Catalyst decorrelates it to a ranked join
+    "sql_lateral_topk": """
+SELECT c.c_custkey, o.o_orderkey, o.cents
+FROM customer c,
+LATERAL (SELECT o_orderkey,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY cents DESC, o_orderkey
+         LIMIT 2) o
+WHERE c.c_custkey < 100
+""",
     # HAVING over a joined aggregate + CASE-conditional count
     "sql_having_case": """
 SELECT n_name,
