@@ -25,6 +25,7 @@ from . import (  # noqa: F401
     analytics22,
     analytics23,
     analytics24,
+    analytics25,
     aggs,
     corpus,
     corpus2,

@@ -201,3 +201,76 @@ def stream_tick_imbalance(spark, sf_dir):
             ).alias("imbalance"),
         )
     )
+
+
+@query(
+    "stream_dau_mau",
+    # EIGHTH exactly-oracled streaming op: DAU/MAU stickiness computed
+    # THROUGH the stream. The streamed state is the distinct
+    # (month, day, user) relation (complete-mode group count — order-
+    # and batching-independent, the stream_kmv/cdc state class), so
+    # the drained table equals the batch distinct EXACTLY and the
+    # whole stickiness pipeline stays SQL-oracle-able end to end
+    # (same statement as the batch twin events_stickiness).
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT strftime(date_trunc('month', ts), '%Y-%m') AS mon,
+             CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), dau AS (
+      SELECT mon, day, count(*) AS dau FROM d GROUP BY mon, day
+    ), mau AS (
+      SELECT mon, count(DISTINCT user_id) AS mau FROM d GROUP BY mon
+    ), x AS (
+      SELECT mon, CAST(sum(dau) AS BIGINT) AS sum_dau,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM dau GROUP BY mon
+    )
+    SELECT x.mon, CAST(mau.mau AS BIGINT) AS mau, x.n_days,
+           round(CAST(sum_dau AS DOUBLE) / n_days, 6) AS avg_dau,
+           round(CAST(sum_dau AS DOUBLE) / (n_days * mau.mau), 6)
+             AS stickiness
+    FROM x JOIN mau ON x.mon = mau.mon
+    """,
+)
+def stream_dau_mau(spark, sf_dir):
+    """Streaming stickiness: the stream maintains one row per distinct
+    (month, day, user) — a keyed count whose drained complete-mode
+    state is batching-independent — then DAU/MAU/stickiness close on
+    that bounded relation exactly like the batch twin."""
+    from .streaming_q import _events_stream, _run_to_df
+
+    s = _events_stream(spark, sf_dir)
+    per = s.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("mon"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_ev"))
+    d = _run_to_df(spark, per, mode="complete")
+    dau = d.groupBy("mon", "day").agg(F.count(F.lit(1)).alias("dau"))
+    # rename the second branch's key: both branches read the SAME
+    # memory-sink view, whose attribute ids collide in a self-join
+    mau = (
+        d.select(F.col("mon").alias("mon_m"), "user_id")
+        .groupBy("mon_m")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    x = dau.groupBy("mon").agg(
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    return x.join(
+        F.broadcast(mau), F.col("mon") == F.col("mon_m")
+    ).select(
+        "mon",
+        F.col("mau").cast("bigint").alias("mau"),
+        "n_days",
+        F.round(
+            F.col("sum_dau").cast("double") / F.col("n_days"), 6
+        ).alias("avg_dau"),
+        F.round(
+            F.col("sum_dau").cast("double")
+            / (F.col("n_days") * F.col("mau")),
+            6,
+        ).alias("stickiness"),
+    )

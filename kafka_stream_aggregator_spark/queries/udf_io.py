@@ -173,8 +173,14 @@ def udtf_tokenize(spark, sf_dir):
 
 @query(
     "io_csv_roundtrip",
+    # DECIMAL-exact balance sum: at sf5 the per-segment raw double fold
+    # (~5.5e7 over 10k 2-dp values) differs between Spark's partial
+    # order and DuckDB's sequential order in the last ulp, flipping
+    # round-6 ties (the io_bucketed_join catch class).
     oracle="""
-    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 6) AS bal
+    SELECT c_mktsegment, count(*) AS n,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6)
+             AS bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -188,14 +194,22 @@ def io_csv_roundtrip(spark, sf_dir):
         d, header=True, schema="c_custkey long, c_mktsegment string, c_acctbal double"
     )
     return back.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 6).alias("bal")
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 6
+        ).alias("bal"),
     )
 
 
 @query(
     "io_json_roundtrip",
+    # exact-decimal mean chain (the stream_static_enrich avg-tie class:
+    # sums of 2-dp values over "nice" group sizes land on round-6
+    # half-ties where the engines' fold orders disagree)
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 6) AS avg_total
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_total
     FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderstatus
     """,
 )
@@ -209,7 +223,11 @@ def io_json_roundtrip(spark, sf_dir):
     ).json(d)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("o_totalprice"), 6).alias("avg_total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_total"),
     )
 
 
