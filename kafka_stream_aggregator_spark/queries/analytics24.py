@@ -138,7 +138,7 @@ def win_drawdown(spark, sf_dir):
       SELECT event_type,
              CAST(round(1000000 * abs((close - pc) / pc) / dvol, 10)
                   AS DECIMAL(24,10)) AS term
-      FROM r WHERE pc IS NOT NULL AND dvol > 0
+      FROM r WHERE pc IS NOT NULL AND pc > 0 AND dvol > 0
     )
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
            round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS amihud_x1e6
@@ -181,7 +181,9 @@ def trade_amihud_illiquidity(spark, sf_dir):
         / F.col("dvol"),
         10,
     ).cast("decimal(24,10)")
-    il = r.filter(F.col("pc").isNotNull() & (F.col("dvol") > 0)).select(
+    il = r.filter(
+        F.col("pc").isNotNull() & (F.col("pc") > 0) & (F.col("dvol") > 0)
+    ).select(
         "event_type", term.alias("term")
     )
     return il.groupBy("event_type").agg(
@@ -286,6 +288,8 @@ def events_stickiness(spark, sf_dir):
                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
                   / (n - 1)) AS sd
       FROM m WHERE n > 1
+        AND CAST(ss AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n > 0
     )
     SELECT e.event_type, f.n,
            round(f.mean, 6) AS mean,
@@ -316,7 +320,10 @@ def stat_grubbs_max(spark, sf_dir):
         )
         / (F.col("n") - 1)
     )
-    f = m.filter(F.col("n") > 1).select(
+    var_num = F.col("ss").cast("double") - F.col("s").cast(
+        "double"
+    ) * F.col("s").cast("double") / F.col("n")
+    f = m.filter((F.col("n") > 1) & (var_num > 0)).select(
         "event_type",
         "n",
         (F.col("s").cast("double") / F.col("n")).alias("mean"),
@@ -394,6 +401,7 @@ def stat_grubbs_max(spark, sf_dir):
            round(CAST(sum(d * d) AS DOUBLE)
                  / CAST(sum(qe * qe) AS DOUBLE), 6) AS dw
     FROM dq GROUP BY event_type, n, slope
+    HAVING sum(qe * qe) <> 0
     """,
 )
 def stat_durbin_watson(spark, sf_dir):
@@ -458,12 +466,12 @@ def stat_durbin_watson(spark, sf_dir):
         F.col("qe")
         - F.lag("qe").over(W.partitionBy("event_type").orderBy("x")),
     )
-    return dq.groupBy("event_type", "n", "slope").agg(
-        F.round(
-            F.sum(F.col("d") * F.col("d")).cast("double")
-            / F.sum(F.col("qe") * F.col("qe")).cast("double"),
-            6,
-        ).alias("dw")
+    g = dq.groupBy("event_type", "n", "slope").agg(
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("dw_num"),
+        F.sum(F.col("qe") * F.col("qe")).cast("double").alias("dw_den"),
+    )
+    return g.filter(F.col("dw_den") != 0).withColumn(
+        "dw", F.round(F.col("dw_num") / F.col("dw_den"), 6)
     ).select(
         "event_type",
         F.col("n").alias("n_hours"),
