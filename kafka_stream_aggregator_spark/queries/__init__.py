@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     analytics23,
     analytics24,
     analytics25,
+    analytics26,
     aggs,
     corpus,
     corpus2,

@@ -140,6 +140,21 @@ LATERAL (SELECT o_orderkey,
          LIMIT 2) o
 WHERE c.c_custkey < 100
 """,
+    # time-based RANGE frame (INTERVAL preceding) — the sliding-window
+    # idiom in pure ANSI, identical syntax and peer semantics on both
+    # engines; aggregated so the output is bounded
+    "sql_range_interval_frame": """
+SELECT user_id,
+       CAST(max(n_1h) AS BIGINT) AS max_events_1h,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+              AND CURRENT ROW) AS n_1h
+  FROM events) z
+GROUP BY user_id
+""",
     # HAVING over a joined aggregate + CASE-conditional count
     "sql_having_case": """
 SELECT n_name,
