@@ -304,3 +304,97 @@ def doc_compression_ratio(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Video frame-sample + resize pipeline — EXACTLY oracled
+# --------------------------------------------------------------------------
+
+
+@query(
+    "video_frame_pipeline",
+    # The multimodal video path (sample_video_frames -> resize_frames)
+    # driven end-to-end with an EXACT SQL oracle: payloads are
+    # synthesized from the pure integer formula
+    # byte[fi*192 + j] = (mid*31 + fi*7 + j) % 256 (24 frames of
+    # 16x12 grayscale), so the engine's stride-3/max-6 sampling and
+    # 16x12 -> 8x6 nearest-neighbor resize (ys = 2*row, xs = 2*col)
+    # reduce to an integer checksum DuckDB replays with unnest ranges.
+    # This upgrades the video plumbing from self-checked to
+    # oracle-verified.
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id FROM documents WHERE doc_id < 40
+    ), fi AS (
+      SELECT unnest([0, 3, 6, 9, 12, 15]) AS frame_idx
+    ), ys AS (
+      SELECT unnest([0, 2, 4, 6, 8, 10]) AS y
+    ), xs AS (
+      SELECT unnest([0, 2, 4, 6, 8, 10, 12, 14]) AS x
+    )
+    SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+           CAST(sum((media_id * 31 + frame_idx * 7 + (y * 16 + x)) % 256)
+                AS BIGINT) AS checksum
+    FROM media CROSS JOIN fi CROSS JOIN ys CROSS JOIN xs
+    GROUP BY media_id, frame_idx
+    """,
+)
+def video_frame_pipeline(spark, sf_dir):
+    """Raw-frame video pipeline, oracle-verified: synthesize
+    deterministic 24-frame 16x12 payloads per media id (mapInPandas),
+    fan out every 3rd frame capped at 6 (sample_video_frames), resize
+    each to 8x6 by nearest neighbor (resize_frames), emit per-frame
+    byte checksums. The payload formula is pure integer arithmetic, so
+    the SQL oracle replays sampling + resize + checksum exactly —
+    the Arrow plumbing (binary columns, in-batch fan-out, per-frame
+    rows) is the production shape for real codecs."""
+    import numpy as np
+
+    from ..llm.multimodal import resize_frames, sample_video_frames
+
+    W_, H_, NF = 16, 12, 24
+    fsz = W_ * H_
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for mid in pdf["doc_id"]:
+                idx = np.arange(NF * fsz, dtype=np.int64)
+                fi = idx // fsz
+                j = idx % fsz
+                b = ((int(mid) * 31 + fi * 7 + j) % 256).astype(np.uint8)
+                rows.append((mid, b.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+        .repartition(8)
+        .mapInPandas(synth, "media_id long, payload binary")
+    )
+    frames = sample_video_frames(media, frame_size=fsz, stride=3, max_frames=6)
+    resized = resize_frames(frames, src_w=W_, src_h=H_, dst_w=8, dst_h=6)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def bytesum(frames_col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int(np.frombuffer(bytes(b), dtype=np.uint8).sum())
+                if b is not None
+                else None
+                for b in frames_col
+            ],
+            dtype="Int64",
+        )
+
+    return resized.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        bytesum(F.col("frame")).alias("checksum"),
+    )

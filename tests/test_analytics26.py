@@ -136,3 +136,26 @@ def test_compression_ratio_matches_zlib_exactly(spark, sf_dir):
         ) < 2e-6
         assert r["n_repetitive"] == sum(1 for x in ratios if x < 0.4)
         assert r["n_gibberish"] == sum(1 for x in ratios if x > 0.9)
+
+
+def test_video_pipeline_matches_formula(spark, sf_dir):
+    out = REGISTRY["video_frame_pipeline"].fn(spark, sf_dir).collect()
+    mids = {
+        r[0]
+        for r in _duck(
+            f"""SELECT doc_id FROM read_parquet('{SF_DIR}/documents.parquet')
+                WHERE doc_id < 40"""
+        )
+    }
+    assert len(out) == len(mids) * 6
+    ys = [0, 2, 4, 6, 8, 10]
+    xs = [0, 2, 4, 6, 8, 10, 12, 14]
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 6
+        assert r["frame_idx"] in (0, 3, 6, 9, 12, 15)
+        want = sum(
+            (r["media_id"] * 31 + r["frame_idx"] * 7 + (y * 16 + x)) % 256
+            for y in ys
+            for x in xs
+        )
+        assert r["checksum"] == want
