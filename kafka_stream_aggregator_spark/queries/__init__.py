@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     analytics24,
     analytics25,
     analytics26,
+    analytics27,
     aggs,
     corpus,
     corpus2,

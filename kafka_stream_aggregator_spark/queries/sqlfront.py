@@ -155,6 +155,21 @@ FROM (
   FROM events) z
 GROUP BY user_id
 """,
+    # timestamp + INTERVAL arithmetic, extract(), and date_trunc in one
+    # verbatim statement (the dialect-common datetime subset)
+    "sql_interval_arithmetic": """
+SELECT CAST(extract(month FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN o_orderdate + INTERVAL 7 DAY
+                          >= TIMESTAMP '1995-07-01 00:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late_window,
+       CAST(count(DISTINCT date_trunc('day', o_orderdate)) AS BIGINT)
+         AS n_days
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY extract(month FROM o_orderdate)
+""",
     # HAVING over a joined aggregate + CASE-conditional count
     "sql_having_case": """
 SELECT n_name,
