@@ -44,6 +44,7 @@ from . import (  # noqa: F401
     io4,
     io5,
     joins,
+    lakehouse_q,
     llm,
     llm2,
     ml2,

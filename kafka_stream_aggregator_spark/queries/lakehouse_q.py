@@ -1,0 +1,89 @@
+"""Registry rows driving the transaction-log table format
+(kafka_stream_aggregator_spark/lakehouse.py) end to end with a SQL
+oracle: three committed versions (append, append, copy-on-write MERGE)
+read back via TIME TRAVEL after all commits — the oracle replays each
+snapshot's relational definition from the raw table, so the log fold,
+snapshot isolation, and merge semantics are all hash-verified.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .base import query, t
+
+
+@query(
+    "io_lakehouse_time_travel",
+    # v0 = orders < 2000 (append); v1 = + [2000, 3000) (append);
+    # v2 = MERGE(source = doubled totals for okey < 500 UNION inserts
+    # [3000, 3200)). All three versions are read AFTER the final
+    # commit — time travel over immutable files — and reduced to
+    # (n_rows, integer cents).
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000
+    ), v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 3000
+    ), src AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey < 500
+      UNION ALL
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 3200
+    ), v2 AS (
+      SELECT * FROM v1
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL SELECT * FROM src
+    ), u AS (
+      SELECT CAST(0 AS BIGINT) AS version, * FROM v0
+      UNION ALL SELECT 1, * FROM v1
+      UNION ALL SELECT 2, * FROM v2
+    )
+    SELECT version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM u GROUP BY version
+    """,
+)
+def io_lakehouse_time_travel(spark, sf_dir):
+    """Append, append, MERGE — then read versions 0/1/2 via time
+    travel and checksum each snapshot. The merge is the broadcast
+    anti-join + union rewrite; the reads fold the JSON action log, so
+    a wrong add/remove set or a non-isolated snapshot hash-mismatches
+    the oracle."""
+    from ..lakehouse import TxLogTable
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlog_"))
+    tbl.append(orders.filter(F.col("o_orderkey") < 2000))
+    tbl.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)
+        )
+    )
+    src = orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    ).unionByName(
+        orders.filter(
+            (F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 3200)
+        )
+    )
+    tbl.merge(spark, src, "o_orderkey")
+    snaps = [
+        tbl.read(spark, version=v).withColumn(
+            "version", F.lit(v).cast("bigint")
+        )
+        for v in (0, 1, 2)
+    ]
+    u = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+    return u.groupBy("version").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

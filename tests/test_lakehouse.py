@@ -1,0 +1,89 @@
+"""The transaction-log table format's contract, tested directly:
+atomic single-winner commits, snapshot isolation under later rewrites,
+crashed-writer hygiene, merge semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_stream_aggregator_spark.lakehouse import CommitConflict, TxLogTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_append_read_history(spark):
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    assert tbl.latest_version() is None
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.append(_df(spark, [(3, "c")]))
+    assert tbl.versions() == [0, 1]
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == [1, 2, 3]
+    assert [e["op"] for e in tbl.history()] == ["append", "append"]
+
+
+def test_time_travel_snapshots_stable_after_merge(spark):
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))
+    before = sorted(tuple(r) for r in tbl.read(spark, version=0).collect())
+    tbl.merge(spark, _df(spark, [(2, "B"), (4, "d")]), "k")
+    # tip reflects the merge: 2 replaced, 4 inserted
+    tip = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert tip == {1: "a", 2: "B", 4: "d"}
+    # version 0 is byte-stable (immutable files + log fold)
+    after = sorted(tuple(r) for r in tbl.read(spark, version=0).collect())
+    assert before == after
+    # merge rewrote the live set: old files removed in the log
+    ent = tbl.history()[-1]
+    assert ent["op"] == "merge" and ent["removed"]
+
+
+def test_overwrite_removes_previous_files(spark):
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.overwrite(_df(spark, [(9, "z")]))
+    assert [r["k"] for r in tbl.read(spark).collect()] == [9]
+    assert sorted(r["k"] for r in tbl.read(spark, version=0).collect()) == [1]
+
+
+def test_commit_conflict_single_winner(spark):
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    tbl.append(_df(spark, [(1, "a")]))
+    # a second writer racing to publish the SAME next version loses
+    with pytest.raises(CommitConflict):
+        tbl._commit(1, "append", ["data-x/f.parquet"], [])
+        tbl._commit(1, "append", ["data-y/f.parquet"], [])
+    assert tbl.latest_version() == 1
+    # no orphan tmp files survive the loser
+    assert not [f for f in os.listdir(tbl.logdir) if f.endswith(".tmp")]
+
+
+def test_crashed_writer_tmp_is_invisible(spark):
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    tbl.append(_df(spark, [(1, "a")]))
+    # simulate a writer that died before publishing
+    orphan = os.path.join(tbl.logdir, "00000001.json.deadbeef.tmp")
+    with open(orphan, "w") as fh:
+        json.dump({"version": 1, "op": "append", "added": ["x"]}, fh)
+    assert tbl.versions() == [0]
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == [1]
+    # and the next real commit takes version 1 normally
+    tbl.append(_df(spark, [(2, "b")]))
+    assert tbl.versions() == [0, 1]
+
+
+def test_merge_plan_uses_broadcast_anti_join(spark):
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))
+    target = tbl.read(spark)
+    keys = _df(spark, [(2, "B")]).select("k").distinct()
+    plan = target.join(
+        F.broadcast(keys), "k", "left_anti"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
