@@ -91,16 +91,31 @@ class TxLogTable:
             live.update(e.get("added", []))
         return sorted(live)
 
+    def live_parts(self, version: int | None = None) -> dict[str, str]:
+        """Partition value per live file (files added by the
+        partition-aware writers; unpartitioned files are absent)."""
+        parts: dict[str, str] = {}
+        live = set(self.live_files(version))
+        for v in self.versions():
+            if version is not None and v > version:
+                break
+            parts.update(self._entry(v).get("parts", {}))
+        return {p: pv for p, pv in parts.items() if p in live}
+
     def _commit(self, version: int, op: str, added: list[str],
-                removed: list[str]) -> None:
+                removed: list[str],
+                parts: dict[str, str] | None = None) -> None:
         """Publish exactly one winner for ``version`` (atomic rename +
         refuse-to-replace via link/unlink)."""
         final = os.path.join(self.logdir, f"{version:08d}.json")
         tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+        entry = {"version": version, "op": op,
+                 "added": added, "removed": removed}
+        if parts:
+            entry["parts"] = parts
         with open(tmp, "w") as fh:
             json.dump(
-                {"version": version, "op": op,
-                 "added": added, "removed": removed},
+                entry,
                 fh,
             )
             fh.flush()
@@ -145,6 +160,48 @@ class TxLogTable:
         self._commit(v, "overwrite", self._write_files(df), prev)
         return v
 
+    def _write_partitioned(self, df: DataFrame,
+                           part_col: str) -> dict[str, str]:
+        """Write df with partitionBy and return {file: partition value}
+        (value decoded from the hive-style directory name)."""
+        sub = f"data-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self.path, sub)
+        df.write.mode("overwrite").partitionBy(part_col).parquet(out)
+        parts: dict[str, str] = {}
+        for d in sorted(os.listdir(out)):
+            if not d.startswith(f"{part_col}="):
+                continue
+            pv = d.split("=", 1)[1]
+            for f in sorted(os.listdir(os.path.join(out, d))):
+                if f.endswith(".parquet"):
+                    parts[os.path.join(sub, d, f)] = pv
+        return parts
+
+    def append_partitioned(self, df: DataFrame, part_col: str) -> int:
+        parts = self._write_partitioned(df, part_col)
+        lv = self.latest_version()
+        v = 0 if lv is None else lv + 1
+        self._commit(v, "append", sorted(parts), [], parts=parts)
+        return v
+
+    def overwrite_partition(self, df: DataFrame, part_col: str,
+                            part_value: str) -> int:
+        """Transactional dynamic-partition overwrite: replace ONLY the
+        files of ``part_value``; every other partition's files are
+        untouched (idempotent backfill). df is filtered to the target
+        partition as a guard."""
+        df = df.filter(F.col(part_col).cast("string") == part_value)
+        parts = self._write_partitioned(df, part_col)
+        prev = [
+            p for p, pv in self.live_parts().items() if pv == part_value
+        ]
+        lv = self.latest_version()
+        v = 0 if lv is None else lv + 1
+        self._commit(
+            v, "overwrite_partition", sorted(parts), prev, parts=parts
+        )
+        return v
+
     def merge(self, spark: SparkSession, source: DataFrame,
               key: str) -> int:
         """Copy-on-write MERGE (upsert by ``key``): target rows whose
@@ -169,6 +226,17 @@ class TxLogTable:
         files = self.live_files(version)
         if not files:
             raise ValueError(f"no data at version {version} in {self.path}")
-        return spark.read.parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+        # hive-style partition columns resolve relative to a basePath;
+        # each write batch (data-<uuid>) is its own root, so group the
+        # live files per batch and union — one read per commit batch,
+        # not per file
+        by_batch: dict[str, list[str]] = {}
+        for f in files:
+            by_batch.setdefault(f.split(os.sep, 1)[0], []).append(f)
+        out = None
+        for sub, fs in sorted(by_batch.items()):
+            df = spark.read.option(
+                "basePath", os.path.join(self.path, sub)
+            ).parquet(*[os.path.join(self.path, f) for f in fs])
+            out = df if out is None else out.unionByName(df)
+        return out

@@ -87,3 +87,60 @@ def io_lakehouse_time_travel(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
+
+
+@query(
+    "io_lakehouse_partition_overwrite",
+    # Transactional dynamic-partition overwrite on the txlog table:
+    # v0 = events partitioned by event_type; v1 = ONLY the 'click'
+    # partition rewritten with doubled values (other partitions'
+    # files untouched — pinned at the file level in
+    # tests/test_lakehouse.py). Both versions read after the final
+    # commit; oracle replays each snapshot relationally.
+    oracle="""
+    WITH v0 AS (
+      SELECT event_type, value FROM events
+    ), v1 AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'click' THEN value * 2
+                  ELSE value END AS value
+      FROM events
+    ), u AS (
+      SELECT CAST(0 AS BIGINT) AS version, * FROM v0
+      UNION ALL SELECT 1, * FROM v1
+    )
+    SELECT version, event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM u GROUP BY version, event_type
+    """,
+)
+def io_lakehouse_partition_overwrite(spark, sf_dir):
+    """Partition-scoped rewrite through the transaction log: the
+    commit's removed-set is exactly the target partition's live files,
+    so every other partition is byte-untouched AND the previous
+    version still time-travels to the pre-backfill state."""
+    import tempfile
+
+    from ..lakehouse import TxLogTable
+
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlogp_"))
+    tbl.append_partitioned(ev, "event_type")
+    fixed = ev.filter(F.col("event_type") == "click").select(
+        "event_type", (F.col("value") * 2).alias("value")
+    )
+    tbl.overwrite_partition(fixed, "event_type", "click")
+    snaps = [
+        tbl.read(spark, version=v).withColumn(
+            "version", F.lit(v).cast("bigint")
+        )
+        for v in (0, 1)
+    ]
+    u = snaps[0].unionByName(snaps[1])
+    return u.groupBy("version", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

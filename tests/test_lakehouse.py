@@ -87,3 +87,39 @@ def test_merge_plan_uses_broadcast_anti_join(spark):
         F.broadcast(keys), "k", "left_anti"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_partition_overwrite_leaves_other_partitions_untouched(spark):
+    import time
+
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    df = _df(spark, [(1, "a"), (2, "a"), (3, "b")]).withColumnRenamed(
+        "v", "part"
+    )
+    tbl.append_partitioned(df, "part")
+    before = {
+        p: (os.path.getmtime(os.path.join(tbl.path, p)),
+            os.path.getsize(os.path.join(tbl.path, p)))
+        for p, pv in tbl.live_parts().items()
+        if pv != "a"
+    }
+    assert before  # partition b exists
+    time.sleep(0.05)
+    fixed = _df(spark, [(10, "a"), (20, "a")]).withColumnRenamed(
+        "v", "part"
+    )
+    tbl.overwrite_partition(fixed, "part", "a")
+    # b's files: same paths, same mtime+size — byte-untouched
+    after = {
+        p: (os.path.getmtime(os.path.join(tbl.path, p)),
+            os.path.getsize(os.path.join(tbl.path, p)))
+        for p, pv in tbl.live_parts().items()
+        if pv != "a"
+    }
+    assert before == after
+    # tip has the rewritten partition a and untouched b
+    tip = sorted((r["k"], r["part"]) for r in tbl.read(spark).collect())
+    assert tip == [(3, "b"), (10, "a"), (20, "a")]
+    # v0 time-travels to the pre-backfill state
+    v0 = sorted((r["k"], r["part"]) for r in tbl.read(spark, 0).collect())
+    assert v0 == [(1, "a"), (2, "a"), (3, "b")]
