@@ -217,6 +217,40 @@ class TxLogTable:
         self._commit(v, "merge", self._write_files(merged), prev)
         return v
 
+    def compact(self, spark: SparkSession,
+                target_files: int = 1) -> int:
+        """OPTIMIZE: rewrite the live snapshot into ``target_files``
+        files (one commit; the row set is bit-identical, only the file
+        layout changes). Old files stay on disk for time travel until
+        vacuum()."""
+        snap = self.read(spark).coalesce(target_files)
+        prev = self.live_files()
+        added = self._write_files(snap)
+        lv = self.latest_version()
+        v = 0 if lv is None else lv + 1
+        self._commit(v, "compact", added, prev)
+        return v
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Physically delete data files referenced ONLY by versions
+        older than the last ``retain_versions`` snapshots. Time travel
+        to vacuumed versions stops working (the log entries remain for
+        history/audit) — the documented Delta-style trade."""
+        vs = self.versions()
+        keep: set[str] = set()
+        for v in vs[-retain_versions:]:
+            keep.update(self.live_files(v))
+        removed = []
+        ever: set[str] = set()
+        for v in vs:
+            ever.update(self._entry(v).get("added", []))
+        for f in sorted(ever - keep):
+            p = os.path.join(self.path, f)
+            if os.path.exists(p):
+                os.unlink(p)
+                removed.append(f)
+        return removed
+
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------

@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     analytics25,
     analytics26,
     analytics27,
+    analytics28,
     aggs,
     corpus,
     corpus2,

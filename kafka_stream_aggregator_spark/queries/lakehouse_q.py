@@ -144,3 +144,64 @@ def io_lakehouse_partition_overwrite(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
+
+
+@query(
+    "io_lakehouse_compact",
+    # OPTIMIZE: three appended slices compacted to one file; the tip
+    # row set must be bit-identical post-compaction and the
+    # pre-compaction version must still time-travel. Oracle replays
+    # both snapshots relationally.
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000
+    ), v3 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2500
+    ), u AS (
+      SELECT CAST(1 AS BIGINT) AS version, * FROM v1
+      UNION ALL SELECT 3, * FROM v3
+    )
+    SELECT version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM u GROUP BY version
+    """,
+)
+def io_lakehouse_compact(spark, sf_dir):
+    """append x3 -> compact(1 file) -> read the compacted tip (v3) AND
+    time-travel to v1 (a pre-compaction snapshot whose files the
+    compaction did NOT delete). n_files collapse is asserted in
+    tests/test_lakehouse.py; the oracle hash-checks both row sets."""
+    import tempfile
+
+    from ..lakehouse import TxLogTable
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlogc_"))
+    tbl.append(orders.filter(F.col("o_orderkey") < 500))
+    tbl.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)
+        )
+    )
+    tbl.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2500)
+        )
+    )
+    tbl.compact(spark, target_files=1)
+    u = tbl.read(spark, version=1).withColumn(
+        "version", F.lit(1).cast("bigint")
+    ).unionByName(
+        tbl.read(spark, version=3).withColumn(
+            "version", F.lit(3).cast("bigint")
+        )
+    )
+    return u.groupBy("version").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

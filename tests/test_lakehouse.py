@@ -123,3 +123,36 @@ def test_partition_overwrite_leaves_other_partitions_untouched(spark):
     # v0 time-travels to the pre-backfill state
     v0 = sorted((r["k"], r["part"]) for r in tbl.read(spark, 0).collect())
     assert v0 == [(1, "a"), (2, "a"), (3, "b")]
+
+
+def test_compact_preserves_rows_and_time_travel(spark):
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(_df(spark, [(2, "b")]))
+    tbl.append(_df(spark, [(3, "c")]))
+    before = sorted(tuple(r) for r in tbl.read(spark).collect())
+    v = tbl.compact(spark, target_files=1)
+    assert tbl.history()[-1]["op"] == "compact"
+    after = sorted(tuple(r) for r in tbl.read(spark).collect())
+    assert before == after
+    # layout actually shrank to one file
+    assert len(tbl.live_files()) == 1
+    # pre-compaction versions still time-travel (files not deleted)
+    assert sorted(r["k"] for r in tbl.read(spark, version=1).collect()) \
+        == [1, 2]
+    assert v == 3
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark):
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(_df(spark, [(2, "b")]))
+    tbl.compact(spark, target_files=1)
+    removed = tbl.vacuum(retain_versions=1)
+    assert removed  # the two pre-compaction files went away
+    # tip still reads fine
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == [1, 2]
+    # history is intact even though old data files are gone
+    assert [e["op"] for e in tbl.history()] == [
+        "append", "append", "compact"
+    ]
