@@ -156,3 +156,37 @@ def test_vacuum_deletes_only_unreferenced_files(spark):
     assert [e["op"] for e in tbl.history()] == [
         "append", "append", "compact"
     ]
+
+
+def test_concurrent_writers_all_commit_via_retry(spark):
+    """8 threads race to append; CommitConflict losers retry until
+    they win a later version. Every batch must land exactly once."""
+    import threading
+
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    tbl.append(_df(spark, [(0, "seed")]))
+    errs = []
+
+    def writer(i):
+        try:
+            # pre-write the data files once, then race on the log
+            files = tbl._write_files(_df(spark, [(100 + i, f"w{i}")]))
+            while True:
+                lv = tbl.latest_version()
+                try:
+                    tbl._commit(lv + 1, "append", files, [])
+                    return
+                except CommitConflict:
+                    continue
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs
+    assert tbl.latest_version() == 8  # seed + exactly 8 commits
+    ks = sorted(r["k"] for r in tbl.read(spark).collect())
+    assert ks == [0] + [100 + i for i in range(8)]
