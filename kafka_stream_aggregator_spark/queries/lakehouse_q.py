@@ -205,3 +205,55 @@ def io_lakehouse_compact(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
+
+
+@query(
+    "stream_lakehouse_ingest",
+    # NINTH exactly-oracled streaming op: Structured Streaming writes
+    # INTO the transaction-log table via foreachBatch, committing each
+    # micro-batch as version = batch_id — a replayed batch hits
+    # CommitConflict and is SKIPPED, which is exactly-once sink
+    # semantics by idempotent versioning (the Delta streaming-sink
+    # txn pattern). The final table is the union of all micro-batches
+    # regardless of batching, so the batch oracle is exact.
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_lakehouse_ingest(spark, sf_dir):
+    """File-stream of events -> foreachBatch -> one txlog commit per
+    micro-batch (version = batch_id; conflict = already-committed
+    replay, skipped). Drains with availableNow, then reads the TABLE
+    (not the stream) for the per-type checksum."""
+    import tempfile
+
+    from ..lakehouse import CommitConflict, TxLogTable
+    from .streaming_q import _events_stream
+
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlogs_"))
+
+    def sink(batch_df, batch_id):
+        files = tbl._write_files(
+            batch_df.select("event_type", "value")
+        )
+        try:
+            tbl._commit(int(batch_id), "stream_append", files, [])
+        except CommitConflict:
+            pass  # replayed micro-batch: already durable, skip
+
+    s = _events_stream(spark, sf_dir)
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return tbl.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )

@@ -190,3 +190,19 @@ def test_concurrent_writers_all_commit_via_retry(spark):
     assert tbl.latest_version() == 8  # seed + exactly 8 commits
     ks = sorted(r["k"] for r in tbl.read(spark).collect())
     assert ks == [0] + [100 + i for i in range(8)]
+
+
+def test_streaming_ingest_replayed_batch_is_idempotent(spark):
+    """Committing the same micro-batch id twice must leave exactly one
+    copy (the exactly-once sink contract stream_lakehouse_ingest
+    relies on)."""
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
+    files = tbl._write_files(_df(spark, [(1, "a")]))
+    tbl._commit(0, "stream_append", files, [])
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflict):
+        # a sink retry would swallow this — here we assert it raises
+        tbl._commit(0, "stream_append",
+                    tbl._write_files(_df(spark, [(1, "a")])), [])
+    assert [r["k"] for r in tbl.read(spark).collect()] == [1]
