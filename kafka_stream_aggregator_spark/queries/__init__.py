@@ -29,6 +29,7 @@ from . import (  # noqa: F401
     analytics26,
     analytics27,
     analytics28,
+    analytics29,
     aggs,
     corpus,
     corpus2,
