@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     analytics27,
     analytics28,
     analytics29,
+    analytics30,
     aggs,
     corpus,
     corpus2,
