@@ -272,5 +272,11 @@ class TxLogTable:
             df = spark.read.option(
                 "basePath", os.path.join(self.path, sub)
             ).parquet(*[os.path.join(self.path, f) for f in fs])
-            out = df if out is None else out.unionByName(df)
+            # allowMissingColumns = schema evolution on read: batches
+            # written before a column existed null-fill it
+            out = (
+                df
+                if out is None
+                else out.unionByName(df, allowMissingColumns=True)
+            )
         return out

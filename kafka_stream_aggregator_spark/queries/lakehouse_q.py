@@ -257,3 +257,60 @@ def stream_lakehouse_ingest(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
+
+
+@query(
+    "io_lakehouse_schema_evolution",
+    # Schema evolution on read: v0 is committed WITHOUT o_orderstatus,
+    # v1 adds it; the tip read null-fills the old batch's missing
+    # column (allowMissingColumns union), and time travel to v0 still
+    # returns the narrow schema's rows. Oracle replays the evolved
+    # relation with NULL status for the pre-evolution slice.
+    oracle="""
+    WITH v AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS st
+      FROM orders WHERE o_orderkey < 1500
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 3000
+    )
+    SELECT coalesce(st, 'PRE_EVOLUTION') AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM v GROUP BY coalesce(st, 'PRE_EVOLUTION')
+    """,
+)
+def io_lakehouse_schema_evolution(spark, sf_dir):
+    """Widen the table schema mid-history: the pre-evolution batch
+    null-fills the new column on the merged read — no rewrite of old
+    files, the lakehouse evolution contract."""
+    import tempfile
+
+    from ..lakehouse import TxLogTable
+
+    orders = t(spark, sf_dir, "orders")
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="txloge_"))
+    tbl.append(
+        orders.filter(F.col("o_orderkey") < 1500).select(
+            "o_orderkey", "o_totalprice"
+        )
+    )
+    tbl.append(
+        orders.filter(
+            (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 3000)
+        ).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderstatus").alias("st"),
+        )
+    )
+    tip = tbl.read(spark)
+    return tip.groupBy(
+        F.coalesce(F.col("st"), F.lit("PRE_EVOLUTION")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
