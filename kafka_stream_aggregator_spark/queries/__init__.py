@@ -31,6 +31,7 @@ from . import (  # noqa: F401
     analytics28,
     analytics29,
     analytics30,
+    analytics31,
     aggs,
     corpus,
     corpus2,
