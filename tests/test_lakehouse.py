@@ -206,3 +206,53 @@ def test_streaming_ingest_replayed_batch_is_idempotent(spark):
         tbl._commit(0, "stream_append",
                     tbl._write_files(_df(spark, [(1, "a")])), [])
     assert [r["k"] for r in tbl.read(spark).collect()] == [1]
+
+
+def test_streaming_ingest_checkpoint_restart_no_duplicates(spark):
+    """Exactly-once across a REAL restart: run the foreachBatch txlog
+    sink with a checkpoint, drain, then restart with the same
+    checkpoint — no new commits; add one new input file and restart —
+    exactly one more commit, rows appear exactly once."""
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="lk_src_")
+    ckpt = tempfile.mkdtemp(prefix="lk_ckpt_")
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_tbl_"))
+    _df(spark, [(1, "a"), (2, "b")]).write.mode("overwrite").parquet(src)
+
+    def run():
+        s = spark.readStream.schema("k long, v string").parquet(src)
+
+        def sink(batch_df, batch_id):
+            try:
+                tbl._commit(
+                    int(batch_id), "stream_append",
+                    tbl._write_files(batch_df), [],
+                )
+            except CommitConflict:
+                pass
+
+        q = (
+            s.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    v1 = tbl.latest_version()
+    ks1 = sorted(r["k"] for r in tbl.read(spark).collect())
+    assert ks1 == [1, 2]
+    # restart with nothing new: checkpoint says all files processed
+    run()
+    assert tbl.latest_version() == v1  # no duplicate commits
+    # one new file -> exactly one more commit, no re-ingestion
+    sub = tempfile.mkdtemp(prefix="lk_add_")
+    _df(spark, [(3, "c")]).write.mode("overwrite").parquet(sub)
+    newfile = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+    shutil.copy(os.path.join(sub, newfile),
+                os.path.join(src, "extra-" + newfile))
+    run()
+    assert tbl.latest_version() == v1 + 1
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == [1, 2, 3]
