@@ -32,6 +32,7 @@ from . import (  # noqa: F401
     analytics29,
     analytics30,
     analytics31,
+    analytics32,
     aggs,
     corpus,
     corpus2,
