@@ -217,13 +217,39 @@ class TxLogTable:
         self._commit(v, "merge", self._write_files(merged), prev)
         return v
 
-    def compact(self, spark: SparkSession,
-                target_files: int = 1) -> int:
+    def compact(self, spark: SparkSession, target_files: int = 1,
+                zorder_by: tuple[str, str] | None = None,
+                zorder_bits: int = 10) -> int:
         """OPTIMIZE: rewrite the live snapshot into ``target_files``
         files (one commit; the row set is bit-identical, only the file
         layout changes). Old files stay on disk for time travel until
-        vacuum()."""
-        snap = self.read(spark).coalesce(target_files)
+        vacuum().
+
+        ``zorder_by=(colA, colB)`` range-partitions and sorts the
+        rewrite by the Morton key of the two columns, so each output
+        file covers a tight bounding box in BOTH dimensions — parquet
+        row-group min/max stats then skip files for predicates on
+        either column (verified at the row-group-stats level in
+        tests/test_lakehouse.py)."""
+        snap = self.read(spark)
+        if zorder_by is not None:
+            from .ops import zorder_key_2d
+
+            a, b = zorder_by
+            mask = (1 << zorder_bits) - 1
+            zk = zorder_key_2d(
+                F.col(a).cast("bigint") % (mask + 1),
+                F.col(b).cast("bigint") % (mask + 1),
+                bits=zorder_bits,
+            )
+            snap = (
+                snap.withColumn("__zk", zk)
+                .repartitionByRange(target_files, "__zk")
+                .sortWithinPartitions("__zk")
+                .drop("__zk")
+            )
+        else:
+            snap = snap.coalesce(target_files)
         prev = self.live_files()
         added = self._write_files(snap)
         lv = self.latest_version()

@@ -256,3 +256,55 @@ def test_streaming_ingest_checkpoint_restart_no_duplicates(spark):
     run()
     assert tbl.latest_version() == v1 + 1
     assert sorted(r["k"] for r in tbl.read(spark).collect()) == [1, 2, 3]
+
+
+def test_zorder_compact_tightens_rowgroup_stats(spark, sf_dir):
+    """Z-ORDER OPTIMIZE must (a) preserve the row set exactly and
+    (b) shrink each output file's (partkey, suppkey) bounding box so
+    parquet min/max stats can skip files on EITHER column — measured
+    with pyarrow row-group statistics, not asserted."""
+    import pyarrow.parquet as pq
+
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_z_"))
+    # fragmented random-order ingest
+    tbl.append(li.repartition(8))
+    before = sorted(
+        tuple(r) for r in tbl.read(spark).collect()
+    )
+
+    def bbox_volume():
+        vols = []
+        for f in tbl.live_files():
+            md = pq.ParquetFile(os.path.join(tbl.path, f)).metadata
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            pmin = pmax = smin = smax = None
+            for rg in range(md.num_row_groups):
+                ps = md.row_group(rg).column(cols["l_partkey"]).statistics
+                ss = md.row_group(rg).column(cols["l_suppkey"]).statistics
+                pmin = ps.min if pmin is None else min(pmin, ps.min)
+                pmax = ps.max if pmax is None else max(pmax, ps.max)
+                smin = ss.min if smin is None else min(smin, ss.min)
+                smax = ss.max if smax is None else max(smax, ss.max)
+            vols.append((pmax - pmin + 1) * (smax - smin + 1))
+        return vols
+
+    vol_before = sum(bbox_volume()) / len(tbl.live_files())
+    tbl.compact(
+        spark, target_files=8, zorder_by=("l_partkey", "l_suppkey")
+    )
+    after = sorted(tuple(r) for r in tbl.read(spark).collect())
+    assert before == after  # row set bit-identical
+    vols = bbox_volume()
+    assert len(tbl.live_files()) == 8
+    vol_after = sum(vols) / len(vols)
+    # clustering must tighten the average per-file bounding box by a
+    # real margin (>=2x) vs the random-order ingest
+    assert vol_after * 2 < vol_before, (vol_before, vol_after)
