@@ -113,6 +113,9 @@ class TxLogTable:
                  "added": added, "removed": removed}
         if parts:
             entry["parts"] = parts
+        stats = self._collect_stats(added)
+        if stats:
+            entry["stats"] = stats
         with open(tmp, "w") as fh:
             json.dump(
                 entry,
@@ -146,6 +149,88 @@ class TxLogTable:
             for f in sorted(os.listdir(out))
             if f.endswith(".parquet")
         ]
+
+    # ------------------------------------------------------------------
+    # Delta-style per-file column stats, recorded in the log at commit
+    # ------------------------------------------------------------------
+
+    def _collect_stats(self, files: list[str]) -> dict[str, dict]:
+        """Per-file [min, max] for every primitive column, read ONCE
+        from the parquet footers at write time and persisted in the
+        commit — readers prune from the LOG, never from storage."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return {}
+        out: dict[str, dict] = {}
+        for f in files:
+            try:
+                md = pq.ParquetFile(os.path.join(self.path, f)).metadata
+            except Exception:  # stats are best-effort:
+                continue  # a file we can't read simply has no stats
+            names = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            } if md.num_row_groups else {}
+            st: dict[str, list] = {}
+            for name, i in names.items():
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(i).statistics
+                    if s is None or s.min is None or s.max is None:
+                        ok = False
+                        break
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+                if ok and isinstance(lo, (int, float)) and not isinstance(
+                    lo, bool
+                ):
+                    st[name] = [lo, hi]
+            if st:
+                out[f] = st
+        return out
+
+    def file_stats(self, version: int | None = None) -> dict[str, dict]:
+        """Log-recorded stats of the live files at ``version``."""
+        live = set(self.live_files(version))
+        stats: dict[str, dict] = {}
+        for v in self.versions():
+            if version is not None and v > version:
+                break
+            stats.update(self._entry(v).get("stats", {}))
+        return {f: s for f, s in stats.items() if f in live}
+
+    def read_pruned(
+        self, spark: SparkSession, col: str, lo, hi,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Data skipping from the log: keep only live files whose
+        recorded [min, max] for ``col`` overlaps [lo, hi] (files with
+        no stats are always kept), then apply the residual filter.
+        Returns (df, files_scanned, files_total)."""
+        files = self.live_files(version)
+        stats = self.file_stats(version)
+        keep = [
+            f for f in files
+            if col not in stats.get(f, {})
+            or (stats[f][col][0] <= hi and stats[f][col][1] >= lo)
+        ]
+        by_batch: dict[str, list[str]] = {}
+        for f in keep:
+            by_batch.setdefault(f.split(os.sep, 1)[0], []).append(f)
+        out = None
+        for sub, fs in sorted(by_batch.items()):
+            df = spark.read.option(
+                "basePath", os.path.join(self.path, sub)
+            ).parquet(*[os.path.join(self.path, f) for f in fs])
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        if out is None:
+            raise ValueError("predicate prunes every file; empty scan")
+        out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return out, len(keep), len(files)
 
     def append(self, df: DataFrame) -> int:
         lv = self.latest_version()
@@ -237,9 +322,31 @@ class TxLogTable:
 
             a, b = zorder_by
             mask = (1 << zorder_bits) - 1
+            # scale each dimension to the FULL bit range first — a
+            # narrow column (e.g. 10 distinct ids under 10-bit
+            # interleave) would otherwise contribute only zero high
+            # bits and never influence the sort. Delta's OPTIMIZE
+            # ZORDER uses per-column range ids; min/max linear scaling
+            # is the documented simplification here.
+            bounds = snap.agg(
+                F.min(F.col(a).cast("double")).alias("a0"),
+                F.max(F.col(a).cast("double")).alias("a1"),
+                F.min(F.col(b).cast("double")).alias("b0"),
+                F.max(F.col(b).cast("double")).alias("b1"),
+            ).collect()[0]
+
+            def scaled(col, lo, hi):
+                if hi <= lo:
+                    return F.lit(0).cast("bigint")
+                return F.floor(
+                    (F.col(col).cast("double") - lo)
+                    * mask
+                    / (hi - lo)
+                ).cast("bigint")
+
             zk = zorder_key_2d(
-                F.col(a).cast("bigint") % (mask + 1),
-                F.col(b).cast("bigint") % (mask + 1),
+                scaled(a, bounds["a0"], bounds["a1"]),
+                scaled(b, bounds["b0"], bounds["b1"]),
                 bits=zorder_bits,
             )
             snap = (

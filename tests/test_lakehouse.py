@@ -308,3 +308,38 @@ def test_zorder_compact_tightens_rowgroup_stats(spark, sf_dir):
     # clustering must tighten the average per-file bounding box by a
     # real margin (>=2x) vs the random-order ingest
     assert vol_after * 2 < vol_before, (vol_before, vol_after)
+
+
+def test_log_recorded_stats_prune_files_on_both_zorder_dims(spark, sf_dir):
+    """The Delta design end to end: per-file [min,max] recorded in the
+    commit log at write time; read_pruned() skips files from the LOG
+    (no storage reads at plan time). After a Z-ORDER compact, a
+    selective range predicate on EITHER clustered column must scan a
+    strict subset of files and return exactly the full-scan answer."""
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_ds_"))
+    tbl.append(li.repartition(8))
+    tbl.compact(
+        spark, target_files=8, zorder_by=("l_partkey", "l_suppkey")
+    )
+    assert tbl.file_stats()  # stats made it into the log
+    full = tbl.read(spark)
+    for col in ("l_partkey", "l_suppkey"):
+        vals = sorted(
+            r[0] for r in full.select(col).distinct().collect()
+        )
+        lo, hi = vals[0], vals[len(vals) // 10]  # bottom decile range
+        df, scanned, total = tbl.read_pruned(spark, col, lo, hi)
+        assert scanned < total, (col, scanned, total)
+        got = sorted(tuple(r) for r in df.collect())
+        want = sorted(
+            tuple(r)
+            for r in full.filter(
+                (full[col] >= lo) & (full[col] <= hi)
+            ).collect()
+        )
+        assert got == want
