@@ -314,3 +314,45 @@ def io_lakehouse_schema_evolution(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
+
+
+@query(
+    "io_lakehouse_data_skipping",
+    # Z-ORDER + log-stats pruning, hash-verified: ingest a lineitem
+    # slice fragmented, OPTIMIZE ZORDER by (partkey, suppkey), then
+    # answer a partkey-range aggregate THROUGH read_pruned (which
+    # skips non-overlapping files using the log-recorded stats). The
+    # oracle filters the raw table — a wrong prune drops rows and
+    # hash-mismatches.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+             AS total_qty,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem
+    WHERE l_orderkey < 4000 AND l_partkey BETWEEN 10 AND 60
+    """,
+)
+def io_lakehouse_data_skipping(spark, sf_dir):
+    """The skipping path as a verified query: files pruned from the
+    LOG must still return exactly the relational answer."""
+    import tempfile
+
+    from ..lakehouse import TxLogTable
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 4000
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlogds_"))
+    tbl.append(li.repartition(8))
+    tbl.compact(
+        spark, target_files=8, zorder_by=("l_partkey", "l_suppkey")
+    )
+    df, _scanned, _total = tbl.read_pruned(spark, "l_partkey", 10, 60)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round("l_quantity", 0).cast("bigint"))
+        .cast("bigint")
+        .alias("total_qty"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+    )
