@@ -249,7 +249,10 @@ def test_streaming_ingest_checkpoint_restart_no_duplicates(spark):
     assert tbl.latest_version() == v1  # no duplicate commits
     # one new file -> exactly one more commit, no re-ingestion
     sub = tempfile.mkdtemp(prefix="lk_add_")
-    _df(spark, [(3, "c")]).write.mode("overwrite").parquet(sub)
+    # coalesce(1): a multi-partition 1-row write also emits EMPTY part
+    # files, and copying one of those gave a legitimate-but-empty new
+    # batch (caught as a flake — listdir order picked the empty part)
+    _df(spark, [(3, "c")]).coalesce(1).write.mode("overwrite").parquet(sub)
     newfile = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
     shutil.copy(os.path.join(sub, newfile),
                 os.path.join(src, "extra-" + newfile))
