@@ -33,6 +33,7 @@ from . import (  # noqa: F401
     analytics30,
     analytics31,
     analytics32,
+    analytics33,
     aggs,
     corpus,
     corpus2,
