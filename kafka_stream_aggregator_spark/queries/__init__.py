@@ -34,6 +34,7 @@ from . import (  # noqa: F401
     analytics31,
     analytics32,
     analytics33,
+    analytics34,
     aggs,
     corpus,
     corpus2,
