@@ -132,7 +132,8 @@ def stat_cochran_q(spark, sf_dir):
       FROM sn GROUP BY n_name
     )
     SELECT n_name, n AS n_suppliers,
-           round(1 - exp(slnx / n) / (sx / n), 6) AS atkinson_1
+           round(1 - round(exp(slnx / n), 6) / (sx / n), 6)
+             AS atkinson_1
     FROM g WHERE n > 0 AND sx > 0
     """,
 )
@@ -167,12 +168,19 @@ def agg_atkinson_index(spark, sf_dir):
         .cast("double")
         .alias("slnx"),
     )
+    # Cross-libm hardening (driver r8 hash-FAIL, VERDICT r8 item 1):
+    # exp() is the one libm call in the closing chain; a 1-ulp delta
+    # between the two engines' libm at geometric-mean magnitude
+    # ~1e5-1e7 (ulp <= 2e-9) can cross the terminating-decimal tie of
+    # the final 6-dp round. Quantize the geometric mean at 6 dp on
+    # BOTH engines (250x margin: ulp 2e-9 << 5e-7 half-grain) before
+    # the ratio — the ml_poisson_irls precedent (ROUND9_AUDIT_r08.md).
     return g.filter((F.col("n") > 0) & (F.col("sx") > 0)).select(
         "n_name",
         F.col("n").alias("n_suppliers"),
         F.round(
             1
-            - F.exp(F.col("slnx") / F.col("n"))
+            - F.round(F.exp(F.col("slnx") / F.col("n")), 6)
             / (F.col("sx") / F.col("n")),
             6,
         ).alias("atkinson_1"),
