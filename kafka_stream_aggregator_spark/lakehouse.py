@@ -52,6 +52,25 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first — re-read and retry."""
 
 
+def _stat_json(v):
+    """A parquet-footer min/max as a JSON-storable, order-preserving
+    value: numbers as-is; strings kept when short (no truncation —
+    a truncated max would need round-up semantics to stay a bound);
+    dates/timestamps as ISO-8601 (lexicographic == chronological);
+    anything else (binary, bool) unrecorded."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v if len(v) <= 64 else None
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return None
+
+
 class TxLogTable:
     def __init__(self, path: str):
         self.path = path
@@ -133,6 +152,15 @@ class TxLogTable:
             ) from None
         finally:
             os.unlink(tmp)
+        # Durability: the link published the entry but the DIRECTORY
+        # entry itself is not durable until the directory inode is
+        # fsynced (standard POSIX publish pattern) — without this a
+        # crash after append() returns could lose the commit.
+        dfd = os.open(self.logdir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     # ------------------------------------------------------------------
     # writes
@@ -183,9 +211,8 @@ class TxLogTable:
                         break
                     lo = s.min if lo is None else min(lo, s.min)
                     hi = s.max if hi is None else max(hi, s.max)
-                if ok and isinstance(lo, (int, float)) and not isinstance(
-                    lo, bool
-                ):
+                lo, hi = _stat_json(lo), _stat_json(hi)
+                if ok and lo is not None and hi is not None:
                     st[name] = [lo, hi]
             if st:
                 out[f] = st
@@ -205,17 +232,36 @@ class TxLogTable:
         self, spark: SparkSession, col: str, lo, hi,
         version: int | None = None,
     ) -> tuple[DataFrame, int, int]:
-        """Data skipping from the log: keep only live files whose
-        recorded [min, max] for ``col`` overlaps [lo, hi] (files with
-        no stats are always kept), then apply the residual filter.
-        Returns (df, files_scanned, files_total)."""
+        """Single-column data skipping — see ``read_pruned_where``."""
+        return self.read_pruned_where(spark, {col: (lo, hi)}, version)
+
+    def read_pruned_where(
+        self, spark: SparkSession, preds: dict[str, tuple],
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Conjunctive multi-column data skipping from the log: keep
+        only live files whose recorded [min, max] overlaps [lo, hi]
+        for EVERY predicate column (files with no stats for a column
+        are always kept for that column), then apply the residual
+        filters. With a Z-ordered layout (compact(zorder_by=(a, b)))
+        a two-column predicate prunes in BOTH dimensions — the point
+        of the Morton key. String/date columns compare by their
+        log-recorded JSON form (ISO-8601 for dates, so lexicographic
+        order == chronological); pass ``lo``/``hi`` in the same form.
+        Returns (df, files_scanned, files_total). An all-pruned
+        predicate returns an EMPTY DataFrame with the table schema
+        (an empty scan is a legitimate result, not an error)."""
         files = self.live_files(version)
         stats = self.file_stats(version)
-        keep = [
-            f for f in files
-            if col not in stats.get(f, {})
-            or (stats[f][col][0] <= hi and stats[f][col][1] >= lo)
-        ]
+
+        def overlaps(f: str) -> bool:
+            st = stats.get(f, {})
+            for col, (lo, hi) in preds.items():
+                if col in st and not (st[col][0] <= hi and st[col][1] >= lo):
+                    return False
+            return True
+
+        keep = [f for f in files if overlaps(f)]
         by_batch: dict[str, list[str]] = {}
         for f in keep:
             by_batch.setdefault(f.split(os.sep, 1)[0], []).append(f)
@@ -228,8 +274,10 @@ class TxLogTable:
                 df, allowMissingColumns=True
             )
         if out is None:
-            raise ValueError("predicate prunes every file; empty scan")
-        out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+            # every file pruned: empty scan with the table schema
+            out = self.read(spark, version).limit(0)
+        for col, (lo, hi) in preds.items():
+            out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return out, len(keep), len(files)
 
     def append(self, df: DataFrame) -> int:
@@ -270,20 +318,56 @@ class TxLogTable:
         return v
 
     def overwrite_partition(self, df: DataFrame, part_col: str,
-                            part_value: str) -> int:
+                            part_value: str,
+                            spark: SparkSession | None = None) -> int:
         """Transactional dynamic-partition overwrite: replace ONLY the
         files of ``part_value``; every other partition's files are
         untouched (idempotent backfill). df is filtered to the target
-        partition as a guard."""
+        partition as a guard.
+
+        File-level semantics guard (ADVICE r8): files written by plain
+        append()/overwrite()/merge() record no partition mapping, so a
+        purely file-level overwrite would silently leave their
+        ``part_value`` rows alive beside the rewrite. When any live
+        file lacks a mapping: with ``spark`` provided, fall back to a
+        predicate-based copy-on-write of those files (their non-target
+        rows are rewritten, the stale files removed in the SAME
+        commit); without ``spark``, raise instead of corrupting."""
         df = df.filter(F.col(part_col).cast("string") == part_value)
+        mapped = self.live_parts()
+        unmapped = [f for f in self.live_files() if f not in mapped]
+        extra_added: list[str] = []
+        if unmapped:
+            if spark is None:
+                raise ValueError(
+                    f"{len(unmapped)} live file(s) have no {part_col} "
+                    "mapping (written unpartitioned); pass spark= for a "
+                    "predicate-based rewrite, or use merge()/overwrite()"
+                )
+            by_batch: dict[str, list[str]] = {}
+            for f in unmapped:
+                by_batch.setdefault(f.split(os.sep, 1)[0], []).append(f)
+            rest = None
+            for sub, fs in sorted(by_batch.items()):
+                d = spark.read.option(
+                    "basePath", os.path.join(self.path, sub)
+                ).parquet(*[os.path.join(self.path, f) for f in fs])
+                rest = d if rest is None else rest.unionByName(
+                    d, allowMissingColumns=True
+                )
+            rest = rest.filter(
+                F.col(part_col).cast("string") != part_value
+            )
+            extra_added = self._write_files(rest)
         parts = self._write_partitioned(df, part_col)
-        prev = [
-            p for p, pv in self.live_parts().items() if pv == part_value
-        ]
+        prev = sorted(
+            [p for p, pv in mapped.items() if pv == part_value] + unmapped
+        )
         lv = self.latest_version()
         v = 0 if lv is None else lv + 1
         self._commit(
-            v, "overwrite_partition", sorted(parts), prev, parts=parts
+            v, "overwrite_partition", sorted(parts) + extra_added,
+            prev, parts=parts,
         )
         return v
 

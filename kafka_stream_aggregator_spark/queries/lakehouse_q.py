@@ -8,11 +8,28 @@ snapshot isolation, and merge semantics are all hash-verified.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
 
 from .base import query, t
+
+
+def _qtmp(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, tier) table dir, WIPED at the start
+    of each call (ADVICE r8: mkdtemp tables accumulated forever). The
+    dir must outlive the returned lazy DataFrame, so cleanup happens
+    on the NEXT invocation, not after this one."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "ksa_lakehouse",
+        f"{name}-{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 @query(
@@ -59,7 +76,7 @@ def io_lakehouse_time_travel(spark, sf_dir):
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlog_"))
+    tbl = TxLogTable(_qtmp("tt", sf_dir))
     tbl.append(orders.filter(F.col("o_orderkey") < 2000))
     tbl.append(
         orders.filter(
@@ -120,12 +137,10 @@ def io_lakehouse_partition_overwrite(spark, sf_dir):
     commit's removed-set is exactly the target partition's live files,
     so every other partition is byte-untouched AND the previous
     version still time-travels to the pre-backfill state."""
-    import tempfile
-
     from ..lakehouse import TxLogTable
 
     ev = t(spark, sf_dir, "events").select("event_type", "value")
-    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlogp_"))
+    tbl = TxLogTable(_qtmp("po", sf_dir))
     tbl.append_partitioned(ev, "event_type")
     fixed = ev.filter(F.col("event_type") == "click").select(
         "event_type", (F.col("value") * 2).alias("value")
@@ -172,14 +187,12 @@ def io_lakehouse_compact(spark, sf_dir):
     time-travel to v1 (a pre-compaction snapshot whose files the
     compaction did NOT delete). n_files collapse is asserted in
     tests/test_lakehouse.py; the oracle hash-checks both row sets."""
-    import tempfile
-
     from ..lakehouse import TxLogTable
 
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     )
-    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlogc_"))
+    tbl = TxLogTable(_qtmp("co", sf_dir))
     tbl.append(orders.filter(F.col("o_orderkey") < 500))
     tbl.append(
         orders.filter(
@@ -228,12 +241,10 @@ def stream_lakehouse_ingest(spark, sf_dir):
     micro-batch (version = batch_id; conflict = already-committed
     replay, skipped). Drains with availableNow, then reads the TABLE
     (not the stream) for the per-type checksum."""
-    import tempfile
-
     from ..lakehouse import CommitConflict, TxLogTable
     from .streaming_q import _events_stream
 
-    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlogs_"))
+    tbl = TxLogTable(_qtmp("si", sf_dir))
 
     def sink(batch_df, batch_id):
         files = tbl._write_files(
@@ -242,7 +253,14 @@ def stream_lakehouse_ingest(spark, sf_dir):
         try:
             tbl._commit(int(batch_id), "stream_append", files, [])
         except CommitConflict:
-            pass  # replayed micro-batch: already durable, skip
+            # replayed micro-batch: already durable. The just-written
+            # files lost the race and are in NO commit — vacuum()
+            # can't see them (it walks 'added' sets), so delete them
+            # here or they orphan forever (ADVICE r8).
+            for f in files:
+                p = os.path.join(tbl.path, f)
+                if os.path.exists(p):
+                    os.unlink(p)
 
     s = _events_stream(spark, sf_dir)
     q = (
@@ -285,12 +303,10 @@ def io_lakehouse_schema_evolution(spark, sf_dir):
     """Widen the table schema mid-history: the pre-evolution batch
     null-fills the new column on the merged read — no rewrite of old
     files, the lakehouse evolution contract."""
-    import tempfile
-
     from ..lakehouse import TxLogTable
 
     orders = t(spark, sf_dir, "orders")
-    tbl = TxLogTable(tempfile.mkdtemp(prefix="txloge_"))
+    tbl = TxLogTable(_qtmp("se", sf_dir))
     tbl.append(
         orders.filter(F.col("o_orderkey") < 1500).select(
             "o_orderkey", "o_totalprice"
@@ -336,14 +352,12 @@ def io_lakehouse_schema_evolution(spark, sf_dir):
 def io_lakehouse_data_skipping(spark, sf_dir):
     """The skipping path as a verified query: files pruned from the
     LOG must still return exactly the relational answer."""
-    import tempfile
-
     from ..lakehouse import TxLogTable
 
     li = t(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey") < 4000
     ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-    tbl = TxLogTable(tempfile.mkdtemp(prefix="txlogds_"))
+    tbl = TxLogTable(_qtmp("ds", sf_dir))
     tbl.append(li.repartition(8))
     tbl.compact(
         spark, target_files=8, zorder_by=("l_partkey", "l_suppkey")
@@ -355,4 +369,134 @@ def io_lakehouse_data_skipping(spark, sf_dir):
         .cast("bigint")
         .alias("total_qty"),
         F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+    )
+
+
+@query(
+    "io_lakehouse_merge",
+    # Dedicated CoW MERGE row (VERDICT r8 item 5): a CDC batch of
+    # updates (status flip + repriced totals for okey < 800) and
+    # inserts ([3000, 3300)) merged into a 3000-order base. BOTH the
+    # post-merge tip and the PRE-merge version are read after the
+    # commit — the pre-merge snapshot must replay byte-stable (its
+    # files are immutable; the merge only adds/removes log entries).
+    # A second, identical merge() is applied before reading: MERGE of
+    # the same CDC batch is idempotent by definition (update rows
+    # overwrite to the same values, insert keys now match-update), so
+    # the oracle also pins replay-idempotence relationally.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 3000
+    ), cdc AS (
+      SELECT o_orderkey, 'R' AS o_orderstatus,
+             o_totalprice * 0.9 AS o_totalprice
+      FROM orders WHERE o_orderkey < 800
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey >= 3000 AND o_orderkey < 3300
+    ), merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cdc)
+      UNION ALL SELECT * FROM cdc
+    ), u AS (
+      SELECT CAST(0 AS BIGINT) AS version, * FROM base
+      UNION ALL SELECT 2, * FROM merged
+    )
+    SELECT version, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM u GROUP BY version, o_orderstatus
+    """,
+)
+def io_lakehouse_merge(spark, sf_dir):
+    """CDC upsert through the transaction log: broadcast anti-join +
+    union rewrite, committed copy-on-write. Applied TWICE with the
+    same batch (replay) — the tip must be a fixed point — and the
+    pre-merge version is read post-commit for byte-stable time
+    travel. Both snapshots hash against the relational oracle."""
+    from ..lakehouse import TxLogTable
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tbl = TxLogTable(_qtmp("mg", sf_dir))
+    tbl.append(orders.filter(F.col("o_orderkey") < 3000))
+    cdc = orders.filter(F.col("o_orderkey") < 800).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 0.9).alias("o_totalprice"),
+    ).unionByName(
+        orders.filter(
+            (F.col("o_orderkey") >= 3000) & (F.col("o_orderkey") < 3300)
+        )
+    )
+    tbl.merge(spark, cdc, "o_orderkey")
+    tbl.merge(spark, cdc, "o_orderkey")  # replay: must be a fixed point
+    u = tbl.read(spark, version=0).withColumn(
+        "version", F.lit(0).cast("bigint")
+    ).unionByName(
+        tbl.read(spark, version=2).withColumn(
+            "version", F.lit(2).cast("bigint")
+        )
+    )
+    return u.groupBy("version", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+
+
+@query(
+    "io_lakehouse_skipping_2d",
+    # Two-dimensional data skipping (VERDICT r8 item 6): the Morton
+    # layout's whole point is that a CONJUNCTIVE box predicate on both
+    # zorder_by columns prunes files in both dimensions. The query
+    # answers a (partkey, suppkey) box THROUGH read_pruned_where and
+    # asserts in-flight that the scan is a STRICT file subset; the
+    # oracle replays the box on the raw table, so a wrong prune
+    # hash-mismatches.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+             AS total_qty,
+           CAST(sum(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS okey_sum
+    FROM lineitem
+    WHERE l_orderkey < 4000
+      AND l_partkey BETWEEN 5 AND 40 AND l_suppkey BETWEEN 1 AND 4
+    """,
+)
+def io_lakehouse_skipping_2d(spark, sf_dir):
+    """Conjunctive two-column pruning over the Z-ordered layout: the
+    log-recorded per-file [min, max] of BOTH Morton dimensions must
+    each overlap the box for a file to be scanned. The strict-subset
+    assertion fails the query outright if the layout ever stops
+    pruning — a silent full scan is a perf regression, not a pass."""
+    from ..lakehouse import TxLogTable
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 4000
+    ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    tbl = TxLogTable(_qtmp("ds2", sf_dir))
+    tbl.append(li.repartition(8))
+    tbl.compact(
+        spark, target_files=16, zorder_by=("l_partkey", "l_suppkey")
+    )
+    df, scanned, total = tbl.read_pruned_where(
+        spark, {"l_partkey": (5, 40), "l_suppkey": (1, 4)}
+    )
+    if not scanned < total:
+        raise AssertionError(
+            f"2-d skip degenerated to a full scan ({scanned}/{total})"
+        )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round("l_quantity", 0).cast("bigint"))
+        .cast("bigint")
+        .alias("total_qty"),
+        F.sum(F.col("l_orderkey").cast("bigint"))
+        .cast("bigint")
+        .alias("okey_sum"),
     )

@@ -56,8 +56,10 @@ def test_commit_conflict_single_winner(spark):
     tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_"))
     tbl.append(_df(spark, [(1, "a")]))
     # a second writer racing to publish the SAME next version loses
+    # (the winning commit sits OUTSIDE the raises block — ADVICE r8:
+    # inside it, a raising winner would vacuously pass the test)
+    tbl._commit(1, "append", ["data-x/f.parquet"], [])
     with pytest.raises(CommitConflict):
-        tbl._commit(1, "append", ["data-x/f.parquet"], [])
         tbl._commit(1, "append", ["data-y/f.parquet"], [])
     assert tbl.latest_version() == 1
     # no orphan tmp files survive the loser
@@ -346,3 +348,133 @@ def test_log_recorded_stats_prune_files_on_both_zorder_dims(spark, sf_dir):
             ).collect()
         )
         assert got == want
+
+
+def test_conjunctive_2d_prune_tighter_than_either_dim(spark, sf_dir):
+    """read_pruned_where with a box on BOTH zorder dims scans no more
+    files than either single-dim prune — the Morton layout's point —
+    and still equals the full-scan answer; an all-out-of-range box
+    returns an EMPTY frame (not an error) with the table schema."""
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_ds2_"))
+    tbl.append(li.repartition(8))
+    tbl.compact(
+        spark, target_files=16, zorder_by=("l_partkey", "l_suppkey")
+    )
+    full = tbl.read(spark)
+    pk = sorted(r[0] for r in full.select("l_partkey").distinct().collect())
+    sk = sorted(r[0] for r in full.select("l_suppkey").distinct().collect())
+    box = {
+        "l_partkey": (pk[0], pk[len(pk) // 4]),
+        "l_suppkey": (sk[0], sk[len(sk) // 4]),
+    }
+    _, s_p, total = tbl.read_pruned(spark, "l_partkey", *box["l_partkey"])
+    _, s_s, _ = tbl.read_pruned(spark, "l_suppkey", *box["l_suppkey"])
+    df, s_2d, _ = tbl.read_pruned_where(spark, box)
+    assert s_2d <= min(s_p, s_s) < total
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(
+        tuple(r)
+        for r in full.filter(
+            (full.l_partkey >= box["l_partkey"][0])
+            & (full.l_partkey <= box["l_partkey"][1])
+            & (full.l_suppkey >= box["l_suppkey"][0])
+            & (full.l_suppkey <= box["l_suppkey"][1])
+        ).collect()
+    )
+    assert got == want
+    # fully-out-of-range predicate: legitimate empty result
+    empty, scanned, _ = tbl.read_pruned(
+        spark, "l_partkey", pk[-1] + 10_000, pk[-1] + 20_000
+    )
+    assert scanned == 0 and empty.count() == 0
+    assert empty.columns == full.columns
+
+
+def test_string_and_date_stats_recorded_and_prune(spark):
+    """Log stats now cover strings and dates (ISO-8601 form): a
+    predicate on a string column prunes files whose recorded range
+    can't overlap."""
+    import datetime
+
+    df1 = spark.createDataFrame(
+        [("apple", datetime.date(2024, 1, 1), 1),
+         ("banana", datetime.date(2024, 2, 1), 2)],
+        "fruit string, d date, n long",
+    )
+    df2 = spark.createDataFrame(
+        [("mango", datetime.date(2025, 1, 1), 3),
+         ("zucchini", datetime.date(2025, 6, 1), 4)],
+        "fruit string, d date, n long",
+    )
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_str_"))
+    tbl.append(df1.coalesce(1))
+    tbl.append(df2.coalesce(1))
+    stats = tbl.file_stats()
+    assert all("fruit" in s and "d" in s for s in stats.values())
+    # string range hitting only the first file
+    df, scanned, total = tbl.read_pruned(spark, "fruit", "a", "c")
+    assert (scanned, total) == (1, 2)
+    assert sorted(r["n"] for r in df.collect()) == [1, 2]
+    # date range (ISO strings order chronologically) hits only file 2
+    df, scanned, _ = tbl.read_pruned(
+        spark, "d", "2025-01-01", "2025-12-31"
+    )
+    assert scanned == 1
+    assert sorted(r["n"] for r in df.collect()) == [3, 4]
+
+
+def test_partition_overwrite_guards_unmapped_files(spark):
+    """ADVICE r8 medium: rows of the target partition written via
+    plain append() (no partition mapping) must NOT survive a
+    partition overwrite. Without spark= the call refuses; with it,
+    the unmapped files are predicate-rewritten in the same commit."""
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_pg_"))
+    part = spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0)], "event_type string, value double"
+    )
+    tbl.append_partitioned(part, "event_type")
+    # an UNPARTITIONED append holding more 'click' rows
+    tbl.append(
+        spark.createDataFrame(
+            [("click", 10.0), ("purchase", 3.0)],
+            "event_type string, value double",
+        )
+    )
+    newclick = spark.createDataFrame(
+        [("click", 99.0)], "event_type string, value double"
+    )
+    with pytest.raises(ValueError, match="no event_type mapping"):
+        tbl.overwrite_partition(newclick, "event_type", "click")
+    v = tbl.overwrite_partition(
+        newclick, "event_type", "click", spark=spark
+    )
+    tip = sorted(
+        (r["event_type"], r["value"]) for r in tbl.read(spark).collect()
+    )
+    # exactly one click row (99.0) — the stale 1.0 AND the unmapped
+    # 10.0 are both gone; view/purchase survive
+    assert tip == [("click", 99.0), ("purchase", 3.0), ("view", 2.0)]
+    # pre-overwrite version still time-travels to the mixed state
+    old = sorted(
+        (r["event_type"], r["value"])
+        for r in tbl.read(spark, version=v - 1).collect()
+    )
+    assert ("click", 1.0) in old and ("click", 10.0) in old
+
+
+def test_merge_replay_is_fixed_point(spark):
+    """Applying the same CDC batch twice must leave the tip
+    unchanged (exactly-once by idempotent MERGE semantics)."""
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_mg_"))
+    tbl.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    cdc = _df(spark, [(2, "B"), (9, "i")])
+    tbl.merge(spark, cdc, "k")
+    once = sorted(tuple(r) for r in tbl.read(spark).collect())
+    tbl.merge(spark, cdc, "k")
+    twice = sorted(tuple(r) for r in tbl.read(spark).collect())
+    assert once == twice == [(1, "a"), (2, "B"), (3, "c"), (9, "i")]
