@@ -170,6 +170,74 @@ WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY extract(month FROM o_orderdate)
 """,
+    # Round-9 suite (VERDICT r8 item 8): the remaining dialect-common
+    # surface. PIVOT/UNPIVOT parse verbatim on BOTH engines (checked:
+    # Spark 4.1 + DuckDB 1.0 share the relational PIVOT ... FOR ... IN
+    # form with aliases); QUALIFY and DISTINCT-window aggregates do
+    # NOT exist in Spark SQL, so those two rows are the PORTABLE
+    # idioms every cross-engine SQL user writes instead — a ranked
+    # subquery and the dense_rank trick — still one verbatim statement.
+    #
+    # PIVOT: wide order-status counts per market segment. count(*)
+    # is BIGINT on both engines; a pivot cell with no rows is NULL on
+    # Spark and 0 on DuckDB, so COALESCE in the outer projection is
+    # part of the portable idiom.
+    "sql_pivot": """
+SELECT seg,
+       CAST(coalesce(f, 0) AS BIGINT) AS n_f,
+       CAST(coalesce(o, 0) AS BIGINT) AS n_o
+FROM (
+  SELECT c_mktsegment AS seg, o_orderstatus AS st
+  FROM orders JOIN customer ON o_custkey = c_custkey) z
+PIVOT (count(*) FOR st IN ('F' AS f, 'O' AS o))
+""",
+    # UNPIVOT: per-nation wide metrics back to long (metric, value)
+    # rows; values pre-cast BIGINT so the unpivoted column has one
+    # type on both engines
+    "sql_unpivot": """
+SELECT n_name, metric, CAST(val AS BIGINT) AS val
+FROM (
+  SELECT n_name,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_positive
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name) w
+UNPIVOT (val FOR metric IN (n_customers, n_positive))
+""",
+    # QUALIFY-equivalent: top-1 order per customer via a ranked
+    # subquery — the portable form of QUALIFY row_number() = 1
+    # (DuckDB has QUALIFY, Spark does not; this statement is the
+    # common subset both plan as one window + filter)
+    "sql_qualify_equivalent": """
+SELECT o_custkey, o_orderkey, cents
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+              ORDER BY round(o_totalprice * 100, 0) DESC, o_orderkey)
+           AS rn
+  FROM orders WHERE o_custkey < 300) z
+WHERE rn = 1
+""",
+    # windowed DISTINCT aggregate: Spark rejects
+    # count(DISTINCT x) OVER (...), so the portable idiom is
+    # max(dense_rank) — the per-partition distinct count as a pure
+    # window chain, then reduced to bounded output
+    "sql_windowed_distinct": """
+SELECT n_distinct_types,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM (
+  SELECT user_id,
+         CAST(max(dr) AS BIGINT) AS n_distinct_types
+  FROM (
+    SELECT user_id,
+           dense_rank() OVER (PARTITION BY user_id
+                              ORDER BY event_type) AS dr
+    FROM events) z
+  GROUP BY user_id) g
+GROUP BY n_distinct_types
+""",
     # HAVING over a joined aggregate + CASE-conditional count
     "sql_having_case": """
 SELECT n_name,
