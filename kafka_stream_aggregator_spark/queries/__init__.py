@@ -35,6 +35,7 @@ from . import (  # noqa: F401
     analytics32,
     analytics33,
     analytics34,
+    analytics35,
     aggs,
     corpus,
     corpus2,
