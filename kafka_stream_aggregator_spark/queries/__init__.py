@@ -75,6 +75,7 @@ from . import (  # noqa: F401
     tpch,
     tpch2,
     trading,
+    trading3,
     tpch3,
     tpch4,
     udf_io,
