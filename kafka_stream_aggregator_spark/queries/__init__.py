@@ -36,6 +36,7 @@ from . import (  # noqa: F401
     analytics33,
     analytics34,
     analytics35,
+    analytics36,
     aggs,
     corpus,
     corpus2,
