@@ -238,6 +238,52 @@ FROM (
   GROUP BY user_id) g
 GROUP BY n_distinct_types
 """,
+    # GROUP BY ROLLUP + CUBE in one verbatim statement (COALESCE
+    # sentinels disambiguate the total rows, the grouping-sets
+    # convention; NULL-free group keys so sentinels are unambiguous)
+    "sql_rollup_cube": """
+SELECT 'rollup' AS op, coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'cube' AS op, coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS cents
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+    # named WINDOW clause shared by several window functions — the
+    # reuse idiom; both engines bind w once (order keys NULL-free:
+    # Spark sorts NULLS FIRST, DuckDB NULLS LAST)
+    "sql_named_window": """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            OVER w AS BIGINT) AS run_cents,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(count(*) OVER w AS BIGINT) AS n_so_far
+FROM orders
+WHERE o_custkey < 150
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+""",
+    # null-safe comparison surface: IS DISTINCT FROM / IS NOT
+    # DISTINCT FROM, NULLIF and COALESCE in one statement over a
+    # column made nullable by NULLIF
+    "sql_is_distinct_from": """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN st IS DISTINCT FROM 'F'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_not_f_nullsafe,
+       CAST(sum(CASE WHEN st IS NOT DISTINCT FROM NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(sum(CASE WHEN coalesce(st, 'P') = 'P'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_p_or_null
+FROM (SELECT NULLIF(o_orderstatus, 'O') AS st FROM orders) z
+""",
     # HAVING over a joined aggregate + CASE-conditional count
     "sql_having_case": """
 SELECT n_name,
