@@ -52,6 +52,10 @@ class CommitConflict(RuntimeError):
     """Another writer published this version first — re-read and retry."""
 
 
+class ConstraintViolation(ValueError):
+    """A write contained rows failing a table CHECK constraint."""
+
+
 def _stat_json(v):
     """A parquet-footer min/max as a JSON-storable, order-preserving
     value: numbers as-is; strings kept when short (no truncation —
@@ -280,13 +284,93 @@ class TxLogTable:
             out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
         return out, len(keep), len(files)
 
+    # ------------------------------------------------------------------
+    # CHECK constraints (Delta-style: recorded in the log, enforced
+    # on every subsequent write)
+    # ------------------------------------------------------------------
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Name -> SQL expression, folded through the log (a later
+        drop_constraint commit removes the name)."""
+        out: dict[str, str] = {}
+        for v in self.versions():
+            if version is not None and v > version:
+                break
+            e = self._entry(v)
+            if e.get("op") == "set_constraint":
+                out[e["name"]] = e["expr"]
+            elif e.get("op") == "drop_constraint":
+                out.pop(e["name"], None)
+        return out
+
+    def add_constraint(self, spark: SparkSession, name: str,
+                       expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): existing data
+        must already satisfy it (the Delta rule), then the constraint
+        is a log action enforced on every later write."""
+        if self.live_files():
+            bad = self.read(spark).filter(f"NOT ({expr})").count()
+            if bad:
+                raise ConstraintViolation(
+                    f"{bad} existing row(s) violate {name}: {expr}"
+                )
+        lv = self.latest_version()
+        v = 0 if lv is None else lv + 1
+        final = os.path.join(self.logdir, f"{v:08d}.json")
+        tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "op": "set_constraint",
+                       "name": name, "expr": expr,
+                       "added": [], "removed": []}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {v} already committed at {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        lv = self.latest_version()
+        v = 0 if lv is None else lv + 1
+        final = os.path.join(self.logdir, f"{v:08d}.json")
+        tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "op": "drop_constraint",
+                       "name": name, "added": [], "removed": []}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {v} already committed at {self.path}"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def _enforce(self, df: DataFrame) -> None:
+        for name, expr in self.constraints().items():
+            bad = df.filter(f"NOT ({expr})").count()
+            if bad:
+                raise ConstraintViolation(
+                    f"{bad} row(s) violate CHECK {name}: {expr}"
+                )
+
     def append(self, df: DataFrame) -> int:
+        self._enforce(df)
         lv = self.latest_version()
         v = 0 if lv is None else lv + 1
         self._commit(v, "append", self._write_files(df), [])
         return v
 
     def overwrite(self, df: DataFrame) -> int:
+        self._enforce(df)
         prev = self.live_files()
         lv = self.latest_version()
         v = 0 if lv is None else lv + 1
@@ -311,6 +395,7 @@ class TxLogTable:
         return parts
 
     def append_partitioned(self, df: DataFrame, part_col: str) -> int:
+        self._enforce(df)
         parts = self._write_partitioned(df, part_col)
         lv = self.latest_version()
         v = 0 if lv is None else lv + 1
@@ -376,6 +461,7 @@ class TxLogTable:
         """Copy-on-write MERGE (upsert by ``key``): target rows whose
         key appears in source are replaced, new source keys inserted.
         One broadcast anti-join + union, then a rewrite commit."""
+        self._enforce(source)
         target = self.read(spark)
         keys = source.select(key).distinct()
         kept = target.join(F.broadcast(keys), key, "left_anti")

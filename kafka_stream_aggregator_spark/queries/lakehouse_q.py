@@ -500,3 +500,76 @@ def io_lakehouse_skipping_2d(spark, sf_dir):
         .cast("bigint")
         .alias("okey_sum"),
     )
+
+
+@query(
+    "io_lakehouse_check_constraint",
+    # Delta-style CHECK constraints: recorded in the log as an ALTER
+    # action (existing data must already satisfy it), enforced on
+    # every later write — a violating batch is rejected WHOLE (no
+    # partial append), a conforming batch lands. The oracle replays
+    # only the writes that must survive, so a leaked bad row (or a
+    # wrongly-rejected good batch) hash-mismatches.
+    oracle="""
+    WITH keep AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey < 1500 AND o_totalprice > 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey >= 1500 AND o_orderkey < 2500
+        AND o_totalprice > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END)
+                AS BIGINT) AS n_violations_leaked
+    FROM keep
+    """,
+)
+def io_lakehouse_check_constraint(spark, sf_dir):
+    """ADD CONSTRAINT CHECK(o_totalprice > 0) after a conforming
+    base append; then one conforming batch (lands), one poisoned
+    batch with negated totals (rejected whole via
+    ConstraintViolation), and a drop+re-add cycle proving the log
+    fold. Tip must equal exactly base + the good batch."""
+    from ..lakehouse import ConstraintViolation, TxLogTable
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = TxLogTable(_qtmp("cc", sf_dir))
+    tbl.append(
+        orders.filter(
+            (F.col("o_orderkey") < 1500) & (F.col("o_totalprice") > 0)
+        )
+    )
+    tbl.add_constraint(spark, "positive_total", "o_totalprice > 0")
+    good = orders.filter(
+        (F.col("o_orderkey") >= 1500)
+        & (F.col("o_orderkey") < 2500)
+        & (F.col("o_totalprice") > 0)
+    )
+    tbl.append(good)
+    bad = orders.filter(
+        (F.col("o_orderkey") >= 2500) & (F.col("o_orderkey") < 3000)
+    ).select("o_orderkey", (-F.col("o_totalprice")).alias("o_totalprice"))
+    try:
+        tbl.append(bad)
+        raise AssertionError("poisoned batch was not rejected")
+    except ConstraintViolation:
+        pass
+    # drop + re-add proves the fold handles both actions; re-add
+    # validates the EXISTING table (all positive) and succeeds
+    tbl.drop_constraint("positive_total")
+    tbl.add_constraint(spark, "positive_total", "o_totalprice > 0")
+    assert tbl.constraints() == {"positive_total": "o_totalprice > 0"}
+    return tbl.read(spark).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count_if(F.col("o_totalprice") <= 0)
+        .cast("bigint")
+        .alias("n_violations_leaked"),
+    )

@@ -478,3 +478,30 @@ def test_merge_replay_is_fixed_point(spark):
     tbl.merge(spark, cdc, "k")
     twice = sorted(tuple(r) for r in tbl.read(spark).collect())
     assert once == twice == [(1, "a"), (2, "B"), (3, "c"), (9, "i")]
+
+
+def test_check_constraint_lifecycle(spark):
+    """ADD validates existing data; writes enforce; DROP lifts; a
+    violating ADD on dirty data refuses."""
+    from kafka_stream_aggregator_spark.lakehouse import (
+        ConstraintViolation,
+    )
+
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_cc_"))
+    tbl.append(_df(spark, [(1, "a"), (2, "b")]))
+    tbl.add_constraint(spark, "small_k", "k < 100")
+    with pytest.raises(ConstraintViolation):
+        tbl.append(_df(spark, [(500, "big")]))
+    # rejected batch left no live rows
+    assert sorted(r["k"] for r in tbl.read(spark).collect()) == [1, 2]
+    # enforced on merge sources and partitioned appends too
+    with pytest.raises(ConstraintViolation):
+        tbl.merge(spark, _df(spark, [(2, "B"), (700, "x")]), "k")
+    with pytest.raises(ConstraintViolation):
+        tbl.append_partitioned(_df(spark, [(900, "p")]), "v")
+    tbl.drop_constraint("small_k")
+    tbl.append(_df(spark, [(500, "big")]))
+    assert 500 in [r["k"] for r in tbl.read(spark).collect()]
+    # re-ADD now refuses: existing data violates
+    with pytest.raises(ConstraintViolation):
+        tbl.add_constraint(spark, "small_k", "k < 100")
