@@ -551,9 +551,11 @@ def io_lakehouse_check_constraint(spark, sf_dir):
         & (F.col("o_totalprice") > 0)
     )
     tbl.append(good)
-    bad = orders.filter(
-        (F.col("o_orderkey") >= 2500) & (F.col("o_orderkey") < 3000)
-    ).select("o_orderkey", (-F.col("o_totalprice")).alias("o_totalprice"))
+    # poisoned batch from the ALWAYS-present key range (sf0.001 has
+    # no keys >= 2500 — an empty "bad" batch vacuously passes)
+    bad = orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey", (-F.col("o_totalprice")).alias("o_totalprice")
+    )
     try:
         tbl.append(bad)
         raise AssertionError("poisoned batch was not rejected")
