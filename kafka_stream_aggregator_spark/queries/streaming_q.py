@@ -1016,3 +1016,116 @@ def stream_cdc_materialize(spark, sf_dir):
         F.round(F.col("last.value"), 6).alias("last_value"),
         F.unix_micros(F.col("last.ts")).cast("bigint").alias("last_us"),
     )
+
+
+@query(
+    "stream_window_percentile",
+    # TENTH exactly-oracled streaming op: exact windowed percentiles
+    # through Structured Streaming. The stream maintains the COUNTS
+    # TIER — groupBy(window, type, round(value, 2)) counts under a
+    # 10-min watermark (bounded state: ~|grid| cells per open window,
+    # value-distribution-invariant) — and the batch finisher closes
+    # the exact interpolated median per finalized window from those
+    # counts. Exactness survives streaming because counts are
+    # order/batching-independent: the same reason the DAU/MAU and
+    # tick-imbalance ops oracle exactly.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 600 AS horizon
+      FROM events
+    ), cells AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS ws,
+             CAST(round(value, 2) AS DECIMAL(18,2)) AS x,
+             count(*) AS c
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, ws, x
+    ), cum AS (
+      SELECT event_type, ws, CAST(x AS DOUBLE) AS x, c,
+             sum(c) OVER (PARTITION BY event_type, ws ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - c AS below,
+             sum(c) OVER (PARTITION BY event_type, ws) AS n
+      FROM cells
+    ), sel AS (
+      SELECT event_type, ws, max(n) AS n,
+             max(CASE WHEN below <= floor(0.5 * (n - 1))
+                      AND floor(0.5 * (n - 1)) < below + c
+                 THEN x END) AS lo,
+             max(CASE WHEN below <= ceil(0.5 * (n - 1))
+                      AND ceil(0.5 * (n - 1)) < below + c
+                 THEN x END) AS hi
+      FROM cum GROUP BY event_type, ws
+    )
+    SELECT event_type, ws AS window_start,
+           CAST(n AS BIGINT) AS n_rows,
+           round(lo + (0.5 * (n - 1) - floor(0.5 * (n - 1)))
+                 * (hi - lo), 6) AS p50
+    FROM sel, h WHERE ws + 300 <= horizon
+    """,
+)
+def stream_window_percentile(spark, sf_dir):
+    """Streaming exact median per 5-min window: the stream reduces to
+    watermarked (window, type, 2-dp value) counts (append mode emits
+    a window's cells once finalized); the finisher replays the
+    counts-tier quantile_cont selection — one bounded cumulative
+    window over cells, never over rows."""
+    s = _events_stream(spark, sf_dir)
+    cells = (
+        s.filter(F.col("value").isNotNull())
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "5 minutes").alias("w"),
+            "event_type",
+            F.round("value", 2).cast("decimal(18,2)").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    drained = _run_to_df(spark, cells).select(
+        "event_type",
+        F.col("w.start").cast("long").alias("ws"),
+        F.col("x").cast("double").alias("x"),
+        "c",
+    )
+    wc = (
+        W.partitionBy("event_type", "ws")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type", "ws")
+    cum = drained.select(
+        "event_type",
+        "ws",
+        "x",
+        "c",
+        (F.sum("c").over(wc) - F.col("c")).alias("below"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    pos = 0.5 * (F.col("n") - 1)
+    sel = cum.groupBy("event_type", "ws").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(
+                (F.col("below") <= F.floor(pos))
+                & (F.floor(pos) < F.col("below") + F.col("c")),
+                F.col("x"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                (F.col("below") <= F.ceil(pos))
+                & (F.ceil(pos) < F.col("below") + F.col("c")),
+                F.col("x"),
+            )
+        ).alias("hi"),
+    )
+    pos2 = 0.5 * (F.col("n") - 1)
+    return sel.select(
+        "event_type",
+        F.col("ws").alias("window_start"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(
+            F.col("lo") + (pos2 - F.floor(pos2)) * (F.col("hi") - F.col("lo")),
+            6,
+        ).alias("p50"),
+    )
