@@ -177,3 +177,115 @@ def graph_wcc_converged(spark, sf_dir):
     return lab.groupBy(
         F.col("lab").cast("bigint").alias("component")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+
+
+@query(
+    "image_phash_neardup",
+    # Perceptual-hash image dedup, EXACTLY oracled: 180 synthesized
+    # 32x32 grayscale images (pattern p = mid % 90 shared by twin
+    # pairs, +5 brightness and per-mid %3 noise separating the copies)
+    # -> 8x8 average-hash (bit = 4x4-block mean > image mean; means
+    # are integer floor-divisions so the bits are exact integers) ->
+    # Hamming pairs via xor + bit_count on two packed 32-bit halves.
+    # aHash is mean-relative, so the +5 brightness shift cancels:
+    # measured separation is twins = 0 bits vs cross-pattern >= 17
+    # bits, so threshold 6 recovers EXACTLY the 90 planted twin pairs
+    # — the pHash-family robustness property, verified relationally. At corpus scale the pair join is band-bucketed on
+    # hash prefixes (Hamming LSH); the 180-image demo joins directly.
+    oracle="""
+    WITH ids AS (
+      SELECT unnest(generate_series(0, 179)) AS mid
+    ), px AS (
+      SELECT mid, i // 4 AS by, j // 4 AS bx,
+             ((i + mid % 90) * (j + 2 * (mid % 90) + 1)) % 251
+               + (mid // 90) * 5 + ((i * j + mid) % 3) AS v
+      FROM ids,
+           (SELECT unnest(generate_series(0, 31)) AS i) a,
+           (SELECT unnest(generate_series(0, 31)) AS j) b
+    ), blocks AS (
+      SELECT mid, by, bx, sum(v) // 16 AS bm
+      FROM px GROUP BY mid, by, bx
+    ), gm AS (
+      SELECT mid, sum(v) // 1024 AS g FROM px GROUP BY mid
+    ), bits AS (
+      SELECT blocks.mid, by * 8 + bx AS k,
+             CASE WHEN bm > g THEN 1 ELSE 0 END AS bit
+      FROM blocks JOIN gm ON blocks.mid = gm.mid
+    ), h AS (
+      SELECT mid,
+             CAST(sum(CASE WHEN k < 32
+                      THEN bit * (CAST(1 AS BIGINT) << k) END)
+                  AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN k >= 32
+                      THEN bit * (CAST(1 AS BIGINT) << (k - 32)) END)
+                  AS BIGINT) AS hi
+      FROM bits GROUP BY mid
+    )
+    SELECT a.mid AS img_a, b.mid AS img_b,
+           CAST(bit_count(xor(a.lo, b.lo))
+                + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.mid < b.mid
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+    """,
+)
+def image_phash_neardup(spark, sf_dir):
+    """aHash near-dup: synthesize payload bytes per image id
+    (mapInPandas, the binary-column production shape), hash each
+    payload in one vectorized numpy pass (reshape -> 4x4 block means
+    -> mean-relative bits -> two packed 32-bit halves), then the
+    Hamming self-join with xor + bit_count. sf_dir unused (synthetic
+    ids 0..179 — the formula IS the dataset, as video_frame_pipeline
+    established)."""
+    import numpy as np
+    import pandas as pd
+
+    n = 180
+
+    def synth_and_hash(batches):
+        for pdf in batches:
+            out = []
+            for mid in pdf["mid"]:
+                m = int(mid)
+                p = m % 90
+                i = np.arange(32).reshape(32, 1)
+                j = np.arange(32).reshape(1, 32)
+                img = (
+                    ((i + p) * (j + 2 * p + 1)) % 251
+                    + (m // 90) * 5
+                    + ((i * j + m) % 3)
+                ).astype(np.int64)
+                bm = img.reshape(8, 4, 8, 4).sum(axis=(1, 3)) // 16
+                g = img.sum() // 1024
+                bits = (bm > g).astype(np.int64).ravel()
+                ks = np.arange(64)
+                lo = int((bits[ks < 32] << ks[ks < 32]).sum())
+                hi = int((bits[ks >= 32] << (ks[ks >= 32] - 32)).sum())
+                out.append((m, lo, hi))
+            yield pd.DataFrame(out, columns=["mid", "lo", "hi"])
+
+    h = (
+        spark.range(n)
+        .select(F.col("id").alias("mid"))
+        .repartition(8)
+        .mapInPandas(synth_and_hash, "mid long, lo long, hi long")
+    )
+    a = h.select(
+        F.col("mid").alias("img_a"),
+        F.col("lo").alias("la"),
+        F.col("hi").alias("ha"),
+    )
+    b = h.select(
+        F.col("mid").alias("img_b"),
+        F.col("lo").alias("lb"),
+        F.col("hi").alias("hb"),
+    )
+    ham = F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    ) + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("img_a") < F.col("img_b"))
+        .filter(ham <= 6)
+        .select(
+            "img_a", "img_b", ham.cast("bigint").alias("hamming")
+        )
+    )
