@@ -558,6 +558,23 @@ class TxLogTable:
     # reads
     # ------------------------------------------------------------------
 
+    def read_changes(self, spark: SparkSession, v_from: int,
+                     v_to: int | None = None) -> DataFrame:
+        """Change data feed between two snapshots: row-level inserts
+        and deletes derived by bag-diffing the snapshots (exceptAll
+        both ways — an update under copy-on-write MERGE appears as
+        delete + insert, the Delta CDF convention for rewrites).
+        Returns the table schema plus a ``_change_type`` column."""
+        old = self.read(spark, v_from)
+        new = self.read(spark, v_to)
+        ins = new.exceptAll(old).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        dels = old.exceptAll(new).withColumn(
+            "_change_type", F.lit("delete")
+        )
+        return ins.unionByName(dels)
+
     def read(self, spark: SparkSession,
              version: int | None = None) -> DataFrame:
         files = self.live_files(version)

@@ -37,6 +37,7 @@ from . import (  # noqa: F401
     analytics34,
     analytics35,
     analytics36,
+    analytics37,
     aggs,
     corpus,
     corpus2,

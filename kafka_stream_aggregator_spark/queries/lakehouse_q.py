@@ -575,3 +575,68 @@ def io_lakehouse_check_constraint(spark, sf_dir):
         .cast("bigint")
         .alias("n_violations_leaked"),
     )
+
+
+@query(
+    "io_lakehouse_change_feed",
+    # Change data feed across a MERGE: base (okey < 2000) -> CoW
+    # MERGE(repriced okey < 300 + inserts [2000, 2200)). The feed
+    # between v0 and v1 must show each repriced row as delete+insert
+    # (the CDF rewrite convention) and each new key as insert only.
+    # Oracle derives the same bag-diff relationally.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000
+    ), cdc AS (
+      SELECT o_orderkey, o_totalprice * 3 AS o_totalprice
+      FROM orders WHERE o_orderkey < 300
+      UNION ALL
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 2200
+    ), merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM cdc)
+      UNION ALL SELECT * FROM cdc
+    ), feed AS (
+      SELECT 'insert' AS _change_type, * FROM (
+        SELECT * FROM merged EXCEPT ALL SELECT * FROM base) i
+      UNION ALL
+      SELECT 'delete' AS _change_type, * FROM (
+        SELECT * FROM base EXCEPT ALL SELECT * FROM merged) d
+    )
+    SELECT _change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM feed GROUP BY _change_type
+    """,
+)
+def io_lakehouse_change_feed(spark, sf_dir):
+    """CDF over the transaction log: bag-diff of two immutable
+    snapshots (exceptAll both directions), reduced per change type.
+    The repriced keys must appear on BOTH sides, inserts only on
+    one — a wrong snapshot fold or diff direction hash-mismatches."""
+    from ..lakehouse import TxLogTable
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    tbl = TxLogTable(_qtmp("cf", sf_dir))
+    tbl.append(orders.filter(F.col("o_orderkey") < 2000))
+    cdc = orders.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey", (F.col("o_totalprice") * 3).alias("o_totalprice")
+    ).unionByName(
+        orders.filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 2200)
+        )
+    )
+    tbl.merge(spark, cdc, "o_orderkey")
+    feed = tbl.read_changes(spark, 0, 1)
+    return feed.groupBy("_change_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
