@@ -38,6 +38,7 @@ from . import (  # noqa: F401
     analytics35,
     analytics36,
     analytics37,
+    analytics38,
     aggs,
     corpus,
     corpus2,

@@ -1,0 +1,293 @@
+"""Round-9 wave 49: gradient boosting (2 rounds, depth-1 stumps,
+squared loss, learning rate 0.5) fit relationally on the 24-cell
+hour-of-day moment relation — the boosting-family companion to
+ml_adaboost_stump_2round (exponential loss / classification) and
+ml_regression_tree_depth2 (single tree).
+
+Determinism discipline: the round-1 split search runs on DECIMAL
+prefix sums of the raw moments (residual shift by a constant does not
+change the split); round-2 residual cells are quantized round(., 6)
+DECIMAL at birth before their prefix sums (windowed double sums are
+NOT order-fixed on DuckDB — segment-tree aggregation — so doubles
+never enter a windowed fold); every SSE/gamma/MSE is a literal-
+identical IEEE chain on those exact inputs, argmins tie-break on the
+split position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .base import query, t
+
+_LR = "0.5"
+
+
+@query(
+    "ml_gbm_2round",
+    oracle=f"""
+    WITH hm AS (
+      SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(18,2))) AS s,
+             sum(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2))) AS ss
+      FROM events GROUP BY hr
+    ), pre AS (
+      SELECT hr, sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+             sum(n) OVER () AS tn, sum(s) OVER () AS ts_,
+             sum(ss) OVER () AS tss
+      FROM hm
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), cand AS (
+      SELECT hr AS t, cn, cs, tn, ts_,
+             - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / cn
+             - CAST(ts_ - cs AS DOUBLE) * CAST(ts_ - cs AS DOUBLE)
+               / (tn - cn) AS obj
+      FROM pre WHERE hr BETWEEN 1 AND 21
+    ), r1 AS (
+      SELECT t AS t1,
+             CAST(ts_ AS DOUBLE) / tn AS f0,
+             CAST(cs AS DOUBLE) / cn - CAST(ts_ AS DOUBLE) / tn AS g1l,
+             CAST(ts_ - cs AS DOUBLE) / (tn - cn)
+               - CAST(ts_ AS DOUBLE) / tn AS g1r,
+             tn
+      FROM cand ORDER BY obj, t LIMIT 1
+    ), c2 AS (
+      SELECT hm.hr, hm.n,
+             CASE WHEN hm.hr <= r1.t1
+                  THEN r1.f0 + {_LR} * r1.g1l
+                  ELSE r1.f0 + {_LR} * r1.g1r END AS f1,
+             hm.s, hm.ss, r1.t1, r1.g1l, r1.g1r, r1.tn
+      FROM hm CROSS JOIN r1
+    ), q2 AS (
+      SELECT hr, n, f1, t1, g1l, g1r, tn,
+             CAST(round(CAST(s AS DOUBLE) - n * f1, 6)
+                  AS DECIMAL(24,6)) AS rs,
+             CAST(round(CAST(ss AS DOUBLE) - 2 * f1 * CAST(s AS DOUBLE)
+                        + n * f1 * f1, 6) AS DECIMAL(28,6)) AS rss
+      FROM c2
+    ), pre2 AS (
+      SELECT hr, f1, t1, g1l, g1r, tn,
+             sum(n) OVER w AS cn, sum(rs) OVER w AS crs,
+             sum(rs) OVER () AS trs, sum(rss) OVER () AS trss,
+             max(CASE WHEN hr <= t1 THEN 1 ELSE 0 END) OVER () AS dummy
+      FROM q2
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), cand2 AS (
+      SELECT hr AS t, t1, g1l, g1r, tn, trs, trss,
+             - CAST(crs AS DOUBLE) * CAST(crs AS DOUBLE) / cn
+             - CAST(trs - crs AS DOUBLE) * CAST(trs - crs AS DOUBLE)
+               / (tn - cn) AS obj,
+             CAST(crs AS DOUBLE) / cn AS ml,
+             CAST(trs - crs AS DOUBLE) / (tn - cn) AS mr
+      FROM pre2 WHERE hr BETWEEN 1 AND 21
+    ), r2 AS (
+      SELECT t AS t2, t1, g1l, g1r, tn, trs, trss,
+             ml AS g2l, mr AS g2r
+      FROM cand2 ORDER BY obj, t LIMIT 1
+    ), fin AS (
+      SELECT q2.hr, q2.n, q2.rs, q2.rss, r2.*,
+             CASE WHEN q2.hr <= r2.t2
+                  THEN {_LR} * r2.g2l ELSE {_LR} * r2.g2r END AS step
+      FROM q2 CROSS JOIN r2
+    ), mse AS (
+      SELECT max(t1) AS t1, max(g1l) AS g1l, max(g1r) AS g1r,
+             max(t2) AS t2, max(g2l) AS g2l, max(g2r) AS g2r,
+             max(tn) AS tn, max(trss) AS trss,
+             sum(CAST(round(CAST(rss AS DOUBLE)
+                            - 2 * step * CAST(rs AS DOUBLE)
+                            + n * step * step, 6)
+                      AS DECIMAL(28,6))) AS sse2
+      FROM fin
+    )
+    SELECT CAST(t1 AS BIGINT) AS t1,
+           round(g1l, 6) AS gamma1_left,
+           round(g1r, 6) AS gamma1_right,
+           CAST(t2 AS BIGINT) AS t2,
+           round(g2l, 6) AS gamma2_left,
+           round(g2r, 6) AS gamma2_right,
+           round(CAST(trss AS DOUBLE) / tn, 6) AS mse_round1,
+           round(CAST(sse2 AS DOUBLE) / tn, 6) AS mse_round2
+    FROM mse
+    """,
+)
+def ml_gbm_2round(spark, sf_dir):
+    """Two unrolled boosting rounds: stump 1's split search = the
+    raw-moment search (constant shift preserves argmin); F1 per cell;
+    round-2 residual cells quantized DECIMAL at birth; stump 2 on
+    their DECIMAL prefix sums; training MSE after each round from the
+    same exact cells."""
+    lr = float(_LR)
+    ev = t(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    hm = ev.groupBy(
+        F.hour("ts").cast("bigint").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+    wcum = W.orderBy("hr").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy()
+    pre = hm.select(
+        "hr",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("s").over(wcum).alias("cs"),
+        F.sum("n").over(wall).alias("tn"),
+        F.sum("s").over(wall).alias("ts_"),
+        F.sum("ss").over(wall).alias("tss"),
+    )
+    cnd = F.col("cn").cast("double")
+    csd = F.col("cs").cast("double")
+    tnd = F.col("tn").cast("double")
+    tsd = F.col("ts_").cast("double")
+    obj = -csd * csd / cnd - (tsd - csd) * (tsd - csd) / (
+        tnd - cnd
+    )
+    cand = pre.filter(
+        (F.col("hr") >= 1) & (F.col("hr") <= 21)
+    ).select(
+        F.col("hr").alias("t"), "cn", "cs", "tn", "ts_", obj.alias("obj")
+    )
+    r1 = (
+        cand.orderBy("obj", "t")
+        .limit(1)
+        .select(
+            F.col("t").alias("t1"),
+            (tsd / F.col("tn")).alias("f0"),
+            (csd / F.col("cn") - tsd / F.col("tn")).alias("g1l"),
+            (
+                (tsd - csd) / (F.col("tn") - F.col("cn"))
+                - tsd / F.col("tn")
+            ).alias("g1r"),
+            "tn",
+        )
+    )
+    c2 = hm.crossJoin(F.broadcast(r1)).select(
+        "hr",
+        "n",
+        F.when(
+            F.col("hr") <= F.col("t1"),
+            F.col("f0") + lr * F.col("g1l"),
+        )
+        .otherwise(F.col("f0") + lr * F.col("g1r"))
+        .alias("f1"),
+        "s",
+        "ss",
+        "t1",
+        "g1l",
+        "g1r",
+        "tn",
+    )
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    q2 = c2.select(
+        "hr",
+        "n",
+        "f1",
+        "t1",
+        "g1l",
+        "g1r",
+        "tn",
+        F.round(sd - F.col("n") * F.col("f1"), 6)
+        .cast("decimal(24,6)")
+        .alias("rs"),
+        F.round(
+            ssd - 2 * F.col("f1") * sd + F.col("n") * F.col("f1") * F.col("f1"),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("rss"),
+    )
+    pre2 = q2.select(
+        "hr",
+        "t1",
+        "g1l",
+        "g1r",
+        "tn",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("rs").over(wcum).alias("crs"),
+        F.sum("rs").over(wall).alias("trs"),
+        F.sum("rss").over(wall).alias("trss"),
+    )
+    crsd = F.col("crs").cast("double")
+    trsd = F.col("trs").cast("double")
+    cnd2 = F.col("cn").cast("double")
+    tnd2 = F.col("tn").cast("double")
+    obj2 = -crsd * crsd / cnd2 - (trsd - crsd) * (trsd - crsd) / (
+        tnd2 - cnd2
+    )
+    cand2 = pre2.filter(
+        (F.col("hr") >= 1) & (F.col("hr") <= 21)
+    ).select(
+        F.col("hr").alias("t"),
+        "t1",
+        "g1l",
+        "g1r",
+        "tn",
+        "trs",
+        "trss",
+        obj2.alias("obj"),
+        (crsd / cnd2).alias("ml"),
+        ((trsd - crsd) / (tnd2 - cnd2)).alias("mr"),
+    )
+    r2 = (
+        cand2.orderBy("obj", "t")
+        .limit(1)
+        .select(
+            F.col("t").alias("t2"),
+            "t1",
+            "g1l",
+            "g1r",
+            "tn",
+            "trs",
+            "trss",
+            F.col("ml").alias("g2l"),
+            F.col("mr").alias("g2r"),
+        )
+    )
+    fin = q2.select("hr", "n", "rs", "rss").crossJoin(
+        F.broadcast(r2)
+    ).select(
+        "*",
+        F.when(F.col("hr") <= F.col("t2"), lr * F.col("g2l"))
+        .otherwise(lr * F.col("g2r"))
+        .alias("step"),
+    )
+    rsd = F.col("rs").cast("double")
+    rssd = F.col("rss").cast("double")
+    mse = fin.agg(
+        F.max("t1").alias("t1"),
+        F.max("g1l").alias("g1l"),
+        F.max("g1r").alias("g1r"),
+        F.max("t2").alias("t2"),
+        F.max("g2l").alias("g2l"),
+        F.max("g2r").alias("g2r"),
+        F.max("tn").alias("tn"),
+        F.max("trss").alias("trss"),
+        F.sum(
+            F.round(
+                rssd - 2 * F.col("step") * rsd + F.col("n")
+                * F.col("step") * F.col("step"),
+                6,
+            ).cast("decimal(28,6)")
+        ).alias("sse2"),
+    )
+    return mse.select(
+        F.col("t1").cast("bigint").alias("t1"),
+        F.round("g1l", 6).alias("gamma1_left"),
+        F.round("g1r", 6).alias("gamma1_right"),
+        F.col("t2").cast("bigint").alias("t2"),
+        F.round("g2l", 6).alias("gamma2_left"),
+        F.round("g2r", 6).alias("gamma2_right"),
+        F.round(F.col("trss").cast("double") / F.col("tn"), 6).alias(
+            "mse_round1"
+        ),
+        F.round(F.col("sse2").cast("double") / F.col("tn"), 6).alias(
+            "mse_round2"
+        ),
+    )
