@@ -291,3 +291,115 @@ def ml_gbm_2round(spark, sf_dir):
             "mse_round2"
         ),
     )
+
+
+@query(
+    "doc_rake_keywords",
+    # RAKE keyword extraction (Rose et al. 2010) over the bounded doc
+    # slice: token runs between stopwords {a, the} are candidate
+    # phrases; word score = degree/frequency where degree counts
+    # phrase-mates (phrase length per occurrence) and frequency counts
+    # occurrences; phrase score = sum of its words' scores. Emits each
+    # doc's top phrase by (score DESC, phrase ASC) — everything is an
+    # integer ratio until the final rounding, and the tie-break is
+    # total, so both engines pick identical keywords.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(
+               regexp_extract_all(lower(text), '\\S+'), 1) AS BIGINT)
+               AS idx,
+             unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+      FROM documents WHERE doc_id < 60
+    ), ns AS (
+      SELECT doc_id, idx, tok,
+             idx - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY idx) AS grp
+      FROM toks WHERE tok NOT IN ('a', 'the')
+    ), ph AS (
+      SELECT doc_id, grp, tok, idx,
+             count(*) OVER (PARTITION BY doc_id, grp) AS plen
+      FROM ns
+    ), wscore AS (
+      SELECT doc_id, tok,
+             CAST(sum(plen) AS DOUBLE) / count(*) AS score
+      FROM ph GROUP BY doc_id, tok
+    ), pscore AS (
+      SELECT ph.doc_id, ph.grp,
+             string_agg(ph.tok, ' ' ORDER BY ph.idx) AS phrase,
+             round(sum(wscore.score), 6) AS rake_score,
+             CAST(max(ph.plen) AS BIGINT) AS phrase_len
+      FROM ph JOIN wscore
+        ON ph.doc_id = wscore.doc_id AND ph.tok = wscore.tok
+      GROUP BY ph.doc_id, ph.grp
+    )
+    SELECT doc_id, phrase, phrase_len, rake_score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY rake_score DESC, phrase) AS rn
+      FROM pscore) z
+    WHERE rn = 1
+    """,
+)
+def doc_rake_keywords(spark, sf_dir):
+    """RAKE: one posexplode, stopword gap-islands segmentation
+    (idx - row_number), two bounded aggregates (word scores, phrase
+    scores) joined back, a rank-1 window. The degree/frequency ratio
+    is exact-integer division; the only float is the final sum of
+    per-word ratios, identical 24-term-bounded chains both engines."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)
+        ).alias("pos", "tok"),
+    ).select(
+        "doc_id", (F.col("pos") + 1).cast("bigint").alias("idx"), "tok"
+    )
+    ns = toks.filter(~F.col("tok").isin("a", "the")).select(
+        "doc_id",
+        "idx",
+        "tok",
+        (
+            F.col("idx")
+            - F.row_number().over(
+                W.partitionBy("doc_id").orderBy("idx")
+            )
+        ).alias("grp"),
+    )
+    ph = ns.select(
+        "doc_id",
+        "grp",
+        "tok",
+        "idx",
+        F.count(F.lit(1))
+        .over(W.partitionBy("doc_id", "grp"))
+        .alias("plen"),
+    )
+    wscore = ph.groupBy("doc_id", "tok").agg(
+        (F.sum("plen").cast("double") / F.count(F.lit(1))).alias(
+            "score"
+        )
+    )
+    pscore = (
+        ph.join(wscore, ["doc_id", "tok"])
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("idx", "tok")))
+                .getField("tok")
+            ).alias("phrase"),
+            F.round(F.sum("score"), 6).alias("rake_score"),
+            F.max("plen").cast("bigint").alias("phrase_len"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.col("rake_score").desc(), "phrase"
+        )
+    )
+    return (
+        pscore.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "phrase", "phrase_len", "rake_score")
+    )
