@@ -405,3 +405,97 @@ def stat_mood_median(spark, sf_dir):
             ).alias("mood_chi2"),
         )
     )
+
+
+@query(
+    "stat_tost_equivalence",
+    # TOST equivalence test (two one-sided Welch t-tests, literal
+    # margin ±2.0): are 'click' and 'view' mean values equivalent
+    # within the margin? Exact DECIMAL two-group moments, Welch se,
+    # both one-sided statistics emitted (equivalence = both exceed
+    # their critical value). The margin is a shared decimal literal.
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS s,
+             sum(CAST(round(value, 2) AS DECIMAL(18,2))
+                 * CAST(round(value, 2) AS DECIMAL(18,2))) AS ss
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+      GROUP BY event_type
+    ), w AS (
+      SELECT
+        max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        max(CASE WHEN event_type = 'view' THEN n END) AS n2,
+        max(CASE WHEN event_type = 'click'
+            THEN CAST(s AS DOUBLE) END) AS s1,
+        max(CASE WHEN event_type = 'view'
+            THEN CAST(s AS DOUBLE) END) AS s2,
+        max(CASE WHEN event_type = 'click'
+            THEN CAST(ss AS DOUBLE) END) AS ss1,
+        max(CASE WHEN event_type = 'view'
+            THEN CAST(ss AS DOUBLE) END) AS ss2
+      FROM g
+    ), v AS (
+      SELECT n1, n2, s1 / n1 - s2 / n2 AS diff,
+             (ss1 - s1 * s1 / n1) / (n1 - 1) / n1
+             + (ss2 - s2 * s2 / n2) / (n2 - 1) / n2 AS se2
+      FROM w WHERE n1 > 1 AND n2 > 1
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(diff, 6) AS mean_diff,
+           round((diff + 2.0) / sqrt(se2), 6) AS t_lower,
+           round((2.0 - diff) / sqrt(se2), 6) AS t_upper
+    FROM v WHERE se2 > 0
+    """,
+)
+def stat_tost_equivalence(spark, sf_dir):
+    """TOST: one conditional two-group DECIMAL moment aggregate,
+    Welch standard error, two closing one-sided chains (sqrt exact,
+    margin a shared literal)."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+    )
+    dec = F.round("value", 2).cast("decimal(18,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+
+    def pick(col, typ):
+        return F.max(
+            F.when(F.col("event_type") == typ, F.col(col))
+        )
+
+    w = g.agg(
+        pick("n", "click").alias("n1"),
+        pick("n", "view").alias("n2"),
+        pick("s", "click").cast("double").alias("s1"),
+        pick("s", "view").cast("double").alias("s2"),
+        pick("ss", "click").cast("double").alias("ss1"),
+        pick("ss", "view").cast("double").alias("ss2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    s1, s2 = F.col("s1"), F.col("s2")
+    ss1, ss2 = F.col("ss1"), F.col("ss2")
+    diff = s1 / n1 - s2 / n2
+    se2 = (ss1 - s1 * s1 / n1) / (n1 - 1) / n1 + (
+        ss2 - s2 * s2 / n2
+    ) / (n2 - 1) / n2
+    v = w.filter((n1 > 1) & (n2 > 1)).select(
+        "n1", "n2", diff.alias("diff"), se2.alias("se2")
+    )
+    return v.filter(F.col("se2") > 0).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round("diff", 6).alias("mean_diff"),
+        F.round((F.col("diff") + 2.0) / F.sqrt("se2"), 6).alias(
+            "t_lower"
+        ),
+        F.round((2.0 - F.col("diff")) / F.sqrt("se2"), 6).alias(
+            "t_upper"
+        ),
+    )
