@@ -403,3 +403,229 @@ def doc_rake_keywords(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "phrase", "phrase_len", "rake_score")
     )
+
+
+@query(
+    "events_did_estimator",
+    # Difference-in-differences: users whose FIRST event is a 'view'
+    # (treated) vs others (control), outcome = mean event value,
+    # periods split at the timeline midpoint (integer epoch-second
+    # midpoint from exact min/max). DiD = (T,post - T,pre) -
+    # (C,post - C,pre); all four cell means are exact DECIMAL
+    # sums / integer counts.
+    oracle="""
+    WITH span AS (
+      SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+              + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+      FROM events
+    ), treat AS (
+      SELECT user_id,
+             CAST(CASE WHEN arg_min(event_type, ts) = 'view'
+                  THEN 1 ELSE 0 END AS BIGINT) AS treated
+      FROM events GROUP BY user_id
+    ), cells AS (
+      SELECT treat.treated,
+             CAST(CASE WHEN floor(epoch(e.ts)) >= span.mid
+                  THEN 1 ELSE 0 END AS BIGINT) AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(e.value, 2) AS DECIMAL(18,2))) AS s
+      FROM events e JOIN treat ON e.user_id = treat.user_id
+      CROSS JOIN span
+      WHERE e.value IS NOT NULL
+      GROUP BY treat.treated, post
+    ), w AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND post = 0
+            THEN CAST(s AS DOUBLE) / n END) AS tpre,
+        max(CASE WHEN treated = 1 AND post = 1
+            THEN CAST(s AS DOUBLE) / n END) AS tpost,
+        max(CASE WHEN treated = 0 AND post = 0
+            THEN CAST(s AS DOUBLE) / n END) AS cpre,
+        max(CASE WHEN treated = 0 AND post = 1
+            THEN CAST(s AS DOUBLE) / n END) AS cpost,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           round(tpost - tpre, 6) AS treated_delta,
+           round(cpost - cpre, 6) AS control_delta,
+           round((tpost - tpre) - (cpost - cpre), 6) AS did
+    FROM w
+    WHERE tpre IS NOT NULL AND tpost IS NOT NULL
+      AND cpre IS NOT NULL AND cpost IS NOT NULL
+    """,
+)
+def events_did_estimator(spark, sf_dir):
+    """DiD: first-event treatment assignment (arg_min by ts — the
+    deterministic struct-min idiom), integer midpoint period split,
+    four exact cell means, one closing chain."""
+    ev = t(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            (
+                F.floor(F.min(F.col("ts").cast("double"))).cast("bigint")
+                + F.floor(F.max(F.col("ts").cast("double"))).cast(
+                    "bigint"
+                )
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    treat = ev.groupBy("user_id").agg(
+        F.when(
+            F.min(F.struct(F.col("ts"), F.col("event_type")))[
+                "event_type"
+            ]
+            == "view",
+            F.lit(1),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("treated")
+    )
+    cells = (
+        ev.filter(F.col("value").isNotNull())
+        .join(treat, "user_id")
+        .crossJoin(F.broadcast(span))
+        .groupBy(
+            "treated",
+            F.when(
+                F.floor(F.col("ts").cast("double")).cast("bigint")
+                >= F.col("mid"),
+                F.lit(1),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("s"),
+        )
+    )
+
+    def cell(tr, po):
+        return F.max(
+            F.when(
+                (F.col("treated") == tr) & (F.col("post") == po),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+
+    w = cells.agg(
+        cell(1, 0).alias("tpre"),
+        cell(1, 1).alias("tpost"),
+        cell(0, 0).alias("cpre"),
+        cell(0, 1).alias("cpost"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return w.filter(
+        F.col("tpre").isNotNull()
+        & F.col("tpost").isNotNull()
+        & F.col("cpre").isNotNull()
+        & F.col("cpost").isNotNull()
+    ).select(
+        "n_total",
+        F.round(F.col("tpost") - F.col("tpre"), 6).alias(
+            "treated_delta"
+        ),
+        F.round(F.col("cpost") - F.col("cpre"), 6).alias(
+            "control_delta"
+        ),
+        F.round(
+            (F.col("tpost") - F.col("tpre"))
+            - (F.col("cpost") - F.col("cpre")),
+            6,
+        ).alias("did"),
+    )
+
+
+@query(
+    "stat_meta_fixed_effect",
+    # Fixed-effect (inverse-variance) meta-analysis: each nation's
+    # customer-balance mean is a "study" (effect = mean, variance =
+    # s^2/n from exact DECIMAL moments); pooled effect = sum(w x) /
+    # sum(w) with w = 1/v. Per-study w and wx are round-9-quantized
+    # into DECIMAL sums (bounded 25-study relation), so the pooled
+    # chain is engine-identical. Q heterogeneity emitted alongside.
+    oracle="""
+    WITH g AS (
+      SELECT n_name,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))
+                 * CAST(c_acctbal AS DECIMAL(18,2))) AS ss
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ), eff AS (
+      SELECT n_name,
+             CAST(s AS DOUBLE) / n AS x,
+             (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+              * CAST(s AS DOUBLE) / n) / (n - 1) / n AS v
+      FROM g WHERE n > 1
+    ), q AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(round(1.0 / v, 9) AS DECIMAL(24,9)))
+                  AS DOUBLE) AS sw,
+             CAST(sum(CAST(round(x / v, 9) AS DECIMAL(24,9)))
+                  AS DOUBLE) AS swx,
+             CAST(sum(CAST(round(x * x / v, 9) AS DECIMAL(28,9)))
+                  AS DOUBLE) AS swxx
+      FROM eff WHERE v > 0
+    )
+    SELECT k AS n_studies,
+           round(swx / sw, 6) AS pooled_effect,
+           round(sqrt(1.0 / sw), 6) AS pooled_se,
+           round(swxx - swx * swx / sw, 6) AS q_heterogeneity
+    FROM q WHERE sw > 0
+    """,
+)
+def stat_meta_fixed_effect(spark, sf_dir):
+    """Inverse-variance pooling across the bounded per-nation study
+    relation: exact DECIMAL moments per study, round-9+DECIMAL
+    weight sums, closed pooled-effect / SE / Cochran-Q chains."""
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    dec = F.col("c_acctbal").cast("decimal(18,2)")
+    g = (
+        cust.join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(dec).alias("s"),
+            F.sum(dec * dec).alias("ss"),
+        )
+    )
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    n = F.col("n")
+    eff = g.filter(n > 1).select(
+        "n_name",
+        (sd / n).alias("x"),
+        ((ssd - sd * sd / n) / (n - 1) / n).alias("v"),
+    )
+
+    def q9(col, prec):
+        return F.sum(F.round(col, 9).cast(f"decimal({prec},9)")).cast(
+            "double"
+        )
+
+    q = eff.filter(F.col("v") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        q9(1.0 / F.col("v"), 24).alias("sw"),
+        q9(F.col("x") / F.col("v"), 24).alias("swx"),
+        q9(F.col("x") * F.col("x") / F.col("v"), 28).alias("swxx"),
+    )
+    return q.filter(F.col("sw") > 0).select(
+        F.col("k").alias("n_studies"),
+        F.round(F.col("swx") / F.col("sw"), 6).alias("pooled_effect"),
+        F.round(F.sqrt(1.0 / F.col("sw")), 6).alias("pooled_se"),
+        F.round(
+            F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw"), 6
+        ).alias("q_heterogeneity"),
+    )
