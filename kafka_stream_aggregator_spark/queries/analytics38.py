@@ -629,3 +629,106 @@ def stat_meta_fixed_effect(spark, sf_dir):
             F.col("swxx") - F.col("swx") * F.col("swx") / F.col("sw"), 6
         ).alias("q_heterogeneity"),
     )
+
+
+@query(
+    "ml_als_rank1",
+    # One alternating-least-squares round for rank-1 matrix
+    # factorization of the (user, event_type) mean-value matrix —
+    # the recsys companion to the regression family. With item
+    # factors initialized to 1, the closed user-factor update is the
+    # user's mean rating; user factors are quantized round(., 6)
+    # DECIMAL before the item-side update so every cross-user sum is
+    # DECIMAL-exact (no double folds). Emits per-item factors and the
+    # global reconstruction RMSE after the round.
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             CAST(round(avg(CAST(round(value, 2) AS DECIMAL(18,2))), 6)
+                  AS DECIMAL(18,6)) AS rat
+      FROM events WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
+    ), u AS (
+      SELECT user_id,
+             CAST(round(CAST(sum(rat) AS DOUBLE) / count(*), 6)
+                  AS DECIMAL(18,6)) AS uf
+      FROM r GROUP BY user_id
+    ), v AS (
+      SELECT r.event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CAST(r.rat AS DECIMAL(20,6)) * u.uf) AS DOUBLE)
+               / CAST(sum(CAST(u.uf AS DECIMAL(20,6)) * u.uf)
+                      AS DOUBLE) AS vf
+      FROM r JOIN u ON r.user_id = u.user_id
+      GROUP BY r.event_type
+    ), e AS (
+      SELECT r.event_type, v.n_users, v.vf,
+             CAST(sum(CAST(round(
+               pow(CAST(r.rat AS DOUBLE)
+                   - CAST(u.uf AS DOUBLE) * v.vf, 2), 9)
+               AS DECIMAL(28,9))) AS DOUBLE) AS sse,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM r JOIN u ON r.user_id = u.user_id
+      JOIN v ON r.event_type = v.event_type
+      GROUP BY r.event_type, v.n_users, v.vf
+    )
+    SELECT event_type, n_users,
+           round(vf, 6) AS item_factor,
+           round(sqrt(sse / n_cells), 6) AS rmse
+    FROM e
+    """,
+)
+def ml_als_rank1(spark, sf_dir):
+    """Rank-1 ALS round: ratings matrix as a grouped mean (DECIMAL),
+    user factors = quantized row means, item factors = exact-DECIMAL
+    weighted ratios, per-item RMSE from round-9 quantized squared
+    errors. One fact shuffle per step — the O(nnz) ALS shape."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.round(
+            F.avg(F.round("value", 2).cast("decimal(18,2)")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("rat")
+    )
+    u = r.groupBy("user_id").agg(
+        F.round(
+            F.sum("rat").cast("double") / F.count(F.lit(1)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("uf")
+    )
+    ru = r.join(u, "user_id")
+    v = ru.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (
+            F.sum(F.col("rat").cast("decimal(20,6)") * F.col("uf"))
+            .cast("double")
+            / F.sum(F.col("uf").cast("decimal(20,6)") * F.col("uf"))
+            .cast("double")
+        ).alias("vf"),
+    )
+    err = F.round(
+        F.pow(
+            F.col("rat").cast("double")
+            - F.col("uf").cast("double") * F.col("vf"),
+            2,
+        ),
+        9,
+    ).cast("decimal(28,9)")
+    e = (
+        ru.join(v, "event_type")
+        .groupBy("event_type", "n_users", "vf")
+        .agg(
+            F.sum(err).cast("double").alias("sse"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+    )
+    return e.select(
+        "event_type",
+        "n_users",
+        F.round("vf", 6).alias("item_factor"),
+        F.round(F.sqrt(F.col("sse") / F.col("n_cells")), 6).alias(
+            "rmse"
+        ),
+    )
