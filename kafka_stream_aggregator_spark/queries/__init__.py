@@ -54,6 +54,7 @@ from . import (  # noqa: F401
     io3,
     io4,
     io5,
+    io6,
     joins,
     lakehouse_q,
     llm,
