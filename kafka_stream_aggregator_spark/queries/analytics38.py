@@ -732,3 +732,191 @@ def ml_als_rank1(spark, sf_dir):
             "rmse"
         ),
     )
+
+
+@query(
+    "events_matched_att",
+    # Covariate-matched treatment effect (the DiD row's sibling):
+    # each treated user (first event = 'view') is matched to the
+    # nearest CONTROL cell by pre-period activity count, and ATT =
+    # mean over matched treated of (y_treated - y_matched_control).
+    # Matching is the union-window as-of idiom — last/first_value
+    # IGNORE NULLS over (n_pre, is_treated, user) order — never an
+    # all-pairs join, so it scales like a sort. Control cells are
+    # keyed by n_pre with the min-user representative (struct-min);
+    # backward wins distance ties. Outcomes are 6-dp decimal means;
+    # ATT terms quantized DECIMAL pre-sum.
+    oracle="""
+    WITH span AS (
+      SELECT (CAST(floor(epoch(min(ts))) AS BIGINT)
+              + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+      FROM events
+    ), u AS (
+      SELECT user_id,
+             CAST(CASE WHEN arg_min(event_type, ts) = 'view'
+                  THEN 1 ELSE 0 END AS BIGINT) AS treated,
+             CAST(count(*) FILTER (
+               WHERE floor(epoch(ts)) < mid) AS BIGINT) AS n_pre,
+             CAST(round(avg(CASE WHEN floor(epoch(ts)) >= mid
+                            THEN value END), 6) AS DECIMAL(18,6)) AS y
+      FROM events CROSS JOIN span
+      WHERE value IS NOT NULL
+      GROUP BY user_id, mid
+    ), uu AS (
+      SELECT * FROM u WHERE y IS NOT NULL AND n_pre > 0
+    ), ctrl AS (
+      SELECT n_pre,
+             CAST(arg_min(y, user_id) AS DECIMAL(18,6)) AS cy
+      FROM uu WHERE treated = 0 GROUP BY n_pre
+    ), unioned AS (
+      SELECT n_pre, 0 AS is_t, NULL::BIGINT AS user_id,
+             NULL::DECIMAL(18,6) AS y, cy, n_pre AS cnp
+      FROM ctrl
+      UNION ALL
+      SELECT n_pre, 1, user_id, y, NULL, NULL
+      FROM uu WHERE treated = 1
+    ), scanned AS (
+      SELECT n_pre, is_t, user_id, y,
+             last_value(cy IGNORE NULLS) OVER wb AS bcy,
+             last_value(cnp IGNORE NULLS) OVER wb AS bnp,
+             first_value(cy IGNORE NULLS) OVER wf AS fcy,
+             first_value(cnp IGNORE NULLS) OVER wf AS fnp
+      FROM unioned
+      WINDOW wb AS (ORDER BY n_pre, is_t, user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (ORDER BY n_pre, is_t, user_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), matched AS (
+      SELECT n_pre, user_id, y,
+             CASE WHEN bnp IS NOT NULL AND (fnp IS NULL
+                       OR n_pre - bnp <= fnp - n_pre)
+                  THEN bcy ELSE fcy END AS my,
+             CASE WHEN bnp IS NOT NULL AND (fnp IS NULL
+                       OR n_pre - bnp <= fnp - n_pre)
+                  THEN n_pre - bnp ELSE fnp - n_pre END AS dist
+      FROM scanned WHERE is_t = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_treated,
+           round(CAST(sum(CAST(y - my AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*), 6) AS att,
+           CAST(sum(dist) AS BIGINT) AS total_match_distance
+    FROM matched WHERE my IS NOT NULL
+    """,
+)
+def events_matched_att(spark, sf_dir):
+    """Matched ATT: pre-period covariate per user, control cells by
+    covariate value, union + two IGNORE-NULLS window scans for the
+    bidirectional nearest match, decimal-exact effect sum."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    span = ev.agg(
+        (
+            (
+                F.floor(F.min(F.col("ts").cast("double"))).cast("bigint")
+                + F.floor(F.max(F.col("ts").cast("double"))).cast(
+                    "bigint"
+                )
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("mid")
+    )
+    sec = F.floor(F.col("ts").cast("double")).cast("bigint")
+    u = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.min(F.struct(F.col("ts"), F.col("event_type")))[
+                    "event_type"
+                ]
+                == "view",
+                F.lit(1),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("treated"),
+            F.count_if(sec < F.col("mid"))
+            .cast("bigint")
+            .alias("n_pre"),
+            F.round(
+                F.avg(
+                    F.when(sec >= F.col("mid"), F.col("value"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("y"),
+        )
+    )
+    uu = u.filter(F.col("y").isNotNull() & (F.col("n_pre") > 0))
+    ctrl = (
+        uu.filter(F.col("treated") == 0)
+        .groupBy("n_pre")
+        .agg(
+            F.min(F.struct("user_id", "y"))["y"]
+            .cast("decimal(18,6)")
+            .alias("cy")
+        )
+    )
+    unioned = ctrl.select(
+        "n_pre",
+        F.lit(0).alias("is_t"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("decimal(18,6)").alias("y"),
+        "cy",
+        F.col("n_pre").alias("cnp"),
+    ).unionByName(
+        uu.filter(F.col("treated") == 1).select(
+            "n_pre",
+            F.lit(1).alias("is_t"),
+            "user_id",
+            "y",
+            F.lit(None).cast("decimal(18,6)").alias("cy"),
+            F.lit(None).cast("bigint").alias("cnp"),
+        )
+    )
+    wb = W.orderBy("n_pre", "is_t", "user_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wf = W.orderBy("n_pre", "is_t", "user_id").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    scanned = unioned.select(
+        "n_pre",
+        "is_t",
+        "user_id",
+        "y",
+        F.last("cy", ignorenulls=True).over(wb).alias("bcy"),
+        F.last("cnp", ignorenulls=True).over(wb).alias("bnp"),
+        F.first("cy", ignorenulls=True).over(wf).alias("fcy"),
+        F.first("cnp", ignorenulls=True).over(wf).alias("fnp"),
+    )
+    back = F.col("bnp").isNotNull() & (
+        F.col("fnp").isNull()
+        | (
+            F.col("n_pre") - F.col("bnp")
+            <= F.col("fnp") - F.col("n_pre")
+        )
+    )
+    matched = scanned.filter(F.col("is_t") == 1).select(
+        "n_pre",
+        "user_id",
+        "y",
+        F.when(back, F.col("bcy")).otherwise(F.col("fcy")).alias("my"),
+        F.when(back, F.col("n_pre") - F.col("bnp"))
+        .otherwise(F.col("fnp") - F.col("n_pre"))
+        .alias("dist"),
+    )
+    return matched.filter(F.col("my").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        F.round(
+            F.sum((F.col("y") - F.col("my")).cast("decimal(20,6)"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("att"),
+        F.sum("dist").cast("bigint").alias("total_match_distance"),
+    )
