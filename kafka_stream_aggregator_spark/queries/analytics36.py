@@ -14,6 +14,7 @@ recursive-CTE reachability oracle on the same bounded subgraph.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .base import query, t
@@ -288,4 +289,204 @@ def image_phash_neardup(spark, sf_dir):
         .select(
             "img_a", "img_b", ham.cast("bigint").alias("hamming")
         )
+    )
+
+
+@query(
+    "graph_bfs_distances",
+    # Multi-source BFS run to convergence (the WCC loop's shortest-
+    # path sibling): sources = the 5 lowest user ids; per node the
+    # hop distance to the nearest source. Driver loop relaxes
+    # dist = min(dist, neighbor+1) until no change (O(diameter)
+    # rounds, one vertex-keyed shuffle each); oracle = recursive-CTE
+    # BFS on the same bounded subgraph. Output: distance histogram.
+    oracle=f"""
+    WITH RECURSIVE e AS ({_WCC_EDGE_SQL}),
+    nodes AS (
+      SELECT DISTINCT v FROM (
+        SELECT ua AS v FROM e UNION ALL SELECT ub FROM e) z
+    ),
+    adj AS (
+      SELECT ua AS x, ub AS y FROM e
+      UNION ALL SELECT ub, ua FROM e
+    ),
+    srcs AS (
+      SELECT v FROM nodes ORDER BY v LIMIT 5
+    ),
+    walk(v, d) AS (
+      SELECT v, 0 FROM srcs
+      UNION
+      SELECT adj.x, walk.d + 1
+      FROM adj JOIN walk ON adj.y = walk.v
+      WHERE walk.d < 64
+    ),
+    dist AS (
+      SELECT v, CAST(min(d) AS BIGINT) AS d FROM walk GROUP BY v
+    )
+    SELECT d AS hops, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM dist GROUP BY d
+    """,
+)
+def graph_bfs_distances(spark, sf_dir):
+    """Frontier-free distributed BFS: keep a (v, dist) relation,
+    each round join with the adjacency and take the min — converges
+    in diameter rounds; the driver only counts changed rows."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 120)
+    cell = F.floor(F.col("ts").cast("double") / 300).cast("bigint")
+    b = ev.select("user_id", "event_type", cell.alias("w")).distinct()
+    a1 = b.select(F.col("user_id").alias("ua"), "event_type", "w")
+    a2 = b.select(F.col("user_id").alias("ub"), "event_type", "w")
+    e = (
+        a1.join(a2, ["event_type", "w"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub")
+        .distinct()
+    )
+    adj = e.select(
+        F.col("ua").alias("x"), F.col("ub").alias("y")
+    ).unionAll(e.select(F.col("ub").alias("x"), F.col("ua").alias("y")))
+    adj = adj.localCheckpoint()
+    nodes = adj.select(F.col("x").alias("v")).distinct()
+    srcs = nodes.orderBy("v").limit(5)
+    big = F.lit(1 << 30).cast("bigint")
+    dist = nodes.join(
+        srcs.withColumn("zero", F.lit(0)), "v", "left"
+    ).select(
+        "v",
+        F.coalesce(F.col("zero").cast("bigint"), big).alias("d"),
+    ).localCheckpoint()
+    for _ in range(64):
+        relaxed = adj.join(
+            dist.select(F.col("v").alias("y"), F.col("d").alias("nd")),
+            "y",
+        ).select(F.col("x").alias("v"), (F.col("nd") + 1).alias("d"))
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(dist.select("v", F.col("d").alias("od")), "v")
+            .filter(F.col("d") != F.col("od"))
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    return (
+        dist.filter(F.col("d") < big)
+        .groupBy(F.col("d").alias("hops"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    )
+
+
+@query(
+    "events_absorbing_chain",
+    # Absorbing Markov chain: states {view, click} transient,
+    # purchase absorbing; per-user consecutive event pairs give the
+    # transition counts, and the expected number of steps to
+    # absorption from each transient state solves (I - Q) t = 1 with
+    # Q the 2x2 transient block — closed-form 2x2 Cramer on exact
+    # integer-count rationals. Rows where a user's chain ends without
+    # purchase contribute to the (normalized-out) self-mass the
+    # standard way: probabilities are row-normalized over OBSERVED
+    # transitions only.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), c AS (
+      SELECT s, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq
+      WHERE nxt IS NOT NULL AND s IN ('view', 'click')
+      GROUP BY s, nxt
+    ), m AS (
+      SELECT
+        CAST(sum(CASE WHEN s = 'view' THEN n END) AS DOUBLE) AS rv,
+        CAST(sum(CASE WHEN s = 'click' THEN n END) AS DOUBLE) AS rc,
+        CAST(sum(CASE WHEN s = 'view' AND nxt = 'view' THEN n END)
+             AS DOUBLE) AS vv,
+        CAST(sum(CASE WHEN s = 'view' AND nxt = 'click' THEN n END)
+             AS DOUBLE) AS vc,
+        CAST(sum(CASE WHEN s = 'click' AND nxt = 'view' THEN n END)
+             AS DOUBLE) AS cv,
+        CAST(sum(CASE WHEN s = 'click' AND nxt = 'click' THEN n END)
+             AS DOUBLE) AS cc
+      FROM c
+    ), q AS (
+      SELECT (1 - vv / rv) * (1 - cc / rc)
+             - (vc / rv) * (cv / rc) AS det,
+             vv / rv AS qvv, vc / rv AS qvc,
+             cv / rc AS qcv, cc / rc AS qcc
+      FROM m WHERE rv > 0 AND rc > 0
+    )
+    SELECT round(qvv, 6) AS p_view_view,
+           round(qvc, 6) AS p_view_click,
+           round(qcv, 6) AS p_click_view,
+           round(qcc, 6) AS p_click_click,
+           round(((1 - qcc) + qvc) / det, 6) AS steps_from_view,
+           round((qcv + (1 - qvv)) / det, 6) AS steps_from_click
+    FROM q WHERE det <> 0
+    """,
+)
+def events_absorbing_chain(spark, sf_dir):
+    """Expected steps to purchase: lead() transition pairs, 6 integer
+    counts, row-normalized 2x2 transient block, closed Cramer solve
+    of (I-Q) t = 1 — deterministic rationals end to end."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull() & F.col("s").isin("view", "click"))
+    c = seq.groupBy("s", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    def cell(s, nx):
+        return F.sum(
+            F.when((F.col("s") == s) & (F.col("nxt") == nx), F.col("n"))
+        ).cast("double")
+
+    m = c.agg(
+        F.sum(F.when(F.col("s") == "view", F.col("n")))
+        .cast("double")
+        .alias("rv"),
+        F.sum(F.when(F.col("s") == "click", F.col("n")))
+        .cast("double")
+        .alias("rc"),
+        cell("view", "view").alias("vv"),
+        cell("view", "click").alias("vc"),
+        cell("click", "view").alias("cv"),
+        cell("click", "click").alias("cc"),
+    )
+    qvv = F.col("vv") / F.col("rv")
+    qvc = F.col("vc") / F.col("rv")
+    qcv = F.col("cv") / F.col("rc")
+    qcc = F.col("cc") / F.col("rc")
+    det = (1 - qvv) * (1 - qcc) - qvc * qcv
+    q = m.filter((F.col("rv") > 0) & (F.col("rc") > 0)).select(
+        qvv.alias("qvv"),
+        qvc.alias("qvc"),
+        qcv.alias("qcv"),
+        qcc.alias("qcc"),
+        det.alias("det"),
+    )
+    return q.filter(F.col("det") != 0).select(
+        F.round("qvv", 6).alias("p_view_view"),
+        F.round("qvc", 6).alias("p_view_click"),
+        F.round("qcv", 6).alias("p_click_view"),
+        F.round("qcc", 6).alias("p_click_click"),
+        F.round(
+            ((1 - F.col("qcc")) + F.col("qvc")) / F.col("det"), 6
+        ).alias("steps_from_view"),
+        F.round(
+            (F.col("qcv") + (1 - F.col("qvv"))) / F.col("det"), 6
+        ).alias("steps_from_click"),
     )
