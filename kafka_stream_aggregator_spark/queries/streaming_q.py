@@ -1129,3 +1129,101 @@ def stream_window_percentile(spark, sf_dir):
             6,
         ).alias("p50"),
     )
+
+
+@query(
+    "stream_outer_join_unmatched",
+    # ELEVENTH oracled streaming op: watermarked stream-stream LEFT
+    # OUTER join. Purchases with no qualifying click in the prior
+    # 5 min emit exactly once WITH NULLs when the watermark expires
+    # their state — the late-arrival audit shape. Restricted to the
+    # finalized horizon, the result equals the batch left join
+    # exactly; reduced to per-user matched/unmatched counts so the
+    # output stays bounded.
+    oracle="""
+    WITH h AS (
+      -- the GLOBAL watermark is the MIN of both streams' watermarks
+      -- (multipleWatermarkPolicy=min), so the finalized horizon keys
+      -- off the EARLIER of the two per-type max timestamps
+      SELECT CAST(floor(epoch(least(
+               max(CASE WHEN event_type = 'purchase' THEN ts END),
+               max(CASE WHEN event_type = 'click' THEN ts END)
+             ))) AS BIGINT) - 1200 AS horizon
+      FROM events
+    ), j AS (
+      SELECT p.event_id, p.user_id, c.event_id AS c_id
+      FROM events p
+      LEFT JOIN events c
+        ON p.user_id = c.user_id
+       AND c.event_type = 'click'
+       AND c.ts >= p.ts - INTERVAL 300 SECOND AND c.ts <= p.ts
+      CROSS JOIN h
+      WHERE p.event_type = 'purchase'
+        AND floor(epoch(p.ts)) <= horizon
+    )
+    SELECT user_id,
+           CAST(count(c_id) AS BIGINT) AS n_matched_pairs,
+           CAST(count(*) FILTER (WHERE c_id IS NULL) AS BIGINT)
+             AS n_unmatched_purchases
+    FROM j GROUP BY user_id
+    """,
+)
+def stream_outer_join_unmatched(spark, sf_dir):
+    """Stream-stream LEFT OUTER join under availableNow: matched
+    pairs emit on match, unmatched purchases emit with NULLs at
+    state expiry; the finalized-horizon filter makes both exact."""
+    from ..streaming.pipeline import stream_stream_outer_join
+
+    p = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    c = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = stream_stream_outer_join(
+        p, c, key="user_id", right_key="r_user_id",
+        left_ts="ts", right_ts="r_ts",
+        watermark="10 minutes", max_lag_seconds=300,
+    )
+    out = _run_to_df(spark, joined)
+    ev = t(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (
+            F.floor(
+                F.unix_timestamp(
+                    F.least(
+                        F.max(
+                            F.when(
+                                F.col("event_type") == "purchase",
+                                F.col("ts"),
+                            )
+                        ),
+                        F.max(
+                            F.when(
+                                F.col("event_type") == "click",
+                                F.col("ts"),
+                            )
+                        ),
+                    )
+                )
+            )
+            - 1200
+        ).alias("h")
+    )
+    return (
+        out.crossJoin(F.broadcast(horizon))
+        .filter(F.floor(F.unix_timestamp("ts")) <= F.col("h"))
+        .groupBy("user_id")
+        .agg(
+            F.count("r_event_id").cast("bigint").alias(
+                "n_matched_pairs"
+            ),
+            F.count_if(F.col("r_event_id").isNull())
+            .cast("bigint")
+            .alias("n_unmatched_purchases"),
+        )
+    )

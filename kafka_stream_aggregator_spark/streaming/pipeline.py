@@ -218,6 +218,33 @@ def stream_stream_join(
     return lw.join(rw, cond, "inner")
 
 
+def stream_stream_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    watermark: str = "10 minutes",
+    max_lag_seconds: int = 3600,
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: identical bounded
+    state to the inner form, but a left row whose time-bounded match
+    window expires under the watermark is emitted once with NULLs on
+    the right — the semantics a late-arrival audit needs (which
+    purchases never saw a qualifying click?). Spark emits the null
+    rows only when the watermark closes the state, so results are
+    exact for the finalized region under availableNow."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag_seconds} SECONDS"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return lw.join(rw, cond, "left_outer")
+
+
 def streaming_windowed_ewma_two_level(
     stream: DataFrame,
     ts_col: str = "ts",
