@@ -920,3 +920,82 @@ def events_matched_att(spark, sf_dir):
         ).alias("att"),
         F.sum("dist").cast("bigint").alias("total_match_distance"),
     )
+
+
+@query(
+    "ml_croston_forecast",
+    # Croston's method for INTERMITTENT demand (the sparse-series
+    # case naive EWMA mishandles): per part, demand days are the
+    # distinct ship-days with any lineitem; z = zero-seeded EWMA of
+    # the demand sizes over the nonzero subsequence, p = the same
+    # EWMA of the inter-demand-day gaps; forecast = z / p. Both
+    # EWMAs use the codegen closed form sum(a (1-a)^(n-i) x_i) — the
+    # ewma_5min discipline, alpha = 0.2 literal — over the bounded
+    # per-part sequences (l_partkey < 40).
+    oracle="""
+    WITH dd AS (
+      SELECT l_partkey,
+             CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS size
+      FROM lineitem WHERE l_partkey < 40
+      GROUP BY l_partkey, day
+    ), seq AS (
+      SELECT l_partkey, size,
+             day - lag(day) OVER w AS gap,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY l_partkey) AS n
+      FROM dd WINDOW w AS (PARTITION BY l_partkey ORDER BY day)
+    ), z AS (
+      SELECT l_partkey, max(n) AS n_demands,
+             round(sum(0.2 * pow(0.8, n - rn) * size), 6) AS z_hat,
+             round(sum(CASE WHEN gap IS NOT NULL
+                       THEN 0.2 * pow(0.8, n - rn) * gap END), 6)
+               AS p_hat
+      FROM seq GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(n_demands AS BIGINT) AS n_demands,
+           z_hat, p_hat,
+           round(z_hat / p_hat, 6) AS croston_rate
+    FROM z WHERE p_hat > 0
+    """,
+)
+def ml_croston_forecast(spark, sf_dir):
+    """Croston: one (part, day) aggregate, one lag/row_number window
+    per part, two closed-form EWMAs, one ratio. pow(0.8, k) at k up
+    to |days| underflows gracefully and sits at O(1) — inside the
+    audit margin, same class as the flagship ewma."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 40)
+    dd = li.groupBy(
+        "l_partkey",
+        F.floor(F.col("l_shipdate").cast("double") / 86400)
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+    w = W.partitionBy("l_partkey").orderBy("day")
+    seq = dd.select(
+        "l_partkey",
+        "size",
+        (F.col("day") - F.lag("day").over(w)).alias("gap"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_partkey")).alias("n"),
+    )
+    wgt = 0.2 * F.pow(F.lit(0.8), F.col("n") - F.col("rn"))
+    z = seq.groupBy("l_partkey").agg(
+        F.max("n").cast("bigint").alias("n_demands"),
+        F.round(F.sum(wgt * F.col("size")), 6).alias("z_hat"),
+        F.round(
+            F.sum(
+                F.when(F.col("gap").isNotNull(), wgt * F.col("gap"))
+            ),
+            6,
+        ).alias("p_hat"),
+    )
+    return z.filter(F.col("p_hat") > 0).select(
+        "l_partkey",
+        "n_demands",
+        "z_hat",
+        "p_hat",
+        F.round(F.col("z_hat") / F.col("p_hat"), 6).alias(
+            "croston_rate"
+        ),
+    )
