@@ -39,6 +39,7 @@ from . import (  # noqa: F401
     analytics36,
     analytics37,
     analytics38,
+    analytics39,
     aggs,
     corpus,
     corpus2,
