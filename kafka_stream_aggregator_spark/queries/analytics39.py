@@ -175,3 +175,108 @@ def events_page_hinkley(spark, sf_dir):
         .alias("ph_range"),
         F.col("first_alarm_hr").cast("bigint").alias("first_alarm_hr"),
     )
+
+
+@query(
+    "ts_haar_energy",
+    # Unnormalized Haar wavelet decomposition (3 unrolled levels) of
+    # the hourly count series per event type: detail d = x_even -
+    # x_odd, approx a = x_even + x_odd at each level — PURE INTEGER
+    # pairwise sums over a dense row_number index (epoch-hour gaps
+    # don't break pairing), detail energy per level = sum d^2 as
+    # BIGINT. The multi-resolution energy split localizes WHERE the
+    # series' variance lives (fast vs slow structure).
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, hr
+    ), s0 AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY hr)
+               - 1 AS i
+      FROM hourly
+    ), l1 AS (
+      SELECT event_type, i // 2 AS i,
+             CAST(sum(CASE WHEN i % 2 = 0 THEN y ELSE -y END)
+                  AS BIGINT) AS d,
+             CAST(sum(y) AS BIGINT) AS a,
+             count(*) AS cnt
+      FROM s0 GROUP BY event_type, i // 2
+    ), l2 AS (
+      SELECT event_type, i // 2 AS i,
+             CAST(sum(CASE WHEN i % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS d,
+             CAST(sum(a) AS BIGINT) AS a,
+             count(*) AS cnt
+      FROM l1 WHERE cnt = 2 GROUP BY event_type, i // 2
+    ), l3 AS (
+      SELECT event_type, i // 2 AS i,
+             CAST(sum(CASE WHEN i % 2 = 0 THEN a ELSE -a END)
+                  AS BIGINT) AS d,
+             count(*) AS cnt
+      FROM l2 WHERE cnt = 2 GROUP BY event_type, i // 2
+    )
+    SELECT e1.event_type,
+           CAST(e1.e AS BIGINT) AS energy_l1,
+           CAST(e2.e AS BIGINT) AS energy_l2,
+           CAST(e3.e AS BIGINT) AS energy_l3
+    FROM (SELECT event_type, sum(d * d) AS e FROM l1 WHERE cnt = 2
+          GROUP BY event_type) e1
+    JOIN (SELECT event_type, sum(d * d) AS e FROM l2 WHERE cnt = 2
+          GROUP BY event_type) e2 USING (event_type)
+    JOIN (SELECT event_type, sum(d * d) AS e FROM l3 WHERE cnt = 2
+          GROUP BY event_type) e3 USING (event_type)
+    """,
+)
+def ts_haar_energy(spark, sf_dir):
+    """Three Haar levels as three bounded pair-aggregates over a
+    dense index; odd tails dropped per level (cnt = 2 guard); all
+    energies exact BIGINT."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 3600)
+        .cast("bigint")
+        .alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    w = W.partitionBy("event_type").orderBy("hr")
+    s0 = hourly.select(
+        "event_type",
+        "y",
+        (F.row_number().over(w) - 1).alias("i"),
+    )
+
+    def level(df, val):
+        sign = F.when(F.col("i") % 2 == 0, F.col(val)).otherwise(
+            -F.col(val)
+        )
+        return df.groupBy(
+            "event_type", (F.col("i") / 2).cast("bigint").alias("i")
+        ).agg(
+            F.sum(sign).cast("bigint").alias("d"),
+            F.sum(val).cast("bigint").alias("a"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+
+    l1 = level(s0, "y")
+    l2 = level(l1.filter(F.col("cnt") == 2), "a")
+    l3 = level(l2.filter(F.col("cnt") == 2), "a")
+
+    def energy(df, name):
+        return (
+            df.filter(F.col("cnt") == 2)
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.col("d") * F.col("d"))
+                .cast("bigint")
+                .alias(name)
+            )
+        )
+
+    return (
+        energy(l1, "energy_l1")
+        .join(energy(l2, "energy_l2"), "event_type")
+        .join(energy(l3, "energy_l3"), "event_type")
+    )
