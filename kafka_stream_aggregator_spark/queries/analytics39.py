@@ -280,3 +280,218 @@ def ts_haar_energy(spark, sf_dir):
         .join(energy(l2, "energy_l2"), "event_type")
         .join(energy(l3, "energy_l3"), "event_type")
     )
+
+
+@query(
+    "ts_matrix_profile",
+    # Matrix-profile-lite motif discovery over the daily count
+    # series: subsequences of length 4 (integer vectors via 3 leads),
+    # UN-normalized squared Euclidean distance (stays exact BIGINT),
+    # per-window nearest-neighbor distance (the matrix profile), the
+    # global motif pair by (distance, i, j), and profile summary
+    # stats. The all-pairs join is bounded by days^2 (the series is
+    # calendar-bounded, not data-bounded — ~9M integer ops at sf5);
+    # production uses banded/bucketed pruning at larger horizons.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY day
+    ), s AS (
+      SELECT row_number() OVER (ORDER BY day) AS i, y,
+             lead(y, 1) OVER (ORDER BY day) AS y1,
+             lead(y, 2) OVER (ORDER BY day) AS y2,
+             lead(y, 3) OVER (ORDER BY day) AS y3
+      FROM daily
+    ), w AS (
+      SELECT i, y, y1, y2, y3 FROM s WHERE y3 IS NOT NULL
+    ), d AS (
+      SELECT a.i AS i, b.i AS j,
+             (a.y - b.y) * (a.y - b.y)
+             + (a.y1 - b.y1) * (a.y1 - b.y1)
+             + (a.y2 - b.y2) * (a.y2 - b.y2)
+             + (a.y3 - b.y3) * (a.y3 - b.y3) AS d2
+      FROM w a JOIN w b ON abs(a.i - b.i) >= 4
+    ), mp AS (
+      SELECT i, CAST(min(d2) AS BIGINT) AS nnd FROM d GROUP BY i
+    ), motif AS (
+      SELECT i, j, CAST(d2 AS BIGINT) AS d2 FROM d
+      WHERE i < j ORDER BY d2, i, j LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(min(nnd) AS BIGINT) AS mp_min,
+           CAST(max(nnd) AS BIGINT) AS mp_max,
+           CAST(sum(nnd) AS BIGINT) AS mp_sum,
+           CAST(max(motif.i) AS BIGINT) AS motif_i,
+           CAST(max(motif.j) AS BIGINT) AS motif_j,
+           CAST(max(motif.d2) AS BIGINT) AS motif_d2
+    FROM mp CROSS JOIN motif
+    """,
+)
+def ts_matrix_profile(spark, sf_dir):
+    """Matrix profile: 3 leads build the window vectors, one
+    exclusion-zone self-join (|i-j| >= window) computes exact integer
+    distances, a per-window min is the profile, a total-order LIMIT 1
+    is the motif."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400)
+        .cast("bigint")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    wd = W.orderBy("day")
+    s = daily.select(
+        F.row_number().over(wd).alias("i"),
+        "y",
+        F.lead("y", 1).over(wd).alias("y1"),
+        F.lead("y", 2).over(wd).alias("y2"),
+        F.lead("y", 3).over(wd).alias("y3"),
+    ).filter(F.col("y3").isNotNull())
+    a = s.select(
+        F.col("i").alias("ia"),
+        F.col("y").alias("a0"),
+        F.col("y1").alias("a1"),
+        F.col("y2").alias("a2"),
+        F.col("y3").alias("a3"),
+    )
+    b = s.select(
+        F.col("i").alias("jb"),
+        F.col("y").alias("b0"),
+        F.col("y1").alias("b1"),
+        F.col("y2").alias("b2"),
+        F.col("y3").alias("b3"),
+    )
+    d2 = (
+        (F.col("a0") - F.col("b0")) * (F.col("a0") - F.col("b0"))
+        + (F.col("a1") - F.col("b1")) * (F.col("a1") - F.col("b1"))
+        + (F.col("a2") - F.col("b2")) * (F.col("a2") - F.col("b2"))
+        + (F.col("a3") - F.col("b3")) * (F.col("a3") - F.col("b3"))
+    )
+    d = a.join(
+        b, F.abs(F.col("ia") - F.col("jb")) >= 4
+    ).select(F.col("ia").alias("i"), F.col("jb").alias("j"), d2.alias("d2"))
+    mp = d.groupBy("i").agg(F.min("d2").cast("bigint").alias("nnd"))
+    motif = (
+        d.filter(F.col("i") < F.col("j"))
+        .orderBy("d2", "i", "j")
+        .limit(1)
+        .select(
+            F.col("i").alias("mi"),
+            F.col("j").alias("mj"),
+            F.col("d2").cast("bigint").alias("md2"),
+        )
+    )
+    return mp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.min("nnd").cast("bigint").alias("mp_min"),
+        F.max("nnd").cast("bigint").alias("mp_max"),
+        F.sum("nnd").cast("bigint").alias("mp_sum"),
+    ).crossJoin(F.broadcast(motif)).select(
+        "n_windows",
+        "mp_min",
+        "mp_max",
+        "mp_sum",
+        F.col("mi").cast("bigint").alias("motif_i"),
+        F.col("mj").cast("bigint").alias("motif_j"),
+        F.col("md2").alias("motif_d2"),
+    )
+
+
+@query(
+    "stat_ratio_metric_delta",
+    # Delta-method standard error for a RATIO metric (the A/B-testing
+    # classic: revenue per event, with USERS as the randomization
+    # unit — naive per-event variance is wrong because events within
+    # a user correlate). R = sum(x_u) / sum(y_u) over per-user totals
+    # x (value sum, DECIMAL-exact) and y (event count); var(R) ~
+    # (var_x + R^2 var_y - 2 R cov_xy) / (n ybar^2). Moments are
+    # DECIMAL/BIGINT-exact; one closing chain per event type.
+    oracle="""
+    WITH u AS (
+      SELECT event_type, user_id,
+             sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS x,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, user_id
+    ), m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy_,
+             CAST(sum(CAST(x AS DECIMAL(24,2)) * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(24,2)) * y) AS DOUBLE) AS sxy
+      FROM u GROUP BY event_type
+    ), r AS (
+      SELECT event_type, n, sx, sy_,
+             sx / sy_ AS ratio,
+             (sxx - sx * sx / n) / (n - 1) AS vx,
+             (CAST(syy AS DOUBLE) - CAST(sy_ AS DOUBLE) * sy_ / n)
+               / (n - 1) AS vy,
+             (sxy - sx * CAST(sy_ AS DOUBLE) / n) / (n - 1) AS cxy
+      FROM m WHERE n > 1 AND sy_ > 0
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_users,
+           round(ratio, 6) AS ratio,
+           round(sqrt((vx + ratio * ratio * vy - 2 * ratio * cxy)
+                      / (n * (CAST(sy_ AS DOUBLE) / n)
+                           * (CAST(sy_ AS DOUBLE) / n))), 6)
+             AS delta_se
+    FROM r
+    WHERE (vx + ratio * ratio * vy - 2 * ratio * cxy) >= 0
+    """,
+)
+def stat_ratio_metric_delta(spark, sf_dir):
+    """Ratio-metric delta SE with user-level randomization units:
+    one per-user aggregate (DECIMAL x, integer y), one moment
+    aggregate per type, one closed chain (sqrt exact)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    m = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy_"),
+        F.sum(F.col("x").cast("decimal(24,2)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x").cast("decimal(24,2)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    sx = F.col("sx")
+    syd = F.col("sy_").cast("double")
+    ratio = sx / F.col("sy_")
+    vx = (F.col("sxx") - sx * sx / n) / (n - 1)
+    vy = (F.col("syy").cast("double") - syd * F.col("sy_") / n) / (
+        n - 1
+    )
+    cxy = (F.col("sxy") - sx * syd / n) / (n - 1)
+    r = m.filter((n > 1) & (F.col("sy_") > 0)).select(
+        "event_type",
+        "n",
+        "sy_",
+        ratio.alias("ratio"),
+        vx.alias("vx"),
+        vy.alias("vy"),
+        cxy.alias("cxy"),
+    )
+    num = (
+        F.col("vx")
+        + F.col("ratio") * F.col("ratio") * F.col("vy")
+        - 2 * F.col("ratio") * F.col("cxy")
+    )
+    ybar = F.col("sy_").cast("double") / F.col("n")
+    return r.filter(num >= 0).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round("ratio", 6).alias("ratio"),
+        F.round(
+            F.sqrt(num / (F.col("n") * ybar * ybar)), 6
+        ).alias("delta_se"),
+    )
