@@ -495,3 +495,202 @@ def stat_ratio_metric_delta(spark, sf_dir):
             F.sqrt(num / (F.col("n") * ybar * ybar)), 6
         ).alias("delta_se"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    # pandas merge_asof(direction='nearest'): each purchase matches
+    # its time-NEAREST click (either direction), backward winning
+    # exact ties. Two linear as-of passes (the backward helper, and
+    # the same helper on NEGATED microseconds for forward) — still
+    # one group-key shuffle each, never a pairwise time join; the
+    # oracle replays with a rank over the pair join (affordable at
+    # oracle scale only).
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         j AS (
+           SELECT p.event_id AS pid, c.value AS cv,
+                  abs(epoch_us(p.ts) - epoch_us(c.ts)) AS gap,
+                  row_number() OVER (
+                    PARTITION BY p.event_id
+                    ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                             CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                             c.event_id DESC) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id
+         )
+    SELECT p.event_id,
+           CAST(coalesce(j.gap, -1) AS BIGINT) AS gap_us,
+           round(coalesce(j.cv, -1.0), 6) AS nearest_click_value
+    FROM p LEFT JOIN (SELECT pid, cv, gap FROM j WHERE rn = 1) j
+      ON p.event_id = j.pid
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of: backward pass + forward pass (negated-time
+    trick reuses the SAME linear backward helper), pick the smaller
+    gap, backward on ties. Both passes are union+last_value scans —
+    the sort-scaling shape."""
+    from ..ops import asof_join
+
+    e = t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.unix_micros("ts").alias("us"),
+        (-F.unix_micros("ts")).alias("neg_us"),
+    )
+    rbase = e.filter(F.col("event_type") == "click")
+
+    def side(neg):
+        on = (-F.unix_micros("ts")).alias("r_on") if neg else (
+            F.unix_micros("ts").alias("r_on")
+        )
+        return rbase.select(
+            F.col("user_id").alias("r_user_id"),
+            on,
+            F.col("event_id").alias("r_event_id"),
+            F.col("value").alias("r_value"),
+            F.unix_micros("ts").alias("r_us"),
+        )
+
+    back = asof_join(
+        left.withColumn("l_on", F.col("us")),
+        side(False),
+        left_on="l_on", right_on="r_on",
+        left_by="user_id", right_by="r_user_id",
+        right_tiebreak="r_event_id",
+        value_cols=["r_value", "r_us"],
+    ).select(
+        "event_id", "us",
+        F.col("r_value").alias("bv"), F.col("r_us").alias("bus"),
+    )
+    fwd = asof_join(
+        left.withColumn("l_on", F.col("neg_us")),
+        side(True),
+        left_on="l_on", right_on="r_on",
+        left_by="user_id", right_by="r_user_id",
+        right_tiebreak="r_event_id",
+        value_cols=["r_value", "r_us"],
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("r_value").alias("fv"), F.col("r_us").alias("fus"),
+    )
+    m = back.join(fwd, back.event_id == fwd.f_event_id, "left")
+    bgap = F.col("us") - F.col("bus")
+    fgap = F.col("fus") - F.col("us")
+    use_back = F.col("bus").isNotNull() & (
+        F.col("fus").isNull() | (bgap <= fgap)
+    )
+    gap = F.when(use_back, bgap).otherwise(fgap)
+    val = F.when(use_back, F.col("bv")).otherwise(F.col("fv"))
+    matched = F.col("bus").isNotNull() | F.col("fus").isNotNull()
+    return m.select(
+        "event_id",
+        F.when(matched, gap).otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("gap_us"),
+        F.round(
+            F.when(matched, val).otherwise(F.lit(-1.0)), 6
+        ).alias("nearest_click_value"),
+    )
+
+
+@query(
+    "ml_naive_bayes_gaussian",
+    # Gaussian naive Bayes over the numeric feature (value): per-class
+    # mean/variance from exact DECIMAL moments, log-densities scored
+    # on the bounded eval slice (event_id < 2000), argmax by
+    # round-9-QUANTIZED score (the langid discipline: a 1-ulp libm ln
+    # delta cannot flip a quantized argmax; exact quantized ties break
+    # on the class name). Emits the confusion-count table.
+    oracle="""
+    WITH m AS (
+      SELECT event_type AS cls,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS s,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))
+                      * CAST(round(value, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS ss
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM m), par AS (
+      SELECT cls, n, s / n AS mu,
+             (ss - s * s / n) / (n - 1) AS v,
+             CAST(n AS DOUBLE) / nt AS prior
+      FROM m CROSS JOIN tot WHERE n > 1
+    ), ev AS (
+      SELECT event_id, event_type AS truth,
+             CAST(round(value, 2) AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL AND event_id < 2000
+    ), sc AS (
+      SELECT ev.event_id, ev.truth, par.cls,
+             round(ln(par.prior) - 0.5 * ln(par.v)
+                   - (ev.x - par.mu) * (ev.x - par.mu)
+                     / (2 * par.v), 9) AS score
+      FROM ev CROSS JOIN par WHERE par.v > 0
+    ), pred AS (
+      SELECT event_id, truth, cls AS predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id
+                  ORDER BY score DESC, cls) AS rn
+        FROM sc) z
+      WHERE rn = 1
+    )
+    SELECT truth, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY truth, predicted
+    """,
+)
+def ml_naive_bayes_gaussian(spark, sf_dir):
+    """Gaussian NB: one exact per-class moment aggregate (broadcast),
+    a cross join over the bounded eval slice, quantized log-density
+    argmax, confusion counts."""
+    ev0 = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.round("value", 2).cast("decimal(18,2)")
+    m = ev0.groupBy(F.col("event_type").alias("cls")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    tot = m.agg(F.sum("n").cast("bigint").alias("nt"))
+    n = F.col("n")
+    par = (
+        m.crossJoin(F.broadcast(tot))
+        .filter(n > 1)
+        .select(
+            "cls",
+            (F.col("s") / n).alias("mu"),
+            ((F.col("ss") - F.col("s") * F.col("s") / n) / (n - 1))
+            .alias("v"),
+            (n.cast("double") / F.col("nt")).alias("prior"),
+        )
+        .filter(F.col("v") > 0)
+    )
+    evs = ev0.filter(F.col("event_id") < 2000).select(
+        "event_id",
+        F.col("event_type").alias("truth"),
+        F.round("value", 2).cast("double").alias("x"),
+    )
+    score = F.round(
+        F.log("prior")
+        - 0.5 * F.log("v")
+        - (F.col("x") - F.col("mu"))
+        * (F.col("x") - F.col("mu"))
+        / (2 * F.col("v")),
+        9,
+    )
+    sc = evs.crossJoin(F.broadcast(par)).select(
+        "event_id", "truth", "cls", score.alias("score")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("event_id").orderBy(
+            F.col("score").desc(), "cls"
+        )
+    )
+    pred = (
+        sc.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("truth", F.col("cls").alias("predicted"))
+    )
+    return pred.groupBy("truth", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
