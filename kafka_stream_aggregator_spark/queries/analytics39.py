@@ -694,3 +694,84 @@ def ml_naive_bayes_gaussian(spark, sf_dir):
     return pred.groupBy("truth", "predicted").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@query(
+    "agg_quantiles_multi",
+    # Five exact quantiles (p25/p50/p75/p90/p99) of l_quantity per
+    # return flag from ONE counts-tier scan — the multi-quantile
+    # companion to agg_percentiles: all five rank selections share the
+    # same ~50-cell cumulative relation, so adding quantiles is free
+    # (no extra scan, no extra shuffle).
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           round(quantile_cont(l_quantity, 0.90), 6) AS p90,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles_multi(spark, sf_dir):
+    """One (flag, qty) counts aggregate, one bounded cumulative
+    window, five interpolated boundary selections in one pass."""
+    li = t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    cum = cells.select(
+        "l_returnflag",
+        "v",
+        "c",
+        (F.sum("c").over(wc) - F.col("c")).alias("below"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def sel(q):
+        pos = q * (F.col("n") - 1)
+        lo = F.max(
+            F.when(
+                (F.col("below") <= F.floor(pos))
+                & (F.floor(pos) < F.col("below") + F.col("c")),
+                F.col("v"),
+            )
+        )
+        hi = F.max(
+            F.when(
+                (F.col("below") <= F.ceil(pos))
+                & (F.ceil(pos) < F.col("below") + F.col("c")),
+                F.col("v"),
+            )
+        )
+        return lo, hi
+
+    aggs = []
+    for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"),
+                    (0.90, "p90"), (0.99, "p99")]:
+        lo, hi = sel(q)
+        aggs.append(lo.alias(f"lo_{name}"))
+        aggs.append(hi.alias(f"hi_{name}"))
+    g = cum.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"), *aggs
+    )
+    out = ["l_returnflag"]
+    for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"),
+                    (0.90, "p90"), (0.99, "p99")]:
+        pos = q * (F.col("n") - 1)
+        out.append(
+            F.round(
+                F.col(f"lo_{name}")
+                + (pos - F.floor(pos))
+                * (F.col(f"hi_{name}") - F.col(f"lo_{name}")),
+                6,
+            ).alias(name)
+        )
+    return g.select(*out)
