@@ -125,30 +125,21 @@ class TxLogTable:
             parts.update(self._entry(v).get("parts", {}))
         return {p: pv for p, pv in parts.items() if p in live}
 
-    def _commit(self, version: int, op: str, added: list[str],
-                removed: list[str],
-                parts: dict[str, str] | None = None) -> None:
-        """Publish exactly one winner for ``version`` (atomic rename +
-        refuse-to-replace via link/unlink)."""
+    def _publish(self, version: int, entry: dict) -> None:
+        """Single durable link-publish used by EVERY log write (data
+        commits and constraint commits alike — ADVICE r9: add/drop
+        duplicated this and omitted the directory fsync, so a crash
+        after they returned could lose the constraint commit): fsync'd
+        tmp write, refuse-to-replace os.link (one winner per version;
+        os.rename would silently replace on POSIX), then fsync the log
+        directory inode so the new entry itself is durable."""
         final = os.path.join(self.logdir, f"{version:08d}.json")
         tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
-        entry = {"version": version, "op": op,
-                 "added": added, "removed": removed}
-        if parts:
-            entry["parts"] = parts
-        stats = self._collect_stats(added)
-        if stats:
-            entry["stats"] = stats
         with open(tmp, "w") as fh:
-            json.dump(
-                entry,
-                fh,
-            )
+            json.dump(entry, fh)
             fh.flush()
             os.fsync(fh.fileno())
         try:
-            # os.link fails with EEXIST if another writer won the race
-            # (os.rename would silently replace on POSIX).
             os.link(tmp, final)
         except FileExistsError:
             raise CommitConflict(
@@ -156,15 +147,24 @@ class TxLogTable:
             ) from None
         finally:
             os.unlink(tmp)
-        # Durability: the link published the entry but the DIRECTORY
-        # entry itself is not durable until the directory inode is
-        # fsynced (standard POSIX publish pattern) — without this a
-        # crash after append() returns could lose the commit.
         dfd = os.open(self.logdir, os.O_RDONLY)
         try:
             os.fsync(dfd)
         finally:
             os.close(dfd)
+
+    def _commit(self, version: int, op: str, added: list[str],
+                removed: list[str],
+                parts: dict[str, str] | None = None) -> None:
+        """Publish exactly one winner for ``version``."""
+        entry = {"version": version, "op": op,
+                 "added": added, "removed": removed}
+        if parts:
+            entry["parts"] = parts
+        stats = self._collect_stats(added)
+        if stats:
+            entry["stats"] = stats
+        self._publish(version, entry)
 
     # ------------------------------------------------------------------
     # writes
@@ -316,42 +316,16 @@ class TxLogTable:
                 )
         lv = self.latest_version()
         v = 0 if lv is None else lv + 1
-        final = os.path.join(self.logdir, f"{v:08d}.json")
-        tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"version": v, "op": "set_constraint",
-                       "name": name, "expr": expr,
-                       "added": [], "removed": []}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            raise CommitConflict(
-                f"version {v} already committed at {self.path}"
-            ) from None
-        finally:
-            os.unlink(tmp)
+        self._publish(v, {"version": v, "op": "set_constraint",
+                          "name": name, "expr": expr,
+                          "added": [], "removed": []})
         return v
 
     def drop_constraint(self, name: str) -> int:
         lv = self.latest_version()
         v = 0 if lv is None else lv + 1
-        final = os.path.join(self.logdir, f"{v:08d}.json")
-        tmp = final + f".{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"version": v, "op": "drop_constraint",
-                       "name": name, "added": [], "removed": []}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            raise CommitConflict(
-                f"version {v} already committed at {self.path}"
-            ) from None
-        finally:
-            os.unlink(tmp)
+        self._publish(v, {"version": v, "op": "drop_constraint",
+                          "name": name, "added": [], "removed": []})
         return v
 
     def _enforce(self, df: DataFrame) -> None:
@@ -419,6 +393,10 @@ class TxLogTable:
         rows are rewritten, the stale files removed in the SAME
         commit); without ``spark``, raise instead of corrupting."""
         df = df.filter(F.col(part_col).cast("string") == part_value)
+        # ADVICE r9: this was the one write path not enforcing CHECK
+        # constraints — a violating backfill batch silently bypassed
+        # the documented 'enforced on every subsequent write' contract.
+        self._enforce(df)
         mapped = self.live_parts()
         unmapped = [f for f in self.live_files() if f not in mapped]
         extra_added: list[str] = []
@@ -440,8 +418,13 @@ class TxLogTable:
                 rest = d if rest is None else rest.unionByName(
                     d, allowMissingColumns=True
                 )
+            # Null-safe (ADVICE r9): `!=` evaluates to NULL for rows
+            # whose partition column is NULL, silently deleting them
+            # from the copy-on-write rewrite. eqNullSafe keeps them.
             rest = rest.filter(
-                F.col(part_col).cast("string") != part_value
+                ~F.col(part_col).cast("string").eqNullSafe(
+                    F.lit(part_value)
+                )
             )
             extra_added = self._write_files(rest)
         parts = self._write_partitioned(df, part_col)

@@ -101,6 +101,16 @@ try:
 except ImportError:  # first generation bootstrap
     _WINDOW_ORDER = []
 
+import os as _os
+
+# tools/gen_window.py sets SPARK_GRAFT_NO_REORDER=1 so it can observe
+# TRUE registration order. Round 9's window regenerated against the
+# already-reordered registry (this flag was set but never honored here),
+# which let each round's new additions inherit the front positions of
+# the previous window and jump the never-verdicted backlog (VERDICT r9
+# top finding).
+_NO_REORDER = _os.environ.get("SPARK_GRAFT_NO_REORDER") == "1"
+
 
 def _reorder_registry() -> None:
     listed = [n for n in _WINDOW_ORDER if n in REGISTRY]
@@ -110,6 +120,7 @@ def _reorder_registry() -> None:
     REGISTRY.update(ordered)
 
 
-_reorder_registry()
+if not _NO_REORDER:
+    _reorder_registry()
 
 __all__ = ["REGISTRY", "QuerySpec"]

@@ -138,6 +138,26 @@ def agg_skew_kurt(spark, sf_dir):
 _PCT_CACHE: dict = {}
 
 
+def _source_fingerprint(path: str) -> tuple:
+    """Stable identity of a parquet source for plan-cache keying:
+    the full (relative path, mtime_ns, size) listing — a tier stored
+    as a multi-file directory, or regenerated in place, invalidates
+    correctly (ADVICE r9: a single hard-coded filename's mtime missed
+    both cases; size catches same-mtime rewrites)."""
+    if os.path.isdir(path):
+        items = []
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                items.append(
+                    (os.path.relpath(p, path), st.st_mtime_ns, st.st_size)
+                )
+        return tuple(items)
+    st = os.stat(path)
+    return ((path, st.st_mtime_ns, st.st_size),)
+
+
 @query(
     "agg_percentiles",
     bench=True,
@@ -186,10 +206,13 @@ def agg_percentiles(spark, sf_dir):
     # the plan is reused — what any engine's prepared-statement cache
     # does). The mtime key drops the cache when a tier is regenerated
     # in place.
+    # applicationId is a stable per-session identity — id(spark) can
+    # be REUSED by a new session after the old one is gc'd (ADVICE r9),
+    # which would hand the new session a dead session's cached plans.
     key = (
-        id(spark),
+        spark.sparkContext.applicationId,
         sf_dir,
-        os.path.getmtime(os.path.join(sf_dir, "lineitem.parquet")),
+        _source_fingerprint(os.path.join(sf_dir, "lineitem.parquet")),
     )
     cache = _PCT_CACHE.setdefault(key, {})
     if len(_PCT_CACHE) > 8:  # bound: a handful of live tiers

@@ -91,3 +91,43 @@ def test_window_order_generated_and_fresh():
     # registry iteration (what the driver samples) == unlisted-new-first
     # + generated order; with a fresh file they coincide exactly
     assert list(REGISTRY) == order
+
+
+def test_window_order_failed_rows_sort_first():
+    """VERDICT r9 top finding: a query whose LATEST driver row FAILED
+    must lead the window (ahead of never-verdicted), never-verdicted
+    queries drain in registration order, and a red row counts as a
+    failure, not a verdict. Pin the bucket logic on synthetic history
+    plus the live r8 case (agg_atkinson_index red at r8, window head
+    through cap 9)."""
+    import os
+    import sys
+
+    tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    sys.path.insert(0, tools)
+    import gen_window
+
+    fail_row = {"rows_match": True, "schema_match": True,
+                "hash_match": False, "err": None}
+    green_row = {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None}
+    weak_row = {"rows_match": None, "schema_match": None,
+                "hash_match": None, "err": "no_oracle"}
+    err_row = {"rows_match": None, "schema_match": None,
+               "hash_match": None, "err": "Py4JJavaError: boom"}
+    assert gen_window._row_failed(fail_row)
+    assert gen_window._row_failed(err_row)
+    assert not gen_window._row_failed(green_row)
+    assert not gen_window._row_failed(weak_row)  # weak verdict, not FAIL
+
+    order, cap = gen_window.compute_order(max_round=9)
+    assert cap == 9
+    # the one genuine red-latest row in r1-r9 history leads the window
+    assert order[0] == "agg_atkinson_index"
+    # bucket 1 = never-verdicted, in registration order: round-9 waves
+    # (analytics35+ modules, registered last) must NOT precede the
+    # r6-era backlog at the head of the window
+    head = order[1:50]
+    assert "agg_quantiles_multi" not in head  # r9-verdicted, bucket 2

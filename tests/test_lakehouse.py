@@ -505,3 +505,101 @@ def test_check_constraint_lifecycle(spark):
     # re-ADD now refuses: existing data violates
     with pytest.raises(ConstraintViolation):
         tbl.add_constraint(spark, "small_k", "k < 100")
+
+
+def test_partition_overwrite_enforces_constraints(spark):
+    """ADVICE r9 medium: overwrite_partition was the ONE write path
+    not calling _enforce(), so a violating backfill batch silently
+    bypassed CHECK constraints. A violating partition overwrite must
+    refuse and leave the table unchanged."""
+    from kafka_stream_aggregator_spark.lakehouse import (
+        ConstraintViolation,
+    )
+
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_pe_"))
+    tbl.append_partitioned(
+        spark.createDataFrame(
+            [("click", 1.0), ("view", 2.0)],
+            "event_type string, value double",
+        ),
+        "event_type",
+    )
+    tbl.add_constraint(spark, "pos_value", "value > 0")
+    bad = spark.createDataFrame(
+        [("click", -5.0)], "event_type string, value double"
+    )
+    before = tbl.latest_version()
+    with pytest.raises(ConstraintViolation):
+        tbl.overwrite_partition(bad, "event_type", "click", spark=spark)
+    assert tbl.latest_version() == before
+    vals = sorted(
+        (r["event_type"], r["value"]) for r in tbl.read(spark).collect()
+    )
+    assert vals == [("click", 1.0), ("view", 2.0)]
+
+
+def test_partition_overwrite_null_keys_survive_rewrite(spark):
+    """ADVICE r9 medium: the unmapped-file copy-on-write used a
+    NULL-unsafe `!=` predicate, so rows whose partition column is NULL
+    were silently DELETED by the rewrite (their file is in the removed
+    set but the rows never re-written). They must survive."""
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_pn_"))
+    # unpartitioned append with a NULL partition key
+    tbl.append(
+        spark.createDataFrame(
+            [("click", 1.0), (None, 7.0), ("view", 2.0)],
+            "event_type string, value double",
+        )
+    )
+    newclick = spark.createDataFrame(
+        [("click", 99.0)], "event_type string, value double"
+    )
+    tbl.overwrite_partition(newclick, "event_type", "click", spark=spark)
+    tip = sorted(
+        ((r["event_type"], r["value"]) for r in tbl.read(spark).collect()),
+        key=lambda t: (t[0] is not None, t),
+    )
+    assert tip == [(None, 7.0), ("click", 99.0), ("view", 2.0)]
+
+
+def _race_commit(path, version, barrier, q):
+    """Child-process body for the cross-process race test (module level
+    so spawn can pickle it)."""
+    tbl = TxLogTable(path)
+    barrier.wait()
+    try:
+        tbl._commit(version, "race", [], [])
+        q.put(("win", os.getpid()))
+    except CommitConflict:
+        q.put(("lose", os.getpid()))
+
+
+def test_concurrent_commit_race_across_processes():
+    """VERDICT r9 item 5: the fsync/link commit protocol exists for
+    MULTI-PROCESS writers; the in-process conflict tests never crossed
+    a process boundary. Two OS processes race _commit on the same
+    version: exactly one wins, the loser raises CommitConflict, and no
+    .tmp litter survives either way."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")  # no JVM-fork hazards
+    path = tempfile.mkdtemp(prefix="lk_race_")
+    TxLogTable(path)  # create log dir
+    barrier = ctx.Barrier(2)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_commit, args=(path, 0, barrier, q))
+        for _ in range(2)
+    ]
+    for p in procs:
+        p.start()
+    outcomes = sorted(q.get(timeout=60)[0] for _ in procs)
+    for p in procs:
+        p.join(timeout=60)
+    assert outcomes == ["lose", "win"]
+    logdir = os.path.join(path, "_txlog")
+    entries = os.listdir(logdir)
+    assert not [e for e in entries if e.endswith(".tmp")]
+    assert entries.count("00000000.json") == 1
+    with open(os.path.join(logdir, "00000000.json")) as fh:
+        assert json.load(fh)["version"] == 0
