@@ -284,6 +284,36 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_p_or_null
 FROM (SELECT NULLIF(o_orderstatus, 'O') AS st FROM orders) z
 """,
+    # MERGE-upsert surface (VERDICT r9 item 6). Verbatim `MERGE INTO`
+    # is IMPOSSIBLE on both engines here, probed 2026-08-16: Spark 4.1
+    # raises UNSUPPORTED_FEATURE.TABLE_OPERATION on any non-v2 table
+    # (row-level MERGE needs Delta/Iceberg; temp views and parquet
+    # catalog tables are not row-level-capable), and DuckDB 1.0.0
+    # predates MERGE entirely (parser error; MERGE landed in 1.4).
+    # The dialect-common statement is the relational algebra a MERGE
+    # plans to: FULL OUTER JOIN target/source, matched keys take the
+    # source row (UPDATE), source-only keys insert, target-only keys
+    # carry over — with the action tagged per row. The transactional
+    # execution path of the same semantics is lakehouse merge()
+    # (io_lakehouse_merge, pass r09).
+    "sql_merge_upsert": """
+WITH target AS (
+  SELECT c_custkey AS k,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_custkey < 400),
+source AS (
+  SELECT o_custkey AS k,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS bal_cents
+  FROM orders WHERE o_custkey < 600 GROUP BY o_custkey)
+SELECT CAST(coalesce(s.k, t.k) AS BIGINT) AS k,
+       CAST(CASE WHEN s.k IS NOT NULL THEN s.bal_cents
+                 ELSE t.bal_cents END AS BIGINT) AS bal_cents,
+       CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL THEN 'update'
+            WHEN s.k IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM target t FULL OUTER JOIN source s ON t.k = s.k
+""",
     # HAVING over a joined aggregate + CASE-conditional count
     "sql_having_case": """
 SELECT n_name,
