@@ -40,6 +40,8 @@ from . import (  # noqa: F401
     analytics37,
     analytics38,
     analytics39,
+    analytics40,
+    analytics41,
     aggs,
     corpus,
     corpus2,
