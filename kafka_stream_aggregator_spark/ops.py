@@ -775,3 +775,70 @@ def approx_heavy_hitters(
         merged.crossJoin(F.broadcast(totals))
         .select("item", "count_lb", "n_total", err.alias("err_bound"))
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_sum_col: str,
+    w_col: str,
+) -> DataFrame:
+    """Weighted isotonic regression per group: the O(n) pool-adjacent-
+    violators (PAVA) algorithm over each group's (x, y_sum, weight)
+    series, Arrow-batched via applyInPandas.
+
+    This is the SCALE PATH named by ml_isotonic_pava's docstring
+    (queries/analytics41.py): the oracle-exact minimax identity there
+    is O(n^2) in series length — fine for its bounded 50-cell input,
+    wrong for long per-group series. Here each group's series (already
+    aggregated to one row per distinct x, so its length is bounded by
+    the x-domain, not the fact table) is fitted in one linear pass
+    inside a worker; groups are distributed by the groupBy shuffle.
+    PAVA and the minimax formula compute the SAME function (Robertson
+    et al., Order Restricted Statistical Inference, Thm 1.4.4 — the
+    max-min characterization of the isotonic projection), which the
+    test suite pins by equating both on the same cells.
+
+    Input columns: group_cols + [x_col, y_sum_col (sum of y per x),
+    w_col (count/weight per x)]. Output: group_cols + x, iso_fit
+    (the fitted weighted mean per x, as double).
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        [f"{c} string" for c in group_cols]
+        + [f"{x_col} bigint", "iso_fit double"]
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x_col)
+        s = pdf[y_sum_col].to_numpy(dtype="float64")
+        w = pdf[w_col].to_numpy(dtype="float64")
+        # blocks as (total, weight, count-of-cells); merge while the
+        # last block's mean exceeds the incoming one
+        totals: list[float] = []
+        weights: list[float] = []
+        sizes: list[int] = []
+        for ti, wi in zip(s, w):
+            totals.append(float(ti))
+            weights.append(float(wi))
+            sizes.append(1)
+            while (
+                len(totals) > 1
+                and totals[-2] * weights[-1] >= totals[-1] * weights[-2]
+            ):
+                totals[-2] += totals[-1]
+                weights[-2] += weights[-1]
+                sizes[-2] += sizes[-1]
+                totals.pop()
+                weights.pop()
+                sizes.pop()
+        fit = []
+        for tot, wt, sz in zip(totals, weights, sizes):
+            fit.extend([tot / wt] * sz)
+        out = pdf[[*group_cols, x_col]].copy()
+        out["iso_fit"] = fit
+        return out
+
+    return df.groupBy(*group_cols).applyInPandas(pava, schema=out_fields)

@@ -603,3 +603,47 @@ def test_concurrent_commit_race_across_processes():
     assert entries.count("00000000.json") == 1
     with open(os.path.join(logdir, "00000000.json")) as fh:
         assert json.load(fh)["version"] == 0
+
+
+def _retry_commit(path, barrier, q):
+    """Child body: commit with conflict-retry (the documented writer
+    loop) — both racers must land, on distinct versions."""
+    tbl = TxLogTable(path)
+    barrier.wait()
+    for _ in range(10):
+        lv = tbl.latest_version()
+        v = 0 if lv is None else lv + 1
+        try:
+            tbl._commit(v, "race_retry", [], [])
+            q.put(("ok", v))
+            return
+        except CommitConflict:
+            continue
+    q.put(("gave_up", -1))
+
+
+def test_concurrent_commit_retry_across_processes():
+    """Extension of the cross-process race: with the standard
+    read-version/retry loop, BOTH OS-process writers commit, on
+    consecutive distinct versions — optimistic concurrency works end
+    to end across a real process boundary, not just in-process."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    path = tempfile.mkdtemp(prefix="lk_retry_")
+    TxLogTable(path)
+    barrier = ctx.Barrier(2)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_retry_commit, args=(path, barrier, q))
+        for _ in range(2)
+    ]
+    for p in procs:
+        p.start()
+    results = sorted(q.get(timeout=60) for _ in procs)
+    for p in procs:
+        p.join(timeout=60)
+    assert [r[0] for r in results] == ["ok", "ok"]
+    assert sorted(r[1] for r in results) == [0, 1]
+    tbl = TxLogTable(path)
+    assert tbl.versions() == [0, 1]

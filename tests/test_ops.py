@@ -328,3 +328,53 @@ def test_distributed_global_rank_matches_global_row_number(spark, sf_dir):
     assert distributed_global_rank(li.limit(0), order).count() == 0
     one = distributed_global_rank(li.limit(1), order).collect()
     assert len(one) == 1 and one[0]["rn"] == 1
+
+
+def test_isotonic_fit_pava_equals_minimax(spark, sf_dir):
+    """The applyInPandas PAVA operator (ops.isotonic_fit — the long-
+    series scale path) and the oracle-exact O(n^2) minimax query
+    (ml_isotonic_pava) compute the SAME isotonic projection
+    (Robertson Thm 1.4.4). Pin the equivalence on the real quantity
+    cells, plus PAVA-shape sanity on a hand case."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_aggregator_spark.ops import isotonic_fit
+    from kafka_stream_aggregator_spark.queries import REGISTRY
+
+    sf = sf_dir
+    mm = {
+        r["qv"]: r["iso_fit"]
+        for r in REGISTRY["ml_isotonic_pava"].fn(spark, sf).collect()
+    }
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    li = load_table(spark, sf, "lineitem")
+    cells = li.groupBy(
+        F.round("l_quantity", 0).cast("bigint").alias("qv")
+    ).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    ).withColumn("g", F.lit("all"))
+    pv = {
+        r["qv"]: r["iso_fit"]
+        for r in isotonic_fit(cells, ["g"], "qv", "s", "c").collect()
+    }
+    assert set(pv) == set(mm)
+    for qv, fit in pv.items():
+        assert abs(fit / 100 - mm[qv]) < 1e-6, (qv, fit / 100, mm[qv])
+    # monotone non-decreasing in qv
+    vals = [pv[q] for q in sorted(pv)]
+    assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+
+    # hand case: y = [3, 1, 2] w=1 -> PAVA pools [3,1] -> [2,2,2]
+    hand = spark.createDataFrame(
+        [("g", 1, 3.0, 1.0), ("g", 2, 1.0, 1.0), ("g", 3, 2.0, 1.0)],
+        "g string, x long, s double, w double",
+    )
+    got = {
+        r["x"]: r["iso_fit"]
+        for r in isotonic_fit(hand, ["g"], "x", "s", "w").collect()
+    }
+    assert got == {1: 2.0, 2: 2.0, 3: 2.0}
