@@ -1227,3 +1227,135 @@ def stream_outer_join_unmatched(spark, sf_dir):
             .alias("n_unmatched_purchases"),
         )
     )
+
+
+@query(
+    "stream_psi_drift",
+    # TWELFTH oracled streaming op: the drift monitor every feature
+    # pipeline keeps on its ingest — per-DAY population stability
+    # index of the value distribution against the FIRST finalized
+    # day. The stream reduces to watermarked (day-window, fixed
+    # integer band) counts (bands are least(9, floor(value/50)) —
+    # FIXED edges, the only kind a streaming monitor can know
+    # upfront); append mode emits a day's cells exactly once when the
+    # 1-hour watermark passes its end, so the drained relation holds
+    # finalized days only, and the batch finisher is pure bounded
+    # algebra: shared-band join against the reference day, libm ln
+    # terms quantized DECIMAL(28,9) at birth before the <= 10-term
+    # sum. The batch twin (events_psi_stability) uses data-derived
+    # integer edges; the streaming tier's fixed edges are the
+    # documented difference.
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 3600 AS horizon
+      FROM events
+    ), cells AS (
+      SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS ws,
+             CAST(least(9, floor(value / 50)) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN h
+      WHERE value IS NOT NULL
+      GROUP BY ws, band
+      HAVING ws + 86400 <= CAST(max(horizon) AS BIGINT)
+    ), tot AS (
+      SELECT ws, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY ws
+    ), ref AS (
+      SELECT CAST(min(ws) AS BIGINT) AS rws FROM cells
+    ), terms AS (
+      SELECT w.ws, wn.n,
+             CAST(round(
+               (CAST(w.cnt AS DOUBLE) / wn.n
+                - CAST(r.cnt AS DOUBLE) / rn.n)
+               * ln((CAST(w.cnt AS DOUBLE) / wn.n)
+                    / (CAST(r.cnt AS DOUBLE) / rn.n)), 9)
+             AS DECIMAL(28,9)) AS term
+      FROM cells w
+      JOIN ref ON true
+      JOIN cells r ON r.ws = ref.rws AND r.band = w.band
+      JOIN tot wn ON wn.ws = w.ws
+      JOIN tot rn ON rn.ws = ref.rws
+    )
+    SELECT ws AS window_start,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_bands_shared,
+           round(CAST(sum(term) AS DOUBLE), 6) AS psi
+    FROM terms GROUP BY ws
+    """,
+)
+def stream_psi_drift(spark, sf_dir):
+    """Streaming PSI drift: watermarked daily (window, band) counts —
+    state is O(days x 10 bands), order- and batching-independent —
+    then a bounded finisher joining each finalized day's shared bands
+    against the first finalized day. At 100 TB the stream state and
+    the finisher relation are both band-grid-sized, never row-sized."""
+    s = _events_stream(spark, sf_dir)
+    cells = (
+        s.filter(F.col("value").isNotNull())
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.least(
+                F.lit(9).cast("bigint"),
+                F.floor(F.col("value") / 50).cast("bigint"),
+            ).alias("band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # Re-aggregate the drained memory-table scan (a no-op fold: the
+    # sink already emitted one row per (ws, band)) so the downstream
+    # windows consume an Aggregate — both the window-audit bound and
+    # a workaround for the analyzer's self-join resolution over
+    # memory-sink lineage, which the join formulation tripped.
+    cells2 = (
+        _run_to_df(spark, cells)
+        .select(F.col("w.start").cast("long").alias("ws"), "band", "cnt")
+        .groupBy("ws", "band")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    d1 = cells2.select(
+        "ws",
+        "band",
+        "cnt",
+        F.sum("cnt")
+        .over(W.partitionBy("ws"))
+        .cast("bigint")
+        .alias("n"),
+        F.min("ws").over(W.partitionBy()).cast("bigint").alias("rws"),
+    )
+    d2 = d1.select(
+        "ws",
+        "band",
+        "cnt",
+        "n",
+        F.max(F.when(F.col("ws") == F.col("rws"), F.col("cnt")))
+        .over(W.partitionBy("band"))
+        .cast("bigint")
+        .alias("rcnt"),
+        F.max(F.when(F.col("ws") == F.col("rws"), F.col("n")))
+        .over(W.partitionBy())
+        .cast("bigint")
+        .alias("rn"),
+    )
+    p = F.col("cnt").cast("double") / F.col("n")
+    q = F.col("rcnt").cast("double") / F.col("rn")
+    terms = d2.filter(F.col("rcnt").isNotNull()).select(
+        "ws",
+        "n",
+        F.round((p - q) * F.log(p / q), 9)
+        .cast("decimal(28,9)")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("ws")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_bands_shared"),
+            F.round(F.sum("term").cast("double"), 6).alias("psi"),
+        )
+        .select(
+            F.col("ws").alias("window_start"),
+            "n_rows",
+            "n_bands_shared",
+            "psi",
+        )
+    )
