@@ -443,12 +443,19 @@ class TxLogTable:
               key: str) -> int:
         """Copy-on-write MERGE (upsert by ``key``): target rows whose
         key appears in source are replaced, new source keys inserted.
-        One broadcast anti-join + union, then a rewrite commit."""
+        One broadcast anti-join + union, then a rewrite commit.
+
+        Schema evolution (Delta autoMerge semantics): a source with
+        NEW columns widens the table — surviving target rows null-fill
+        them; a source MISSING target columns null-fills those on its
+        inserted/updated rows. (Read-path evolution was already
+        null-filling across batches; the plain unionByName here
+        rejected evolved sources with NUM_COLUMNS_MISMATCH.)"""
         self._enforce(source)
         target = self.read(spark)
         keys = source.select(key).distinct()
         kept = target.join(F.broadcast(keys), key, "left_anti")
-        merged = kept.unionByName(source)
+        merged = kept.unionByName(source, allowMissingColumns=True)
         prev = self.live_files()
         lv = self.latest_version()
         v = 0 if lv is None else lv + 1

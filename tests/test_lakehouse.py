@@ -647,3 +647,48 @@ def test_concurrent_commit_retry_across_processes():
     assert sorted(r[1] for r in results) == [0, 1]
     tbl = TxLogTable(path)
     assert tbl.versions() == [0, 1]
+
+
+def test_schema_evolution_on_read_and_merge(spark):
+    """Schema evolution contract: (1) read-path — batches written
+    before a column existed null-fill it at the tip, while
+    time-travel to the old version keeps the old schema; (2) merge —
+    an evolved source (new column) widens the table with Delta
+    autoMerge semantics (surviving target rows null-fill), and a
+    NARROW source (missing a table column) null-fills its own rows."""
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_se_"))
+    tbl.append(_df(spark, [(1, "a")]))
+    tbl.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "k long, v string, score double"
+        )
+    )
+    tip = sorted(tuple(r) for r in tbl.read(spark).collect())
+    assert tip == [(1, "a", None), (2, "b", 9.5)]
+    assert tbl.read(spark, 0).columns == ["k", "v"]
+
+    # merge with a WIDER source: new 'tag' column appears, target
+    # survivors null-fill it
+    tbl.merge(
+        spark,
+        spark.createDataFrame(
+            [(1, "A", 1.0, "x"), (3, "c", 2.0, "y")],
+            "k long, v string, score double, tag string",
+        ),
+        "k",
+    )
+    got = {r["k"]: (r["v"], r["score"], r["tag"])
+           for r in tbl.read(spark).collect()}
+    assert got == {
+        1: ("A", 1.0, "x"),
+        2: ("b", 9.5, None),
+        3: ("c", 2.0, "y"),
+    }
+
+    # merge with a NARROWER source (no score/tag): its rows null-fill
+    tbl.merge(spark, _df(spark, [(2, "B2"), (4, "d")]), "k")
+    got = {r["k"]: (r["v"], r["score"], r["tag"])
+           for r in tbl.read(spark).collect()}
+    assert got[2] == ("B2", None, None)
+    assert got[4] == ("d", None, None)
+    assert got[1] == ("A", 1.0, "x")  # untouched survivor keeps values
