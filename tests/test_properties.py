@@ -554,3 +554,76 @@ def test_kmv_signature_mergeable(spark, keys, split):
     merged = sorted(sig(a) + sig(b))[:k]
     direct = sig(keys)
     assert merged == direct
+
+
+@given(ys=st.lists(st.integers(0, 100_000), min_size=2, max_size=60))
+@SETTINGS
+def test_control_chart_integer_sigma_identity(ys):
+    """events_control_chart's fully-integer 3-sigma rule
+    (y*n - sy)^2 > 9*(n*syy - sy^2) must agree with the float
+    formula |y - mean| > 3*sigma_pop on every series where the float
+    comparison is not within one ulp of the boundary (the integer
+    form is EXACT; the float form is the approximation)."""
+    n = len(ys)
+    sy = sum(ys)
+    syy = sum(y * y for y in ys)
+    mean = sy / n
+    var = syy / n - mean * mean
+    for y in ys:
+        lhs = (y * n - sy) ** 2
+        rhs = 9 * (n * syy - sy * sy)
+        int_rule = lhs > rhs
+        # float comparison with a relative guard band: outside the
+        # band the two forms MUST agree; inside it the float form is
+        # untrustworthy (that is the point of the integer form)
+        f_lhs = abs(y - mean)
+        f_rhs = 3 * math.sqrt(max(var, 0.0))
+        band = 1e-9 * max(f_lhs, f_rhs, 1.0)
+        if abs(f_lhs - f_rhs) > band:
+            assert int_rule == (f_lhs > f_rhs), (y, ys)
+
+
+@given(
+    ys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=40),
+    ws=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+)
+@SETTINGS
+def test_isotonic_pava_minimax_identity(ys, ws):
+    """ops.isotonic_fit's PAVA and the minimax formula
+    fit_i = max_{j<=i} min_{k>=i} avg(y_j..y_k) are the same function
+    (Robertson Thm 1.4.4) — pinned in pure Python on random weighted
+    series (the Spark test pins the distributed paths on real data)."""
+    m = min(len(ys), len(ws))
+    ys, ws = ys[:m], ws[:m]
+    # PAVA
+    totals, weights, sizes = [], [], []
+    for y, w in zip(ys, ws):
+        totals.append(float(y * w))
+        weights.append(float(w))
+        sizes.append(1)
+        while (
+            len(totals) > 1
+            and totals[-2] * weights[-1] >= totals[-1] * weights[-2]
+        ):
+            totals[-2] += totals[-1]
+            weights[-2] += weights[-1]
+            sizes[-2] += sizes[-1]
+            totals.pop(); weights.pop(); sizes.pop()
+    pava = []
+    for tot, w, sz in zip(totals, weights, sizes):
+        pava.extend([tot / w] * sz)
+    # minimax
+    pre_s = [0.0]
+    pre_w = [0.0]
+    for y, w in zip(ys, ws):
+        pre_s.append(pre_s[-1] + y * w)
+        pre_w.append(pre_w[-1] + w)
+
+    def avg(j, k):  # inclusive 0-based cell range
+        return (pre_s[k + 1] - pre_s[j]) / (pre_w[k + 1] - pre_w[j])
+
+    for i in range(m):
+        mm = max(
+            min(avg(j, k) for k in range(i, m)) for j in range(i + 1)
+        )
+        assert abs(mm - pava[i]) < 1e-7, (i, ys, ws)
