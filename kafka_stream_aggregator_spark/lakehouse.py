@@ -451,11 +451,22 @@ class TxLogTable:
         inserted/updated rows. (Read-path evolution was already
         null-filling across batches; the plain unionByName here
         rejected evolved sources with NUM_COLUMNS_MISMATCH.)"""
-        self._enforce(source)
         target = self.read(spark)
+        # ADVICE r10: enforce CHECKs against what will actually land —
+        # a narrow source null-fills missing target columns, and SQL
+        # CHECK semantics pass on NULL; enforcing the raw source would
+        # instead raise an unresolved-column AnalysisException for any
+        # constraint referencing a column the source lacks.
+        filled = source
+        for fld in target.schema.fields:
+            if fld.name not in source.columns:
+                filled = filled.withColumn(
+                    fld.name, F.lit(None).cast(fld.dataType)
+                )
+        self._enforce(filled)
         keys = source.select(key).distinct()
         kept = target.join(F.broadcast(keys), key, "left_anti")
-        merged = kept.unionByName(source, allowMissingColumns=True)
+        merged = kept.unionByName(filled, allowMissingColumns=True)
         prev = self.live_files()
         lv = self.latest_version()
         v = 0 if lv is None else lv + 1

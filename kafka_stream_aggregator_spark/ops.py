@@ -802,19 +802,31 @@ def isotonic_fit(
 
     Input columns: group_cols + [x_col, y_sum_col (sum of y per x),
     w_col (count/weight per x)]. Output: group_cols + x, iso_fit
-    (the fitted weighted mean per x, as double).
+    (the fitted weighted mean per x, as double). Weights must be
+    strictly positive (a zero-weight cell has no defined isotonic
+    mean); the fit raises ValueError inside the worker otherwise
+    rather than silently emitting NaN/inf.
     """
     import pandas as pd
 
+    # Output types for the group/x columns mirror the INPUT schema
+    # (ADVICE r10: hard-coded 'string'/'bigint' silently cast or broke
+    # non-string group keys and non-integer x).
+    in_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_fields = ", ".join(
-        [f"{c} string" for c in group_cols]
-        + [f"{x_col} bigint", "iso_fit double"]
+        [f"{c} {in_type[c]}" for c in group_cols]
+        + [f"{x_col} {in_type[x_col]}", "iso_fit double"]
     )
 
     def pava(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(x_col)
         s = pdf[y_sum_col].to_numpy(dtype="float64")
         w = pdf[w_col].to_numpy(dtype="float64")
+        if (w <= 0).any():
+            raise ValueError(
+                f"isotonic_fit: non-positive weight in {w_col} "
+                f"(weights must be > 0)"
+            )
         # blocks as (total, weight, count-of-cells); merge while the
         # last block's mean exceeds the incoming one
         totals: list[float] = []

@@ -146,7 +146,12 @@ def _source_fingerprint(path: str) -> tuple:
     both cases; size catches same-mtime rewrites)."""
     if os.path.isdir(path):
         items = []
-        for root, _, files in os.walk(path):
+        # dirs.sort() pins os.walk's otherwise-unspecified traversal
+        # order so identical on-disk state always yields an identical
+        # cache key (ADVICE r10: unordered walks caused spurious
+        # plan-cache misses on multi-level parquet directories).
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
             for f in sorted(files):
                 p = os.path.join(root, f)
                 st = os.stat(p)

@@ -132,7 +132,7 @@ def stat_cochran_q(spark, sf_dir):
       FROM sn GROUP BY n_name
     )
     SELECT n_name, n AS n_suppliers,
-           round(1 - round(exp(slnx / n), 6) / (sx / n), 6)
+           round(greatest(0, 1 - round(exp(slnx / n), 6) / (sx / n)), 6)
              AS atkinson_1
     FROM g WHERE n > 0 AND sx > 0
     """,
@@ -175,13 +175,23 @@ def agg_atkinson_index(spark, sf_dir):
     # the final 6-dp round. Quantize the geometric mean at 6 dp on
     # BOTH engines (250x margin: ulp 2e-9 << 5e-7 half-grain) before
     # the ratio — the ml_poisson_irls precedent (ROUND9_AUDIT_r08.md).
+    # Negative-zero hardening (driver r8+r10 hash-FAIL, VERDICT r10
+    # item 1): the 6-dp-quantized geometric mean can exceed the
+    # arithmetic mean by ~1e-10, making the pre-round value tiny
+    # negative; Spark round(-eps, 6) emits +0.0 (BigDecimal has no
+    # -0) while DuckDB emits -0.0, and the driver's typed hash is
+    # sign-aware. Atkinson(1) >= 0 by definition, so clamping with
+    # greatest(0, .) on BOTH engines is semantics, not a fudge.
     return g.filter((F.col("n") > 0) & (F.col("sx") > 0)).select(
         "n_name",
         F.col("n").alias("n_suppliers"),
         F.round(
-            1
-            - F.round(F.exp(F.col("slnx") / F.col("n")), 6)
-            / (F.col("sx") / F.col("n")),
+            F.greatest(
+                F.lit(0.0),
+                1
+                - F.round(F.exp(F.col("slnx") / F.col("n")), 6)
+                / (F.col("sx") / F.col("n")),
+            ),
             6,
         ).alias("atkinson_1"),
     )

@@ -692,3 +692,33 @@ def test_schema_evolution_on_read_and_merge(spark):
     assert got[2] == ("B2", None, None)
     assert got[4] == ("d", None, None)
     assert got[1] == ("A", 1.0, "x")  # untouched survivor keeps values
+
+
+def test_merge_narrow_source_with_constraint_on_missing_column(spark):
+    """ADVICE r10: a CHECK referencing a column the narrow source
+    lacks must pass (SQL semantics — the landed rows hold NULL, and
+    NULL satisfies CHECK), not raise an unresolved-column
+    AnalysisException; a violation on a column the source DOES carry
+    still refuses."""
+    from kafka_stream_aggregator_spark.lakehouse import (
+        ConstraintViolation,
+    )
+
+    tbl = TxLogTable(tempfile.mkdtemp(prefix="lk_nc_"))
+    tbl.append(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)],
+            "k long, v string, score double",
+        )
+    )
+    tbl.add_constraint(spark, "pos_score", "score > 0")
+    tbl.add_constraint(spark, "small_k", "k < 100")
+    # narrow source: no 'score' column at all — pos_score passes on
+    # the NULL-filled rows instead of failing analysis
+    tbl.merge(spark, _df(spark, [(2, "B"), (9, "i")]), "k")
+    got = {r["k"]: (r["v"], r["score"])
+           for r in tbl.read(spark).collect()}
+    assert got == {1: ("a", 1.0), 2: ("B", None), 9: ("i", None)}
+    # a violated constraint on a column the source carries still bites
+    with pytest.raises(ConstraintViolation):
+        tbl.merge(spark, _df(spark, [(700, "x")]), "k")

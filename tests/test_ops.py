@@ -378,3 +378,31 @@ def test_isotonic_fit_pava_equals_minimax(spark, sf_dir):
         for r in isotonic_fit(hand, ["g"], "x", "s", "w").collect()
     }
     assert got == {1: 2.0, 2: 2.0, 3: 2.0}
+
+
+def test_isotonic_fit_typed_keys_and_weight_validation(spark):
+    """ADVICE r10: group/x output types mirror the input schema (a
+    bigint group key and double x survive round-trip, no silent
+    casts), and a non-positive weight raises instead of emitting
+    NaN/inf."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from kafka_stream_aggregator_spark.ops import isotonic_fit
+
+    typed = spark.createDataFrame(
+        [(7, 0.5, 3.0, 1.0), (7, 1.5, 1.0, 1.0), (8, 0.5, 4.0, 2.0)],
+        "g bigint, x double, s double, w double",
+    )
+    out = isotonic_fit(typed, ["g"], "x", "s", "w")
+    assert dict(out.dtypes) == {
+        "g": "bigint", "x": "double", "iso_fit": "double",
+    }
+    got = {(r["g"], r["x"]): r["iso_fit"] for r in out.collect()}
+    assert got == {(7, 0.5): 2.0, (7, 1.5): 2.0, (8, 0.5): 2.0}
+
+    zero_w = spark.createDataFrame(
+        [("g", 1, 3.0, 0.0)], "g string, x long, s double, w double"
+    )
+    with pytest.raises(PythonException, match="non-positive weight"):
+        isotonic_fit(zero_w, ["g"], "x", "s", "w").collect()

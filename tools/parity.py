@@ -80,19 +80,25 @@ def type_mismatches(s_schema, o_cols, o_types):
     return bad
 
 
+def _canon_val(v):
+    # Floats become their repr AFTER the 6-dp round: Python float
+    # equality is sign-blind (-0.0 == 0.0) but the driver's typed
+    # hash is NOT — repr('-0.0') != repr('0.0') reproduces the
+    # driver's sign-aware compare (VERDICT r10 item 1: the old
+    # `-0.0 -> 0.0` mask here made this replica structurally blind
+    # to the exact class the driver red-flagged on atkinson).
+    if isinstance(v, float):
+        return repr(round(v, 6))
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon_val(x) for x in v)
+    return v
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
-                if v == -0.0:
-                    v = 0.0
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(_canon_val(r[i]) for i in order))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
     return [cols[i] for i in order], out
 
