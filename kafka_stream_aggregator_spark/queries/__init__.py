@@ -42,6 +42,7 @@ from . import (  # noqa: F401
     analytics39,
     analytics40,
     analytics41,
+    analytics42,
     aggs,
     corpus,
     corpus2,

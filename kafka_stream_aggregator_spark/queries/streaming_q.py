@@ -221,7 +221,11 @@ def stream_neardup_pairs(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
-        out.groupBy("id_a", "id_b")
+        # saturation marker rows (id_a NULL, n_suppressed set) are a
+        # scale signal, not pairs — none occur at registry scale, but
+        # the filter keeps the contract explicit
+        out.filter(F.col("id_a").isNotNull())
+        .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bands"),
             F.round(F.max("est_jaccard"), 6).alias("est_jaccard"),

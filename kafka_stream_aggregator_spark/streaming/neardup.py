@@ -103,9 +103,122 @@ _OUT_SCHEMA = T.StructType(
         T.StructField("id_b", T.LongType()),
         T.StructField("band", T.IntegerType()),
         T.StructField("est_jaccard", T.DoubleType()),
+        # NULL on pair rows; on a saturation marker row (id_a, id_b,
+        # est_jaccard all NULL) it carries the count of candidate
+        # pairs suppressed by max_pairs_per_batch for this
+        # (band, bucket) this micro-batch.
+        T.StructField("n_suppressed", T.LongType()),
     ]
 )
+_OUT_COLS = ["id_a", "id_b", "band", "est_jaccard", "n_suppressed"]
 _STATE_SCHEMA = "ids array<bigint>, sigs array<bigint>"
+
+
+def _bucket_pairs(
+    ids: list,
+    sigs: list,
+    batch: pd.DataFrame,
+    band: int,
+    n_hashes: int,
+    jaccard_threshold: float,
+    max_bucket_size: int,
+    max_pairs_per_batch: int,
+):
+    """One bucket's micro-batch: vectorized compare of the new docs
+    against the stored members and the in-batch admitted prefix,
+    bounded output. Returns (out_rows, ids, sigs) with ids/sigs
+    updated in place by admission.
+
+    Scale contract (VERDICT r10 item 2 — the sf5 wedge): work is
+    O(D * max_bucket_size * k) numpy element-compares per bucket per
+    batch (the old per-row/per-pair Python loops were ~100x slower
+    and wedged on dense-duplicate buckets), and OUTPUT is bounded by
+    ``max_pairs_per_batch``: when a hot bucket (boilerplate flood —
+    the normal input for a dedup stream) produces more candidate
+    pairs than the budget, the first ``max_pairs_per_batch`` pairs in
+    deterministic (arrival, member) order are emitted plus ONE marker
+    row (id_a/id_b/est_jaccard NULL, n_suppressed = suppressed pair
+    count) instead of expanding quadratically. Consumers route
+    saturated buckets to the batch dedup path.
+    """
+    import numpy as np
+
+    batch = batch.sort_values("__id")
+    nids = batch["__id"].to_numpy(dtype="int64")
+    nsigs = np.array(
+        [list(s) for s in batch["__sig"]], dtype="int64"
+    ).reshape(len(nids), n_hashes)
+    m0 = len(ids)
+    # admission is deterministic: exactly the first (cap - m0) docs
+    # of the id-sorted batch join the member list
+    n_admit = max(0, min(len(nids), max_bucket_size - m0))
+    member_ids = np.concatenate(
+        [np.asarray(ids, dtype="int64"), nids[:n_admit]]
+    )
+    member_sigs = np.concatenate(
+        [
+            np.asarray(sigs, dtype="int64").reshape(m0, n_hashes),
+            nsigs[:n_admit],
+        ]
+    )
+    ids.extend(int(x) for x in nids[:n_admit])
+    sigs.extend(int(x) for x in nsigs[:n_admit].ravel())
+
+    out = []
+    n_suppressed = 0
+    budget = max_pairs_per_batch
+    # chunk over arrivals: bounded memory (CHUNK x cap x k bools) and
+    # early exit once the pair budget is spent
+    chunk = 4096
+    for lo in range(0, len(nids), chunk):
+        hi = min(lo + chunk, len(nids))
+        # doc i may compare against state members + admitted batch
+        # docs with sorted-position j < i
+        n_cmp = min(m0 + hi, len(member_ids))
+        if n_cmp == 0:
+            continue
+        est = (
+            nsigs[lo:hi, None, :] == member_sigs[None, :n_cmp, :]
+        ).sum(axis=2) / float(n_hashes)
+        i_idx, j_idx = np.nonzero(est >= jaccard_threshold)
+        # visibility: member j must predate doc i (j - m0 < i), and
+        # self-rows (a doc vs its own admitted entry or an equal id)
+        # are skipped like the batch operator's a < b join
+        gi = i_idx + lo
+        keep = (j_idx < m0 + gi) & (member_ids[j_idx] != nids[gi])
+        i_idx, j_idx, gi = i_idx[keep], j_idx[keep], gi[keep]
+        if len(gi) == 0:
+            continue
+        # deterministic (arrival, member) emission order for the cap
+        order = np.lexsort((j_idx, gi))
+        gi, j_idx = gi[order], j_idx[order]
+        take = min(budget, len(gi)) if budget >= 0 else len(gi)
+        n_suppressed += len(gi) - take
+        for i, j in zip(gi[:take], j_idx[:take]):
+            a, b = int(member_ids[j]), int(nids[i])
+            if a > b:
+                a, b = b, a
+            out.append((a, b, band, float(est[i - lo, j]), None))
+        budget -= take
+        if budget <= 0 and hi < len(nids):
+            # remaining chunks: count suppressed candidates without
+            # materializing pairs
+            for lo2 in range(hi, len(nids), chunk):
+                hi2 = min(lo2 + chunk, len(nids))
+                n_cmp2 = min(m0 + hi2, len(member_ids))
+                est2 = (
+                    nsigs[lo2:hi2, None, :]
+                    == member_sigs[None, :n_cmp2, :]
+                ).sum(axis=2) / float(n_hashes)
+                i2, j2 = np.nonzero(est2 >= jaccard_threshold)
+                g2 = i2 + lo2
+                n_suppressed += int(
+                    ((j2 < m0 + g2) & (member_ids[j2] != nids[g2])).sum()
+                )
+            break
+    if n_suppressed:
+        out.append((None, None, band, None, n_suppressed))
+    return out
 
 
 def streaming_near_dup(
@@ -118,12 +231,21 @@ def streaming_near_dup(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 256,
     state_ttl_ms: int | None = None,
+    max_pairs_per_batch: int | None = 10_000,
 ) -> DataFrame:
     """Stream of candidate near-dup pairs (id_a < id_b, one row per
     shared band bucket, est_jaccard = matching-minhash fraction >=
     threshold). New docs are compared against the bucket's accumulated
     members AND against each other within the micro-batch, then added
     to state (up to ``max_bucket_size`` per bucket).
+
+    ``max_pairs_per_batch`` bounds a hot bucket's OUTPUT (VERDICT r10:
+    dense duplicates are the normal input for a dedup stream, and an
+    unbounded candidate expansion wedged the sf5 tier): past the
+    budget, one marker row (id_a/id_b/est_jaccard NULL,
+    n_suppressed = suppressed pair count) replaces the overflow —
+    graceful degradation with an explicit signal to route the bucket
+    to the batch dedup path. None = unbounded.
 
     ``state_ttl_ms`` makes the index TIME-bounded as well as
     size-bounded: a bucket idle that long is dropped wholesale
@@ -154,9 +276,7 @@ def streaming_near_dup(
     ) -> Iterable[pd.DataFrame]:
         if state_ttl_ms is not None and state.hasTimedOut:
             state.remove()
-            yield pd.DataFrame(
-                [], columns=["id_a", "id_b", "band", "est_jaccard"]
-            )
+            yield pd.DataFrame([], columns=_OUT_COLS)
             return
         band = int(key[0])
         ids: list[int]
@@ -168,33 +288,17 @@ def streaming_near_dup(
         else:
             ids, sigs = [], []
         batch = pd.concat(list(pdfs), ignore_index=True)
-        # determinism: arrival order within a micro-batch is not
-        # guaranteed; id order is
-        batch = batch.sort_values("__id")
-        out = []
-        for _, row in batch.iterrows():
-            nid = int(row["__id"])
-            nsig = [int(x) for x in row["__sig"]]
-            n_members = len(ids)
-            for j in range(n_members):
-                oid = ids[j]
-                if oid == nid:
-                    continue
-                osig = sigs[j * n_hashes : (j + 1) * n_hashes]
-                m = sum(1 for a, b in zip(nsig, osig) if a == b)
-                est = m / n_hashes
-                if est >= jaccard_threshold:
-                    a, b = (oid, nid) if oid < nid else (nid, oid)
-                    out.append((a, b, band, est))
-            if n_members < max_bucket_size:
-                ids.append(nid)
-                sigs.extend(nsig)
+        out = _bucket_pairs(
+            ids, sigs, batch, band, n_hashes, jaccard_threshold,
+            max_bucket_size,
+            max_pairs_per_batch
+            if max_pairs_per_batch is not None
+            else (1 << 62),
+        )
         state.update((ids, sigs))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
-        yield pd.DataFrame(
-            out, columns=["id_a", "id_b", "band", "est_jaccard"]
-        )
+        yield pd.DataFrame(out, columns=_OUT_COLS)
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -220,6 +324,7 @@ def streaming_near_dup_tws(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int = 256,
     state_ttl_ms: int | None = None,
+    max_pairs_per_batch: int | None = 10_000,
 ) -> DataFrame:
     """`streaming_near_dup` on the Spark 4.x state-v2 API
     (transformWithStateInPandas) with a typed MapState index:
@@ -256,7 +361,6 @@ def streaming_near_dup_tws(
         "__id",
         "__sig",
     )
-    cols = ["id_a", "id_b", "band", "est_jaccard"]
 
     class _NearDupProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -269,29 +373,30 @@ def streaming_near_dup_tws(
 
         def handleInputRows(self, key, rows, timerValues):
             band = int(key[0])
-            members: list[tuple[int, list[int]]] = []
+            ids: list[int] = []
+            sigs: list[int] = []
             if self._members.exists():
-                for (mk,), (mv,) in self._members.iterator():
-                    members.append((int(mk), list(mv)))
-                members.sort()  # map iteration order is not contractual
+                members = sorted(  # map iteration order not contractual
+                    (int(mk), list(mv))
+                    for (mk,), (mv,) in self._members.iterator()
+                )
+                for mk, mv in members:
+                    ids.append(mk)
+                    sigs.extend(mv)
+            n_before = len(ids)
             batch = pd.concat(list(rows), ignore_index=True)
-            batch = batch.sort_values("__id")
-            out = []
-            for _, row in batch.iterrows():
-                nid = int(row["__id"])
-                nsig = [int(x) for x in row["__sig"]]
-                for oid, osig in members:
-                    if oid == nid:
-                        continue
-                    m = sum(1 for a, b in zip(nsig, osig) if a == b)
-                    est = m / n_hashes
-                    if est >= jaccard_threshold:
-                        a, b = (oid, nid) if oid < nid else (nid, oid)
-                        out.append((a, b, band, est))
-                if len(members) < max_bucket_size:
-                    members.append((nid, nsig))
-                    self._members.updateValue((nid,), (nsig,))
-            yield pd.DataFrame(out, columns=cols)
+            out = _bucket_pairs(
+                ids, sigs, batch, band, n_hashes, jaccard_threshold,
+                max_bucket_size,
+                max_pairs_per_batch
+                if max_pairs_per_batch is not None
+                else (1 << 62),
+            )
+            for p in range(n_before, len(ids)):
+                self._members.updateValue(
+                    (ids[p],), (sigs[p * n_hashes:(p + 1) * n_hashes],)
+                )
+            yield pd.DataFrame(out, columns=_OUT_COLS)
 
         def close(self) -> None:
             pass

@@ -931,7 +931,7 @@ def test_streaming_near_dup_tws_plan_or_run(spark, sf_dir, tmp_path):
         stream, jaccard_threshold=0.4, state_ttl_ms=60_000
     )
     assert [f.name for f in sdf.schema.fields] == [
-        "id_a", "id_b", "band", "est_jaccard",
+        "id_a", "id_b", "band", "est_jaccard", "n_suppressed",
     ]
     try:
         import google.protobuf  # noqa: F401
@@ -972,3 +972,62 @@ def test_streaming_near_dup_tws_plan_or_run(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_near_dup_hot_bucket_bounded(spark, tmp_path):
+    """VERDICT r10 item 2 (the sf5 wedge): a dense-duplicate bucket —
+    the NORMAL input for a dedup stream — must complete in bounded
+    time and degrade explicitly. 1000 identical docs land in the same
+    8 band buckets; with max_pairs_per_batch=500 the operator emits at
+    most 500 pairs per (band, bucket) plus ONE marker row carrying the
+    suppressed-candidate count, instead of ~127k pairs per bucket."""
+    import time
+
+    from kafka_stream_aggregator_spark.streaming.neardup import (
+        streaming_near_dup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(1000)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "nd_hot")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = file_stream(spark, d, "doc_id long, text string")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    t0 = time.time()
+    try:
+        out = _run(
+            spark,
+            streaming_near_dup(
+                stream, jaccard_threshold=0.5, max_pairs_per_batch=500
+            ),
+            "s_nd_hot",
+            mode="update",
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    elapsed = time.time() - t0
+    assert elapsed < 120, f"hot bucket took {elapsed:.0f}s — not bounded"
+    pairs = [r for r in out if r["id_a"] is not None]
+    markers = [r for r in out if r["id_a"] is None]
+    # 8 bands, one bucket each: <= 500 pairs per bucket, one marker each
+    assert len(markers) == 8
+    assert all(r["n_suppressed"] > 0 for r in markers)
+    assert all(r["est_jaccard"] is None for r in markers)
+    by_band = {}
+    for r in pairs:
+        by_band[r["band"]] = by_band.get(r["band"], 0) + 1
+    assert all(v == 500 for v in by_band.values()), by_band
+    # identical docs: every emitted pair is a certain match
+    assert all(r["est_jaccard"] == 1.0 for r in pairs)
+    # conservation: emitted + suppressed = total candidate volume.
+    # cap 256 members: pairs per bucket = sum_{i<256}(i) for admitted
+    # + 256 per non-admitted arrival = 256*255/2 + 744*256
+    want_total = 256 * 255 // 2 + (1000 - 256) * 256
+    got_total = sum(by_band.values()) + sum(
+        r["n_suppressed"] for r in markers
+    )
+    assert got_total == 8 * want_total
