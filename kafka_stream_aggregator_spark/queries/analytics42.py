@@ -870,15 +870,18 @@ def ts_dfa(spark, sf_dir):
 @query(
     "emb_hard_negatives",
     # Contrastive-training hard-negative mining: for each query
-    # vector (vec_id % 97 = 0), the top-3 most-cosine-similar vectors
-    # with a DIFFERENT label. Both engines fold the dot product in
+    # vector (vec_id % 97 = 0, BOUNDED to vec_id < 5000 so the query
+    # set is constant beyond sf0.1 — an unbounded sample would make
+    # the brute-force work quadratic in corpus size, the SF5_SKIPS
+    # class-1 artifact), the top-3 most-cosine-similar vectors with a
+    # DIFFERENT label. Both engines fold the dot product in
     # array-index order (F.aggregate / list_dot_product), so the
     # scores are bit-identical and the (cos DESC, id) order agrees.
     oracle="""
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     ), q AS (
-      SELECT * FROM e WHERE vec_id % 97 = 0
+      SELECT * FROM e WHERE vec_id % 97 = 0 AND vec_id < 5000
     ), scored AS (
       SELECT q.vec_id AS q_id, q.label AS q_label,
              c.vec_id AS neg_id, c.label AS neg_label,
@@ -907,7 +910,9 @@ def emb_hard_negatives(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
-    q = e.filter(F.col("vec_id") % 97 == 0).select(
+    q = e.filter(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 5000)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("v").alias("qv"),

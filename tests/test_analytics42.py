@@ -255,7 +255,7 @@ def test_hard_negatives_matches_numpy(spark, sf_dir):
     for r in REGISTRY["emb_hard_negatives"].fn(spark, sf_dir).collect():
         got[r["q_id"]].append((r["rk"], r["neg_id"], r["cos_sim"]))
     assert got, "no query vectors sampled"
-    for qi in np.nonzero(ids % 97 == 0)[0]:
+    for qi in np.nonzero((ids % 97 == 0) & (ids < 5000))[0]:
         mask = labels != labels[qi]
         cos = (vecs[mask] @ vecs[qi]) / (norms[mask] * norms[qi])
         order = sorted(
