@@ -1031,3 +1031,78 @@ def test_streaming_near_dup_hot_bucket_bounded(spark, tmp_path):
         r["n_suppressed"] for r in markers
     )
     assert got_total == 8 * want_total
+
+
+def test_bucket_pairs_equals_bruteforce_reference():
+    """Property pin for the numpy-vectorized per-bucket kernel
+    (streaming/neardup.py _bucket_pairs): on random batches it emits
+    exactly the pairs the original per-row reference loop emits (same
+    visibility + admission semantics), and the budget cap preserves
+    pair-count conservation via the marker row."""
+    import random
+
+    import pandas as pd
+
+    from kafka_stream_aggregator_spark.streaming.neardup import (
+        _bucket_pairs,
+    )
+
+    k = 8
+    rng = random.Random(7)
+
+    def reference(ids0, sigs0, rows, cap, thr):
+        ids, sigs = list(ids0), list(sigs0)
+        out = []
+        for nid, nsig in sorted(rows):
+            m = len(ids)
+            for j in range(m):
+                if ids[j] == nid:
+                    continue
+                osig = sigs[j * k:(j + 1) * k]
+                est = sum(1 for a, b in zip(nsig, osig) if a == b) / k
+                if est >= thr:
+                    a, b = sorted((ids[j], nid))
+                    out.append((a, b, est))
+            if m < cap:
+                ids.append(nid)
+                sigs.extend(nsig)
+        return sorted(out), ids, sigs
+
+    for trial in range(25):
+        n_state = rng.randint(0, 6)
+        n_batch = rng.randint(1, 12)
+        cap = rng.randint(1, 8)
+        thr = rng.choice([0.25, 0.5, 0.75])
+        mk = lambda: [rng.randint(0, 3) for _ in range(k)]
+        state_ids = rng.sample(range(100, 200), n_state)
+        state_sigs = []
+        for _ in state_ids:
+            state_sigs.extend(mk())
+        rows = [(rng.randint(0, 99), mk()) for _ in range(n_batch)]
+        batch = pd.DataFrame(
+            {"__id": [r[0] for r in rows], "__sig": [r[1] for r in rows]}
+        )
+        want, wids, wsigs = reference(
+            state_ids, state_sigs, rows, cap, thr
+        )
+        ids, sigs = list(state_ids), list(state_sigs)
+        out = _bucket_pairs(ids, sigs, batch, 0, k, thr, cap, 1 << 62)
+        got = sorted((a, b, e) for a, b, _bd, e, _s in out)
+        assert got == want, (trial, got, want)
+        assert ids == wids and sigs == wsigs, trial
+
+        # capped run: emitted + suppressed == uncapped total, marker
+        # rows only when something was suppressed
+        ids2, sigs2 = list(state_ids), list(state_sigs)
+        budget = max(1, len(want) // 2)
+        out2 = _bucket_pairs(ids2, sigs2, batch, 0, k, thr, cap, budget)
+        pairs2 = [r for r in out2 if r[0] is not None]
+        markers = [r for r in out2 if r[0] is None]
+        assert len(pairs2) <= budget
+        suppressed = sum(r[4] for r in markers)
+        assert len(pairs2) + suppressed == len(want), trial
+        assert pairs2 == [
+            (a, b, bd, e, s)
+            for a, b, bd, e, s in out
+        ][: len(pairs2)], trial
+        assert ids2 == wids and sigs2 == wsigs, trial
