@@ -513,7 +513,11 @@ def ts_peak_detection(spark, sf_dir):
     # chain landing on a terminating-decimal round-6 tie (Spark
     # HALF_UP vs DuckDB scaled-multiply disagree exactly there — the
     # recorded r6 lesson); the driver's symmetric canonicalization
-    # does the rounding.
+    # does the rounding. The quantile POSITION literals are CAST to
+    # DOUBLE: DuckDB parses 0.9 as exact DECIMAL, making frac an
+    # exact 0.1 while Spark's double(0.9) gives 0.0999..., a 1-ulp
+    # output split that the r11 sf1 sweep caught on a half-boundary
+    # value (419651.7708975 vs ...5002).
     oracle="""
     WITH gaps AS (
       SELECT event_type,
@@ -535,21 +539,21 @@ def ts_peak_detection(spark, sf_dir):
       FROM qc
     ), sel AS (
       SELECT event_type, max(n) AS n, max(s) AS s,
-        max(CASE WHEN below <= floor(0.5 * (n - 1))
-                  AND floor(0.5 * (n - 1)) < below + c THEN gap END) AS lo5,
-        max(CASE WHEN below <= ceil(0.5 * (n - 1))
-                  AND ceil(0.5 * (n - 1)) < below + c THEN gap END) AS hi5,
-        max(CASE WHEN below <= floor(0.9 * (n - 1))
-                  AND floor(0.9 * (n - 1)) < below + c THEN gap END) AS lo9,
-        max(CASE WHEN below <= ceil(0.9 * (n - 1))
-                  AND ceil(0.9 * (n - 1)) < below + c THEN gap END) AS hi9
+        max(CASE WHEN below <= floor(CAST(0.5 AS DOUBLE) * (n - 1))
+                  AND floor(CAST(0.5 AS DOUBLE) * (n - 1)) < below + c THEN gap END) AS lo5,
+        max(CASE WHEN below <= ceil(CAST(0.5 AS DOUBLE) * (n - 1))
+                  AND ceil(CAST(0.5 AS DOUBLE) * (n - 1)) < below + c THEN gap END) AS hi5,
+        max(CASE WHEN below <= floor(CAST(0.9 AS DOUBLE) * (n - 1))
+                  AND floor(CAST(0.9 AS DOUBLE) * (n - 1)) < below + c THEN gap END) AS lo9,
+        max(CASE WHEN below <= ceil(CAST(0.9 AS DOUBLE) * (n - 1))
+                  AND ceil(CAST(0.9 AS DOUBLE) * (n - 1)) < below + c THEN gap END) AS hi9
       FROM qcum GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
            CAST(s AS DOUBLE) / n / 1e6 AS mean_gap_sec,
-           (lo5 + (0.5 * (n - 1) - floor(0.5 * (n - 1)))
+           (lo5 + (CAST(0.5 AS DOUBLE) * (n - 1) - floor(CAST(0.5 AS DOUBLE) * (n - 1)))
                   * (hi5 - lo5)) / 1e6 AS p50_gap_sec,
-           (lo9 + (0.9 * (n - 1) - floor(0.9 * (n - 1)))
+           (lo9 + (CAST(0.9 AS DOUBLE) * (n - 1) - floor(CAST(0.9 AS DOUBLE) * (n - 1)))
                   * (hi9 - lo9)) / 1e6 AS p90_gap_sec
     FROM sel
     """,

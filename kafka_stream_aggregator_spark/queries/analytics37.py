@@ -255,15 +255,15 @@ def stat_engle_granger(spark, sf_dir):
       FROM m WHERE n > 3
     )
     SELECT CAST(n AS BIGINT) AS n_days,
-           round(d0 / d, 6) AS c0,
-           round(d1 / d, 6) AS c1,
-           round(d2 / d, 6) AS c2,
+           round(d0 / d, 6) + 0.0 AS c0,
+           round(d1 / d, 6) + 0.0 AS c1,
+           round(d2 / d, 6) + 0.0 AS c2,
            round(CASE WHEN d2 / d < 0
                       AND (d1 / d) * (d1 / d)
                           - 4 * (d2 / d) * (d0 / d) >= 0
                  THEN (-(d1 / d) - sqrt((d1 / d) * (d1 / d)
                        - 4 * (d2 / d) * (d0 / d))) / (2 * (d2 / d))
-                 END, 6) AS m_implied
+                 END, 6) + 0.0 AS m_implied
     FROM r WHERE d <> 0
     """,
 )
@@ -337,17 +337,23 @@ def events_bass_diffusion(spark, sf_dir):
     c1 = F.col("d1") / F.col("d")
     c2 = F.col("d2") / F.col("d")
     disc = c1 * c1 - 4 * c2 * c0
+    # + 0.0 post-round: signed coefficients can round to zero from
+    # below, where DuckDB emits -0.0 and Spark +0.0 (the r11 sf1
+    # sweep caught c2 doing exactly this; ROUND11_AUDIT_negzero.md).
     return r.filter(F.col("d") != 0).select(
         F.col("n").cast("bigint").alias("n_days"),
-        F.round(c0, 6).alias("c0"),
-        F.round(c1, 6).alias("c1"),
-        F.round(c2, 6).alias("c2"),
-        F.round(
-            F.when(
-                (c2 < 0) & (disc >= 0),
-                (-c1 - F.sqrt(disc)) / (2 * c2),
-            ),
-            6,
+        (F.round(c0, 6) + 0.0).alias("c0"),
+        (F.round(c1, 6) + 0.0).alias("c1"),
+        (F.round(c2, 6) + 0.0).alias("c2"),
+        (
+            F.round(
+                F.when(
+                    (c2 < 0) & (disc >= 0),
+                    (-c1 - F.sqrt(disc)) / (2 * c2),
+                ),
+                6,
+            )
+            + 0.0
         ).alias("m_implied"),
     )
 
