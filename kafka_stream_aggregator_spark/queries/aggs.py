@@ -417,67 +417,6 @@ def agg_percentiles(spark, sf_dir):
     )
 
 
-# quantile_cont boundary selectors shared by both tiers below: a value
-# (or bucket) row covers rank r iff below <= r < below + cnt.
-_PCT_SQL = """
-WITH qc AS (
-  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v, count(*) AS c
-  FROM {li} WHERE l_quantity IS NOT NULL GROUP BY 1, 2
-), qcum AS (
-  SELECT l_returnflag, v, c,
-         sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS below,
-         sum(c) OVER (PARTITION BY l_returnflag) AS n
-  FROM qc
-), qres AS (
-  SELECT l_returnflag,
-         max(n) AS n_g,
-         max(CASE WHEN below <= floor(0.5 * (n - 1)) AND floor(0.5 * (n - 1)) < below + c THEN v END) AS lo0,
-         max(CASE WHEN below <= ceil(0.5 * (n - 1))  AND ceil(0.5 * (n - 1))  < below + c THEN v END) AS hi0,
-         max(CASE WHEN below <= floor(0.9 * (n - 1)) AND floor(0.9 * (n - 1)) < below + c THEN v END) AS lo1,
-         max(CASE WHEN below <= ceil(0.9 * (n - 1))  AND ceil(0.9 * (n - 1))  < below + c THEN v END) AS hi1
-  FROM qcum GROUP BY l_returnflag
-), q2 AS (
-  SELECT l_returnflag,
-         round(lo0 + (0.5 * (n_g - 1) - floor(0.5 * (n_g - 1))) * (hi0 - lo0), 6) AS p50_qty,
-         round(lo1 + (0.9 * (n_g - 1) - floor(0.9 * (n_g - 1))) * (hi1 - lo1), 6) AS p90_qty
-  FROM qres
-), pb AS (
-  SELECT l_returnflag, CAST(floor(CAST(l_extendedprice AS DOUBLE) / 64) AS BIGINT) AS b,
-         count(*) AS bn
-  FROM {li} WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
-), pcum AS (
-  SELECT l_returnflag, b, bn,
-         sum(bn) OVER (PARTITION BY l_returnflag ORDER BY b
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bn AS below,
-         sum(bn) OVER (PARTITION BY l_returnflag) AS n
-  FROM pb
-), hot AS (
-  SELECT l_returnflag, b, below, n FROM pcum
-  WHERE (below <= floor(0.5 * (n - 1)) AND floor(0.5 * (n - 1)) < below + bn)
-     OR (below <= ceil(0.5 * (n - 1))  AND ceil(0.5 * (n - 1))  < below + bn)
-), pranked AS (
-  SELECT /*+ BROADCAST(h) */ s.l_returnflag, s.v, h.n,
-         h.below + row_number() OVER (PARTITION BY s.l_returnflag, s.b ORDER BY s.v) - 1 AS rn
-  FROM (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
-               CAST(floor(CAST(l_extendedprice AS DOUBLE) / 64) AS BIGINT) AS b
-        FROM {li} WHERE l_extendedprice IS NOT NULL) s
-  JOIN hot h ON s.l_returnflag = h.l_returnflag AND s.b = h.b
-), pres AS (
-  SELECT l_returnflag, max(n) AS n_g,
-         max(CASE WHEN rn = floor(0.5 * (n - 1)) THEN v END) AS lo,
-         max(CASE WHEN rn = ceil(0.5 * (n - 1))  THEN v END) AS hi
-  FROM pranked GROUP BY l_returnflag
-), p2 AS (
-  SELECT l_returnflag,
-         round(lo + (0.5 * (n_g - 1) - floor(0.5 * (n_g - 1))) * (hi - lo), 6) AS med_price
-  FROM pres
-)
-SELECT q2.l_returnflag, p50_qty, p90_qty, med_price
-FROM q2 JOIN p2 ON q2.l_returnflag = p2.l_returnflag
-"""
-
-
 @query("agg_percentiles_approx", oracle=None)
 def agg_percentiles_approx(spark, sf_dir):
     """The 100 TB path for agg_percentiles (docs/SCALING.md): GK-sketch

@@ -168,7 +168,10 @@ def agg_phi_frequent(spark, sf_dir):
     "stat_wilson_ci",
     # Wilson 95% score interval for each event type's "high-value"
     # proportion (value > 250): exact integer successes/trials, one
-    # closed-form chain with z = 1.96 shared literally.
+    # closed-form chain with z = 1.96 shared literally (CAST to
+    # DOUBLE oracle-side: DuckDB types bare decimal literals as
+    # exact DECIMAL, which would run different algebra than Spark's
+    # double chain — the r11 literal-typing rule).
     oracle="""
     WITH c AS (
       SELECT event_type,
@@ -178,16 +181,16 @@ def agg_phi_frequent(spark, sf_dir):
     )
     SELECT event_type, n, s,
            round(CAST(s AS DOUBLE) / n, 6) AS p_hat,
-           round((CAST(s AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
-                  - 1.96 * sqrt((CAST(s AS DOUBLE) / n)
+           round((CAST(s AS DOUBLE) / n + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2 * n)
+                  - CAST(1.96 AS DOUBLE) * sqrt((CAST(s AS DOUBLE) / n)
                                 * (1 - CAST(s AS DOUBLE) / n) / n
-                                + 1.96 * 1.96 / (4.0 * n * n)))
-                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
-           round((CAST(s AS DOUBLE) / n + 1.96 * 1.96 / (2 * n)
-                  + 1.96 * sqrt((CAST(s AS DOUBLE) / n)
+                                + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * n * n)))
+                 / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n), 6) AS wilson_lo,
+           round((CAST(s AS DOUBLE) / n + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (2 * n)
+                  + CAST(1.96 AS DOUBLE) * sqrt((CAST(s AS DOUBLE) / n)
                                 * (1 - CAST(s AS DOUBLE) / n) / n
-                                + 1.96 * 1.96 / (4.0 * n * n)))
-                 / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+                                + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / (4.0 * n * n)))
+                 / (1 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) / n), 6) AS wilson_hi
     FROM c WHERE n > 0
     """,
 )
