@@ -42,7 +42,6 @@ from . import (  # noqa: F401
     analytics39,
     analytics40,
     analytics41,
-    analytics42,
     aggs,
     corpus,
     corpus2,
@@ -88,6 +87,10 @@ from . import (  # noqa: F401
     tpch4,
     udf_io,
     windows,
+    # wave 55 imports LAST: bucket-1 window ordering drains
+    # never-verdicted queries in REGISTRATION (= import) order, and
+    # a new wave must not jump the older backlog (VERDICT r10 item 3)
+    analytics42,
 )
 from .base import REGISTRY, QuerySpec
 
