@@ -263,6 +263,7 @@ def stat_hodges_lehmann(spark, sf_dir):
                                         * (s1 / 2.0 / n)))
                  + 0.0, 6) AS z
     FROM sums CROSS JOIN tot
+    WHERE n > 0
     """,
 )
 def stat_ansari_bradley(spark, sf_dir):
@@ -750,7 +751,8 @@ def events_aalen_johansen(spark, sf_dir):
       FROM boxed
     ), coefs AS (
       SELECT bs, hn, nk, tt, sp, stp,
-             (bs * stp - (bs * (bs + 1) / 2) * sp)
+             (bs * CAST(stp AS DOUBLE)
+                - (bs * (bs + 1) / 2) * CAST(sp AS DOUBLE))
                / (CAST(bs AS DOUBLE)
                     * (bs * (bs + 1) * (2 * bs + 1) / 6)
                   - CAST(bs * (bs + 1) / 2 AS DOUBLE)
@@ -835,7 +837,11 @@ def ts_dfa(spark, sf_dir):
     st = bs * (bs + 1) / 2  # integer: bs even
     stt = bs * (bs + 1) * (2 * bs + 1) / 6
     denom = bs.cast("double") * stt - st.cast("double") * st
-    b = (bs * F.col("stp") - st * F.col("sp")) / denom
+    # stp/sp go to DOUBLE before the bs* multiply: nk ~ hn * total_cents
+    # puts bs*stp near int64 range at extreme tiers, where DuckDB errors
+    # and Spark wraps silently (r11 ADVICE). The quotient is consumed as
+    # double anyway, and IEEE multiply is bit-identical on both engines.
+    b = (bs * F.col("stp").cast("double") - st * F.col("sp").cast("double")) / denom
     a = (F.col("sp") - b * st) / bs
     r = F.col("nk") - a - b * F.col("tt")
     resid = bsum.select(

@@ -1053,7 +1053,14 @@ def test_bucket_pairs_equals_bruteforce_reference():
     def reference(ids0, sigs0, rows, cap, thr):
         ids, sigs = list(ids0), list(sigs0)
         out = []
-        for nid, nsig in sorted(rows):
+        # Sort by id with ARRIVAL-ORDER tiebreak among duplicate ids —
+        # the same ordering as _bucket_pairs' pandas stable sort on
+        # __id; sorting by (id, sig) could legitimately disagree with
+        # the kernel when duplicate ids straddle the admission cap
+        # (r11 ADVICE).
+        for nid, nsig in (
+            r for _, r in sorted(enumerate(rows), key=lambda t: (t[1][0], t[0]))
+        ):
             m = len(ids)
             for j in range(m):
                 if ids[j] == nid:
