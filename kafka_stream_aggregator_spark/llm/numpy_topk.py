@@ -95,6 +95,110 @@ def numpy_topk(
     )
 
 
+def hard_negatives_numpy(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Arrow-batched numpy tier for contrastive hard-negative mining —
+    the measured twin of the oracle-exact HOF tier (VERDICT r11 item 4,
+    mirroring numpy_topk/ivf_numpy_topk).
+
+    Same semantics as queries/analytics42.py emb_hard_negatives: for
+    each query vector, the top-k most-cosine-similar candidates with a
+    DIFFERENT label, ranked (cos DESC, neg_id ASC). The difference is
+    WHERE the arithmetic runs: the bounded query set is collected
+    driver-side (Q x dim doubles — the identical footprint the HOF
+    tier broadcasts), and each Arrow batch of candidates does ONE
+    (B x dim) @ (dim x Q) matmul instead of per-pair interpreted
+    aggregate() folds. Per-batch output is bounded by Q*k rows, then a
+    global per-query window reduces — the only shuffle.
+
+    Value parity with the HOF tier holds to float-sum order only
+    (numpy pairwise summation vs left-to-right fold), so top-k SET
+    equality per query is pinned in tests (tests/test_numpy_topk.py)
+    and the registry row is oracle=None by design.
+
+    queries: (q_id long, q_label long, q_vec array<double>), SMALL.
+    candidates: (c_id long, c_label long, c_vec array<double>).
+    Returns (q_id, rk, neg_id, q_label, neg_label, cos_sim) matching
+    the HOF tier's column names.
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    q_rows = queries.collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [],
+            "q_id long, rk long, neg_id long, q_label long,"
+            " neg_label long, cos_sim double",
+        )
+    q_ids = np.array([r["q_id"] for r in q_rows], dtype="int64")
+    q_labels = [r["q_label"] for r in q_rows]
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype="float64")
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    bq = spark.sparkContext.broadcast((q_ids, q_labels, q_mat, q_norm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, labels, mat, qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["c_id"].to_numpy(dtype="int64")
+            c_labels = pdf["c_label"].to_numpy()
+            c_mat = np.stack(pdf["c_vec"].to_numpy()).astype(
+                "float64", copy=False
+            )
+            cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ mat.T) / (cn[:, None] * qn[None, :])
+            out_q, out_c, out_s, out_ql, out_cl = [], [], [], [], []
+            for j in range(len(ids)):
+                mask = c_labels != labels[j]
+                cc, ss, cl = c_ids[mask], sims[mask, j], c_labels[mask]
+                if len(cc) == 0:
+                    continue
+                top = min(len(cc), k)
+                order = sorted(
+                    range(len(cc)), key=lambda i: (-ss[i], cc[i])
+                )[:top]
+                out_q.extend([ids[j]] * top)
+                out_ql.extend([labels[j]] * top)
+                out_c.extend(cc[i] for i in order)
+                out_cl.extend(cl[i] for i in order)
+                out_s.extend(ss[i] for i in order)
+            yield pd.DataFrame(
+                {
+                    "q_id": out_q,
+                    "q_label": out_ql,
+                    "neg_id": out_c,
+                    "neg_label": out_cl,
+                    "cos": out_s,
+                }
+            )
+
+    scored = candidates.mapInPandas(
+        score,
+        "q_id long, q_label long, neg_id long, neg_label long,"
+        " cos double",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            "rk",
+            "neg_id",
+            "q_label",
+            "neg_label",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def ivf_numpy_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -87,10 +87,11 @@ from . import (  # noqa: F401
     tpch4,
     udf_io,
     windows,
-    # wave 55 imports LAST: bucket-1 window ordering drains
+    # wave 55/56 import LAST: bucket-1 window ordering drains
     # never-verdicted queries in REGISTRATION (= import) order, and
     # a new wave must not jump the older backlog (VERDICT r10 item 3)
     analytics42,
+    analytics43,
 )
 from .base import REGISTRY, QuerySpec
 

@@ -397,7 +397,7 @@ def stat_grubbs_max(spark, sf_dir):
       FROM q
     )
     SELECT event_type, n AS n_hours,
-           round(slope, 6) AS slope,
+           round(slope, 6) + 0.0 AS slope,
            round(CAST(sum(d * d) AS DOUBLE)
                  / CAST(sum(qe * qe) AS DOUBLE), 6) AS dw
     FROM dq GROUP BY event_type, n, slope
@@ -475,7 +475,11 @@ def stat_durbin_watson(spark, sf_dir):
     ).select(
         "event_type",
         F.col("n").alias("n_hours"),
-        F.round("slope", 6).alias("slope"),
+        # + 0.0 post-round: the detrend slope is signed and can round
+        # to zero from below — DuckDB keeps −0.0 where Spark's
+        # BigDecimal round yields +0.0 (caught by the sign-aware r12
+        # sf5 sweep; the r11 events_bass_diffusion class)
+        (F.round("slope", 6) + 0.0).alias("slope"),
         "dw",
     )
 
