@@ -564,8 +564,11 @@ def stat_mantel_haenszel(spark, sf_dir):
     # 1, 2, 4 hours: avar(tau) = sum_i (S_{i+tau} - S_i)^2 /
     # (2 tau^2 M) over the M = N - 2 tau + 1 full overlapping
     # windows, where S_i is the tau-hour rolling cents sum (BIGINT).
-    # The squared diff is computed in DOUBLE (d^2 exceeds int64) and
-    # quantized to DECIMAL pre-sum; the closing ratio is one IEEE
+    # The squared diff is computed in DOUBLE in DOLLARS (d/100 before
+    # squaring: in cents^2 the sf5 avar is ~4e9, where round(x,6)
+    # needs 16 significant digits and the engines' rounding split on
+    # the 16th — the M*8.9e-16 rule caught live by the r12 sf5 sweep)
+    # and quantized to DECIMAL pre-sum; the closing ratio is one IEEE
     # chain. Calendar-bounded series: N is hours, not rows, so the
     # window stages cost O(hours) at any data scale.
     oracle="""
@@ -604,7 +607,8 @@ def stat_mantel_haenszel(spark, sf_dir):
       WINDOW w AS (PARTITION BY tau ORDER BY k)
     ), valid AS (
       SELECT tau,
-             CAST(round(CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE), 6)
+             CAST(round((CAST(dd AS DOUBLE) / 100.0)
+                        * (CAST(dd AS DOUBLE) / 100.0), 6)
                   AS DECIMAL(38,6)) AS d2
       FROM diffs WHERE k + 2 * tau - 1 <= n
     ), agg AS (
@@ -650,13 +654,12 @@ def ts_allan_variance(spark, sf_dir):
         )
         branches.append(b)
     diffs = branches[0].unionAll(branches[1]).unionAll(branches[2])
+    dd_usd = F.col("dd").cast("double") / 100.0
     valid = diffs.filter(
         F.col("k") + 2 * F.col("tau") - 1 <= F.col("n")
     ).select(
         "tau",
-        F.round(F.col("dd").cast("double") * F.col("dd").cast("double"), 6)
-        .cast("decimal(38,6)")
-        .alias("d2"),
+        F.round(dd_usd * dd_usd, 6).cast("decimal(38,6)").alias("d2"),
     )
     agg = valid.groupBy("tau").agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),

@@ -191,9 +191,11 @@ def test_allan_variance_replay(spark, sf_dir):
             spans[i + tau] - spans[i] for i in range(n - 2 * tau + 1)
         ]
         m = len(dd)
-        avar = sum(round(float(d) * float(d), 6) for d in dd) / (
-            2.0 * tau * tau * m
-        )
+        # dollars, not cents: at sf5 the cents^2 avar (~4e9) exceeds
+        # the round-6 representable magnitude (r12 sf5 sweep catch)
+        avar = sum(
+            round((float(d) / 100.0) * (float(d) / 100.0), 6) for d in dd
+        ) / (2.0 * tau * tau * m)
         r = rows[tau]
         assert r["m_windows"] == m
         assert abs(r["avar"] - avar) < max(1e-6, abs(avar) * 1e-9)
