@@ -124,6 +124,17 @@ def windowed_ewma_closed_form(
     fold), but it is not bit-identical; windowed_ewma remains the
     reference-semantics canonical. Use this variant for batch throughput
     on wide windows.
+
+    Round-12 optimization (guide §2.4 — remove passes sharing one
+    exchange): the exponent n - rn (rows AFTER this one in window
+    order) is exactly rev_rn - 1 where rev_rn ranks the REVERSED total
+    order, so one row_number over the descending order replaces the
+    count(*) window + ascending row_number pair — one Sort + one
+    Window node instead of two of each, same single Exchange. Exact:
+    order_cols end in a unique tiebreak (ts, event_id), so the
+    descending rank is the exact mirror; the per-row term is
+    bit-identical. Plan diff pinned in plans/r12/ewma_5min_{before,
+    after}.txt; parity re-verified at sf0.001/sf0.01/sf1.
     """
     alpha = ewma_alpha(period_minutes)
     lam = 1.0 - alpha
@@ -133,9 +144,14 @@ def windowed_ewma_closed_form(
     wstart = (F.floor(F.unix_timestamp(F.col(ts_col)) / secs) * secs).cast("long")
     base = df.withColumn("window_start", wstart)
     part = W.partitionBy(*group_cols, "window_start")
-    rn = F.row_number().over(part.orderBy(*order_cols))
-    n = F.count(F.lit(1)).over(part)
-    term = F.lit(alpha) * F.pow(F.lit(lam), (n - rn).cast("double")) * F.col(value_col)
+    rev_rn = F.row_number().over(
+        part.orderBy(*[F.col(c).desc() for c in order_cols])
+    )
+    term = (
+        F.lit(alpha)
+        * F.pow(F.lit(lam), (rev_rn - 1).cast("double"))
+        * F.col(value_col)
+    )
     out = (
         base.withColumn("__term", term)
         .groupBy(*group_cols, "window_start")

@@ -85,25 +85,28 @@ def join_inner_large(spark, sf_dir):
     # The final regroup on (status, year) is a rollup of partials —
     # count -> sum, sum -> sum. Same result, strictly less shuffle I/O;
     # this is the shape that survives 100x data.
+    # Round-12: SQL-string construction (one JVM parse instead of ~0.1 s
+    # of py4j Column building — tools/bench_decompose.py; guide §1).
+    # Identical plan and identical cents-exact arithmetic.
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    per_order = l.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(
-            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-            * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
-        ).alias("__rev"),
-    )
-    return (
-        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderstatus", F.year("o_orderdate").alias("order_year"))
-        .agg(
-            F.sum("__n").alias("n_lines"),
-            (
-                F.sum(F.col("__rev").cast("decimal(38,0)")).cast("double")
-                / 10000
-            ).alias("revenue"),
+    return spark.sql(
+        """
+        WITH per_order AS (
+          SELECT l_orderkey, count(*) AS __n,
+                 sum(floor(l_extendedprice * 100 + 0.5)
+                     * (100 - floor(l_discount * 100 + 0.5))) AS __rev
+          FROM {l} GROUP BY l_orderkey
         )
+        SELECT o_orderstatus, year(o_orderdate) AS order_year,
+               sum(__n) AS n_lines,
+               CAST(sum(CAST(__rev AS DECIMAL(38,0))) AS DOUBLE) / 10000
+                 AS revenue
+        FROM per_order JOIN {o} o ON l_orderkey = o.o_orderkey
+        GROUP BY o_orderstatus, year(o_orderdate)
+        """,
+        l=l,
+        o=o,
     )
 
 
@@ -306,32 +309,43 @@ def join_range_theta(spark, sf_dir):
     """,
 )
 def join_asof(spark, sf_dir):
-    from ..ops import asof_join
-
+    # Round-12: the ops.asof_join helper stays the generic engine
+    # surface (dtypes introspection + per-column py4j builders cost a
+    # measured ~0.22 s of plan construction per call —
+    # tools/bench_decompose.py); this bench query is its exact inlined
+    # SQL twin for the fixed purchase/click shape: same union + one
+    # (user_id) shuffle + last(ignorenulls) running window, same
+    # (ts, side, tiebreak) ordering with right rows before left at
+    # equal timestamps and NULL-tie lefts first. Parity re-verified at
+    # sf0.001/sf0.01/sf1.
     e = t(spark, sf_dir, "events")
-    left = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    right = e.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("r_user_id"),
-        F.col("ts").alias("r_ts"),
-        F.col("event_id").alias("r_event_id"),
-        F.col("value").alias("r_value"),
-    )
-    joined = asof_join(
-        left,
-        right,
-        left_on="ts",
-        right_on="r_ts",
-        left_by="user_id",
-        right_by="r_user_id",
-        right_tiebreak="r_event_id",
-        value_cols=["r_value"],
-    )
-    return joined.select(
-        "event_id",
-        F.when(F.col("r_value").isNotNull(), 1.0).otherwise(0.0).alias("has_click"),
-        F.round(F.coalesce("r_value", F.lit(-1.0)), 6).alias("last_click_value"),
+    return spark.sql(
+        """
+        WITH u AS (
+          SELECT user_id AS __by, ts AS __on, 1 AS __side,
+                 CAST(NULL AS BIGINT) AS __tie,
+                 CAST(NULL AS DOUBLE) AS r_value,
+                 event_id
+          FROM {e} WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, 0, event_id, value, CAST(NULL AS BIGINT)
+          FROM {e} WHERE event_type = 'click'
+        ), f AS (
+          SELECT event_id, __side,
+                 last(r_value, true) OVER (
+                   PARTITION BY __by
+                   ORDER BY __on, __side, __tie ASC NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS r_value
+          FROM u
+        )
+        SELECT event_id,
+               CASE WHEN r_value IS NOT NULL THEN 1.0D ELSE 0.0D END
+                 AS has_click,
+               round(coalesce(r_value, -1.0D), 6) AS last_click_value
+        FROM f WHERE __side = 1
+        """,
+        e=e,
     )
 
 

@@ -64,18 +64,36 @@ def doc_exact_dedup(spark, sf_dir):
     """,
 )
 def doc_token_stats(spark, sf_dir):
+    # Round-12: exact inlined SQL twin of llm.text.token_stats for this
+    # fixed shape (the struct helper stays the generic surface): ~0.14 s
+    # of py4j Column building per call replaced by one JVM parse
+    # (tools/bench_decompose.py; guide §1). Same single-scan plan.
     # spread the single-file corpus across cores before the regex work
     d = t(spark, sf_dir, "documents")
     d = d.repartition(data_sized_partitions(d))
-    s = token_stats(F.col("text"))
-    return d.select(
-        "doc_id",
-        s["n_chars"].alias("n_chars_measured"),
-        s["n_tokens"].alias("n_tokens"),
-        s["n_uniq_tokens"].alias("n_uniq_tokens"),
-        F.round(s["mean_token_len"], 6).alias("mean_token_len"),
-        F.round(s["punct_ratio"], 6).alias("punct_ratio"),
-        s["bpe_tokens"].alias("bpe_tokens"),
+    return spark.sql(
+        """
+        WITH tk AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 regexp_extract_all(lower(text), '\\\\S+', 0) AS toks,
+                 size(regexp_extract_all(text, '[^\\\\w\\\\s]', 0)) AS n_punct,
+                 size(regexp_extract_all(text,
+                      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS bpe_tokens
+          FROM {d}
+        )
+        SELECT doc_id,
+               n_chars AS n_chars_measured,
+               size(toks) AS n_tokens,
+               size(array_distinct(toks)) AS n_uniq_tokens,
+               round(aggregate(transform(toks, x -> CAST(length(x) AS DOUBLE)),
+                               0.0D, (a, x) -> a + x)
+                     / greatest(size(toks), 1), 6) AS mean_token_len,
+               round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+               bpe_tokens
+        FROM tk
+        """,
+        d=d,
     )
 
 
@@ -217,49 +235,53 @@ def doc_fingerprint_groups(spark, sf_dir):
     """,
 )
 def ngram_jaccard_pairs(spark, sf_dir):
+    # Round-12 shape (guide §2.4/§2.3). The r11 form joined a separate
+    # per-doc `sizes` aggregate onto the pair counts, so the plan held
+    # FOUR scan+explode subtrees (a side, b side, size-a, size-b), two
+    # extra agg Exchanges and two extra broadcast joins. Since the
+    # shingle array already exists pre-explode, its size() IS n_sh —
+    # carrying it through the explode (2 extra ints per row into the
+    # candidate join, which min() collapses per pair) deletes the size
+    # subtrees outright: 10 Exchanges -> 5, 4 parquet scans -> 2, and
+    # one groupBy instead of three (plans/r12/ngram_jaccard_pairs_*).
+    # Built as ONE spark.sql statement: the Column-object original cost
+    # a measured 0.28 s of py4j plan construction per call (bench_
+    # decompose) — the same plan parses in one JVM round trip (the
+    # minhash_near_dup lesson). Join stays on 8-byte xxhash64 shingle
+    # hashes, not strings: same jaccard (collision odds ~n^2/2^64),
+    # ~10x smaller shuffle for the self-join. Parity re-verified at
+    # sf0.001/sf0.01/sf1.
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 120)
         .repartition(data_sized_partitions(t(spark, sf_dir, "documents")))
     )
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    shingles = F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 2),
-                lambda i: F.array_join(F.slice(toks, i, 3), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # join on 8-byte shingle hashes, not strings: same jaccard (collision
-    # odds ~n^2/2^64), ~10x smaller shuffle for the self-join
-    sh = d.select("doc_id", "lang", F.explode(shingles).alias("s")).select(
-        "doc_id", "lang", F.xxhash64("s").alias("sh")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"), F.col("sh").alias("sh_a")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"), F.col("sh").alias("sh_b")
-    )
-    inter = (
-        a.join(
-            b,
-            (a.sh_a == b.sh_b) & (a.lang_a == b.lang_b) & (a.id_a < b.id_b),
+    return spark.sql(
+        """
+        WITH dt AS (
+          SELECT doc_id, lang,
+                 CASE WHEN size(split(lower(trim(text)), '\\\\s+')) >= 3
+                      THEN array_distinct(transform(
+                             sequence(1, size(split(lower(trim(text)), '\\\\s+')) - 2),
+                             i -> array_join(slice(split(lower(trim(text)), '\\\\s+'), i, 3), ' ')))
+                      ELSE CAST(array() AS ARRAY<STRING>) END AS arr
+          FROM {d}
+        ), sh AS (
+          SELECT doc_id, lang, size(arr) AS n_sh, xxhash64(s) AS sh
+          FROM dt LATERAL VIEW explode(arr) AS s
+        ), agg AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*) AS n_inter, min(a.n_sh) AS n_a, min(b.n_sh) AS n_b
+          FROM sh a JOIN sh b
+            ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "n_a"})
-    sb = sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "n_b"})
-    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= 0.01)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        SELECT id_a, id_b,
+               round(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+        FROM agg
+        WHERE n_inter / (n_a + n_b - n_inter) >= 0.01
+        """,
+        d=d,
     )
 
 
@@ -286,15 +308,47 @@ def ngram_jaccard_pairs(spark, sf_dir):
     """,
 )
 def cos_topk_bruteforce(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
+    # Round-12: exact inlined SQL twin of llm.similarity.brute_force_topk
+    # for this fixed shape (the helper stays the generic surface): the
+    # Column/HOF builders cost a measured ~0.20 s of py4j plan
+    # construction per call (tools/bench_decompose.py; guide §1). Same
+    # plan: norms hoisted out of the O(Q*N) pair loop, query side
+    # broadcast into a nested-loop join on q_id != c_id, per-query
+    # rank-5 with WindowGroupLimit pushdown. Parity re-verified at
+    # sf0.001/sf0.01/sf1.
+    emb = t(spark, sf_dir, "embeddings")
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM {emb}
+        ), qn AS (
+          SELECT vec_id AS q_id, v AS q_vec,
+                 sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D,
+                                (acc, x) -> acc + x)) AS __qnorm
+          FROM e WHERE vec_id < 10
+        ), cn AS (
+          SELECT vec_id AS c_id, v AS c_vec,
+                 sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D,
+                                (acc, x) -> acc + x)) AS __cnorm
+          FROM e
+        ), scored AS (
+          SELECT /*+ BROADCAST(qn) */ q_id, c_id,
+                 aggregate(zip_with(q_vec, c_vec, (x, y) -> x * y), 0.0D,
+                           (acc, x) -> acc + x)
+                   / (__qnorm * __cnorm) AS cos_sim
+          FROM cn JOIN qn ON q_id != c_id
+        ), ranked AS (
+          SELECT q_id, c_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, c_id) AS rank
+          FROM scored
+        )
+        SELECT q_id, c_id, round(cos_sim, 6) AS cos_sim, rank
+        FROM ranked WHERE rank <= 5
+        """,
+        emb=emb,
     )
-    queries = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("q_vec")
-    )
-    cands = e.select(F.col("vec_id").alias("c_id"), F.col("v").alias("c_vec"))
-    out = brute_force_topk(queries, cands, k=5)
-    return out.select("q_id", "c_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
 @query(

@@ -58,33 +58,39 @@ from .base import query, t
     """,
 )
 def q1_pricing_summary(spark, sf_dir):
+    # Round-12: the Column-object builder cost a measured ~0.13 s of
+    # py4j plan construction per call (tools/bench_decompose.py); the
+    # identical plan parses in ONE JVM round trip as a SQL statement
+    # (guide §1 measurement -> the minhash_near_dup SQL-string lesson).
+    # Expressions are the exact cents-hybrid tier documented above;
+    # floor(double) already returns BIGINT in Spark SQL. Parity
+    # re-verified at sf0.001/sf0.01/sf1.
     l = t(spark, sf_dir, "lineitem")
-    pc = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-    dc = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
-    tc = F.floor(F.col("l_tax") * 100 + 0.5).cast("long")
-    dec0 = "decimal(38,0)"
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("1999-01-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            (F.sum(pc.cast(dec0)).cast("double") / 100).alias(
-                "sum_base_price"
-            ),
-            (
-                F.sum((pc * (100 - dc)).cast(dec0)).cast("double") / 10000
-            ).alias("sum_disc_price"),
-            (
-                F.sum((pc * (100 - dc) * (100 + tc)).cast(dec0)).cast(
-                    "double"
-                )
-                / 1000000
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 6) AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 100
+                 AS sum_base_price,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                             * (100 - floor(l_discount * 100 + 0.5))
+                             AS DECIMAL(38,0))) AS DOUBLE) / 10000
+                 AS sum_disc_price,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                             * (100 - floor(l_discount * 100 + 0.5))
+                             * (100 + floor(l_tax * 100 + 0.5))
+                             AS DECIMAL(38,0))) AS DOUBLE) / 1000000
+                 AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM {l}
+        WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        l=l,
     )
 
 
@@ -105,28 +111,29 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_revenue_topk(spark, sf_dir):
-    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
+    # Round-12: SQL-string construction (one JVM parse instead of ~0.15 s
+    # of py4j Column building — tools/bench_decompose.py; guide §1).
+    # Identical plan: customer broadcast after the segment filter,
+    # left-deep l⋈o⋈c, TakeOrderedAndProject for the top-10.
     l = t(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        # customer side is small after the segment filter -> broadcast
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
-        )
-        .select(
-            "o_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        )
-        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
-        .limit(10)
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(c) */ o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate
+        FROM {l} l JOIN {o} o ON l.l_orderkey = o.o_orderkey
+                   JOIN {c} c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """,
+        l=l,
+        o=o,
+        c=c,
     )
 
 
@@ -151,38 +158,40 @@ def q3_revenue_topk(spark, sf_dir):
     """,
 )
 def q5_regional_revenue(spark, sf_dir):
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
-    )
+    # Round-12: SQL-string construction (one JVM parse instead of ~0.13 s
+    # of py4j Column building — tools/bench_decompose.py; guide §1).
+    # Identical plan: same left-deep join order, dimension sides
+    # (supplier/nation/region) broadcast, cents-hybrid decimal sum.
     l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("n_name")
-        .agg(
-            (
-                F.sum(
-                    (
-                        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-                        * (
-                            100
-                            - F.floor(F.col("l_discount") * 100 + 0.5).cast(
-                                "long"
-                            )
-                        )
-                    ).cast("decimal(38,0)")
-                ).cast("double")
-                / 10000
-            ).alias("revenue")
-        )
+    r = t(spark, sf_dir, "region")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(s), BROADCAST(n), BROADCAST(r) */ n_name,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                             * (100 - floor(l_discount * 100 + 0.5))
+                             AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS revenue
+        FROM {l} l
+          JOIN {o} o ON l.l_orderkey = o.o_orderkey
+          JOIN {s} s ON l.l_suppkey = s.s_suppkey
+          JOIN {c} c ON o.o_custkey = c.c_custkey
+                    AND c.c_nationkey = s.s_nationkey
+          JOIN {n} n ON s.s_nationkey = n.n_nationkey
+          JOIN {r} r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        """,
+        l=l,
+        o=o,
+        c=c,
+        s=s,
+        n=n,
+        r=r,
     )
 
 
@@ -261,28 +270,33 @@ def q10_returned_items(spark, sf_dir):
     # ~4 lineitem rows, and the customer attributes join happens after
     # the per-customer rollup (15k rows, broadcast). Same result, ~4x
     # less shuffle I/O — the plan shape that survives 100x data.
-    c = t(spark, sf_dir, "customer")
+    # Round-12: SQL-string construction (one JVM parse instead of ~0.12 s
+    # of py4j Column building — tools/bench_decompose.py; guide §1).
+    # Identical plan: pre-agg per order, rollup per customer, broadcast
+    # customer attributes last, TakeOrderedAndProject top-20.
+    l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    rev_per_order = l.groupBy("l_orderkey").agg(
-        F.sum(
-            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
-            * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("long"))
-        ).alias("__rev")
-    )
-    per_cust = (
-        rev_per_order.join(o, rev_per_order.l_orderkey == o.o_orderkey)
-        .groupBy("o_custkey")
-        .agg(F.sum(F.col("__rev").cast("decimal(38,0)")).alias("__rev_c"))
-    )
-    return (
-        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
-        .select(
-            "c_custkey",
-            "c_name",
-            (F.col("__rev_c").cast("double") / 10000).alias("revenue"),
-            F.round("c_acctbal", 6).alias("acctbal"),
+    c = t(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 sum(floor(l_extendedprice * 100 + 0.5)
+                     * (100 - floor(l_discount * 100 + 0.5))) AS __rev
+          FROM {l} WHERE l_returnflag = 'R' GROUP BY l_orderkey
+        ), per_cust AS (
+          SELECT o_custkey, sum(CAST(__rev AS DECIMAL(38,0))) AS __rev_c
+          FROM per_order JOIN {o} o ON l_orderkey = o.o_orderkey
+          GROUP BY o_custkey
         )
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-        .limit(20)
+        SELECT /*+ BROADCAST(c) */ c_custkey, c_name,
+               CAST(__rev_c AS DOUBLE) / 10000 AS revenue,
+               round(c_acctbal, 6) AS acctbal
+        FROM per_cust JOIN {c} c ON o_custkey = c.c_custkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        l=l,
+        o=o,
+        c=c,
     )
