@@ -243,8 +243,31 @@ def ivf_numpy_topk(
     import numpy as np
 
     spark = queries.sparkSession
-    q_rows = queries.collect()
-    cent_rows = centroids.collect()
+    # Round-12 (guide §1/§5): ONE tagged-union collect instead of two —
+    # each driver collect is a full job round trip (~100 ms of
+    # scheduler/py4j latency at any data size); both relations are
+    # bounded-small by contract. array<float> inputs widen to
+    # array<double> exactly (same float64 the numpy path used).
+    from pyspark.sql import functions as F
+
+    tagged = queries.select(
+        F.lit(0).alias("__t"),
+        F.col("q_id").alias("__id"),
+        F.col("q_vec").cast("array<double>").alias("__v"),
+    ).unionByName(
+        centroids.select(
+            F.lit(1).alias("__t"),
+            F.col("cell_id").alias("__id"),
+            F.col("c_vec").cast("array<double>").alias("__v"),
+        )
+    )
+    rows = tagged.collect()
+    q_rows = [
+        {"q_id": r["__id"], "q_vec": r["__v"]} for r in rows if r["__t"] == 0
+    ]
+    cent_rows = [
+        {"cell_id": r["__id"], "c_vec": r["__v"]} for r in rows if r["__t"] == 1
+    ]
     if not q_rows or not cent_rows:
         return spark.createDataFrame(
             [], "q_id long, c_id long, cos_sim double, rank int"
