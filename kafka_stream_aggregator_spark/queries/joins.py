@@ -313,7 +313,9 @@ def join_asof(spark, sf_dir):
     # surface (dtypes introspection + per-column py4j builders cost a
     # measured ~0.22 s of plan construction per call —
     # tools/bench_decompose.py); this bench query is its exact inlined
-    # SQL twin for the fixed purchase/click shape: same union + one
+    # SQL twin for the fixed purchase/click shape: ONE events scan with
+    # CASE-projected sides replaces the helper's two-scan union (guide
+    # §2.3 — half the input I/O for identical rows), then the same one
     # (user_id) shuffle + last(ignorenulls) running window, same
     # (ts, side, tiebreak) ordering with right rows before left at
     # equal timestamps and NULL-tie lefts first. Parity re-verified at
@@ -322,14 +324,12 @@ def join_asof(spark, sf_dir):
     return spark.sql(
         """
         WITH u AS (
-          SELECT user_id AS __by, ts AS __on, 1 AS __side,
-                 CAST(NULL AS BIGINT) AS __tie,
-                 CAST(NULL AS DOUBLE) AS r_value,
-                 event_id
-          FROM {e} WHERE event_type = 'purchase'
-          UNION ALL
-          SELECT user_id, ts, 0, event_id, value, CAST(NULL AS BIGINT)
-          FROM {e} WHERE event_type = 'click'
+          SELECT user_id AS __by, ts AS __on,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS __side,
+                 CASE WHEN event_type = 'click' THEN event_id END AS __tie,
+                 CASE WHEN event_type = 'click' THEN value END AS r_value,
+                 CASE WHEN event_type = 'purchase' THEN event_id END AS event_id
+          FROM {e} WHERE event_type IN ('purchase', 'click')
         ), f AS (
           SELECT event_id, __side,
                  last(r_value, true) OVER (
