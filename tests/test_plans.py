@@ -313,3 +313,31 @@ def test_markov_single_fact_shuffle(spark, sf_dir):
     # re-window over the bounded aggregate
     assert plan.count("Exchange") <= 3
     assert "Join" not in plan
+
+
+def test_ewma_single_window_pass(spark, sf_dir):
+    """Round-12 optimization pin: the closed-form EWMA builds its
+    exponent from ONE reverse-order row_number — exactly one Window
+    (and one Sort) on one Exchange, not the old count-window +
+    ascending-rank pair."""
+    plan = _plan(REGISTRY["ewma_5min"].fn(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_ngram_jaccard_two_scans(spark, sf_dir):
+    """Round-12 optimization pin: per-doc shingle counts ride through
+    the explode, so the plan holds exactly the two self-join subtrees —
+    2 parquet scans and 1 aggregate, not the old 4-scan/3-aggregate
+    shape with separate size joins."""
+    plan = _plan(REGISTRY["ngram_jaccard_pairs"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("HashAggregate") == 2  # partial + final of ONE agg
+
+
+def test_join_asof_single_scan(spark, sf_dir):
+    """Round-12 optimization pin: the purchase/click as-of reads events
+    ONCE (CASE-projected sides), not once per side."""
+    plan = _plan(REGISTRY["join_asof"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
