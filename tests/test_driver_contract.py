@@ -14,8 +14,13 @@ import pytest
 from kafka_stream_aggregator_spark.queries import REGISTRY
 from kafka_stream_aggregator_spark.tables import load_table
 
-# time-sensitive queries: event-time windows, sessionization, as-of
-TZ_SENSITIVE = ["ewma_5min", "sessionize_gap", "join_asof", "ind_ohlc_5min"]
+# time-sensitive queries: event-time windows, sessionization, as-of;
+# round-12 adds the SQL-string conversions carrying TIMESTAMP literals
+# (parsed in session-local TZ — load_table's UTC pin must fire first)
+TZ_SENSITIVE = [
+    "ewma_5min", "sessionize_gap", "join_asof", "ind_ohlc_5min",
+    "q1_pricing_summary", "q3_revenue_topk", "q5_regional_revenue",
+]
 
 
 @pytest.fixture(scope="module")
