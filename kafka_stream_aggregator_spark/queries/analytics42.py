@@ -913,15 +913,25 @@ def emb_hard_negatives(spark, sf_dir):
     IVF-pruned mining a trainer would run at 100 TB."""
     from ..llm.similarity import as_double, dot
 
+    # Round-13 (guide §2.4/§4 — don't recompute per pair what is fixed
+    # per row): each side's norm sqrt(dot(x,x)) is hoisted OUT of the
+    # O(Q x N) scored projection into a per-row column — the candidate
+    # norm was re-folded Q times per vector and the query norm N times.
+    # Bit-identical: sqrt(dot(v,v)) is the same fold in both places and
+    # cos = dot/(nq*nv) is the same expression tree (the ml3.py knn
+    # hoist, proven bit-equal there); oracle unchanged and re-gated.
+    # sf5: 140.6 s -> see OPTIMIZATION_r13.md for the measured number.
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("v")
     )
+    e = e.withColumn("nv", F.sqrt(dot(F.col("v"), F.col("v"))))
     q = e.filter(
         (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 5000)
     ).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     scored = e.crossJoin(F.broadcast(q)).filter(
         F.col("label") != F.col("q_label")
@@ -931,11 +941,7 @@ def emb_hard_negatives(spark, sf_dir):
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
         (
-            dot(F.col("qv"), F.col("v"))
-            / (
-                F.sqrt(dot(F.col("qv"), F.col("qv")))
-                * F.sqrt(dot(F.col("v"), F.col("v")))
-            )
+            dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv"))
         ).alias("cos"),
     )
     ranked = scored.withColumn(

@@ -166,10 +166,36 @@ def sma_5min_window(spark, sf_dir):
     """,
 )
 def sessionize_gap(spark, sf_dir):
+    # Round-13 (guide §1): SQL-string twin of ops.sessionize for this
+    # fixed shape (the helper stays the generic surface). One JVM
+    # parse; and the CTE computes lag(sec) ONCE — the Column form's
+    # `prev.isNull() | (sec - prev > gap)` referenced the lag window
+    # expression twice and Spark evaluated BOTH copies in the Window
+    # node (see plans/r13/sessionize_gap_{before,after}.txt;
+    # value-identical, lag is deterministic on the unique
+    # (ts, event_id) order).
     e = t(spark, sf_dir, "events")
-    s = sessionize(e, ts_col="ts", by="user_id", gap_seconds=1800)
-    return s.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events")
+    return spark.sql(
+        """
+        WITH p AS (
+          SELECT user_id, ts, event_id,
+                 lag(CAST(ts AS DOUBLE)) OVER w AS prev
+          FROM {e}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts, event_id,
+                 sum(CASE WHEN prev IS NULL
+                          OR (CAST(ts AS DOUBLE) - prev) > 1800
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM p
+        )
+        SELECT user_id, session_id, count(1) AS n_events
+        FROM s GROUP BY user_id, session_id
+        """,
+        e=e,
     )
 
 

@@ -115,21 +115,22 @@ def set_except_all(spark, sf_dir):
     # no row replication — the plan you'd want when the left side is
     # 100 TB (the raw-operator form stays covered by
     # set_except_all_raw below).
-    signed = (
-        t(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("orderkey"), F.lit(1).alias("__w"))
-        .unionAll(
-            t(spark, sf_dir, "orders").select(
-                F.col("o_orderkey").alias("orderkey"),
-                F.lit(-1).alias("__w"),
-            )
-        )
-    )
-    return (
-        signed.groupBy("orderkey")
-        .agg(F.sum("__w").alias("n"))
-        .filter(F.col("n") > 0)
-        .select("orderkey", F.col("n").cast("long").alias("n"))
+    # Round-13 (guide §1): SQL-string twin — one JVM parse; plan
+    # identical modulo expression IDs (plans/r13/).
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT orderkey, CAST(n AS BIGINT) AS n FROM (
+          SELECT orderkey, sum(__w) AS n FROM (
+            SELECT l_orderkey AS orderkey, 1 AS __w FROM {l}
+            UNION ALL
+            SELECT o_orderkey AS orderkey, -1 AS __w FROM {o}
+          ) GROUP BY orderkey
+        ) WHERE n > 0
+        """,
+        l=l,
+        o=o,
     )
 
 

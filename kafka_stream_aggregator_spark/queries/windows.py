@@ -32,21 +32,28 @@ from .base import query, t
     """,
 )
 def win_rank_suite(spark, sf_dir):
-    l = t(spark, sf_dir, "lineitem")
     # duplicate (orderkey, linenumber) rows exist in the synthetic data —
-    # the value columns complete the total order so rn is deterministic
-    w_full = W.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber",
-        "l_quantity", "l_extendedprice",
-    )
-    w_qty = W.partitionBy("l_suppkey").orderBy("l_quantity")
-    return l.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.row_number().over(w_full).alias("rn"),
-        F.rank().over(w_qty).alias("rk"),
-        F.dense_rank().over(w_qty).alias("drk"),
+    # the value columns complete the total order so rn is deterministic.
+    # Round-13 (guide §1): SQL-string twin of the Column builder — one
+    # JVM parse instead of ~0.1 s of py4j round trips per call; plan
+    # identical modulo expression IDs (plans/r13/, tools/plan_normalize).
+    # The two Sorts are fundamental: rn orders by the full shipdate-led
+    # key, rank/dense_rank by quantity — no shared total order exists
+    # (see OPTIMIZATION_r13.md for the fusion attempt + measurement).
+    l = t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               row_number() OVER (PARTITION BY l_suppkey
+                                  ORDER BY l_shipdate, l_orderkey,
+                                           l_linenumber, l_quantity,
+                                           l_extendedprice) AS rn,
+               rank()       OVER w_qty AS rk,
+               dense_rank() OVER w_qty AS drk
+        FROM {l}
+        WINDOW w_qty AS (PARTITION BY l_suppkey ORDER BY l_quantity)
+        """,
+        l=l,
     )
 
 
@@ -169,16 +176,20 @@ def win_moving_avg(spark, sf_dir):
     """,
 )
 def win_range_frame(spark, sf_dir):
-    e = t(spark, sf_dir, "events").withColumn(
-        "ts_sec", F.unix_timestamp("ts")
-    )
-    w = (
-        W.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-600, W.currentRow)
-    )
-    return e.select(
-        "event_id",
-        F.round(F.sum("value").over(w), 6).alias("sum_10min"),
-        F.count(F.lit(1)).over(w).alias("n_10min"),
+    # Round-13 (guide §1): SQL-string twin — one JVM parse; plan
+    # identical modulo expression IDs (plans/r13/).
+    e = t(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               round(sum(value) OVER w, 6) AS sum_10min,
+               count(1) OVER w AS n_10min
+        FROM (SELECT event_id, user_id, value,
+                     unix_timestamp(ts) AS ts_sec FROM {e})
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        """,
+        e=e,
     )
 
 
@@ -264,14 +275,34 @@ def win_cumulative_ewma(spark, sf_dir):
     Safe while any single key holds < ~100k rows (lam^-i overflow bound);
     beyond that the engine's grouped-map fold / stateful streaming op are
     the unbounded-scale paths (see indicators.cumulative_ewma_col)."""
+    # Round-13 (guide §1): SQL-string twin of cumulative_ewma_col for
+    # this fixed shape (the Column helper stays the generic surface).
+    # One JVM parse; and the CTE carries rn into the outer query, so
+    # the plan computes row_number ONCE — the Column form's nested
+    # window expression made Spark evaluate row_number in BOTH Window
+    # nodes (see plans/r13/win_cumulative_ewma_{before,after}.txt;
+    # value-identical, row_number is deterministic on the unique
+    # (ts, event_id) order).
     a = ewma_alpha(5)
+    lam = 1.0 - a
     e = t(spark, sf_dir, "events")
-    return e.select(
-        "user_id",
-        "event_id",
-        F.round(
-            cumulative_ewma_col("value", a, ["user_id"], ["ts", "event_id"]), 6
-        ).alias("ewma"),
+    return spark.sql(
+        f"""
+        WITH r AS (
+          SELECT user_id, event_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM {{e}}
+        )
+        SELECT user_id, event_id,
+               round({a!r} * pow({lam!r}, CAST(rn AS DOUBLE)) *
+                     sum(value * pow({lam!r}, -CAST(rn AS DOUBLE)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW), 6) AS ewma
+        FROM r
+        """,
+        e=e,
     )
 
 

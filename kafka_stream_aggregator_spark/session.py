@@ -45,9 +45,17 @@ def get_spark(
         # one JVM): q3 1.93->1.30s, q10 2.10->1.81, join_inner 1.82->1.61,
         # q5 2.36->2.24; no regression at sf0.1. Broadcast still wins
         # first; AQE skew splitting stays on; SMJ remains the fallback
-        # whenever the build side estimate is large, so the 100 TB
-        # spill-safety story is unchanged for genuinely big builds.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # whenever the build side ESTIMATE is large. Failure mode to
+        # know (ADVICE r12): SHJ's build-side hash map cannot spill, so
+        # the guard is only as good as Catalyst's size estimates — a
+        # misestimated build side after selective filters can OOM an
+        # executor at scale. Set SPARK_GRAFT_PREFER_SMJ=1 to restore
+        # the always-spillable sort-merge default; skew/oversized-build
+        # plan evidence lives in plans/r13/shj_* + tests/test_plans.py.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ") else "false",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))

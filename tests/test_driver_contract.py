@@ -20,6 +20,9 @@ from kafka_stream_aggregator_spark.tables import load_table
 TZ_SENSITIVE = [
     "ewma_5min", "sessionize_gap", "join_asof", "ind_ohlc_5min",
     "q1_pricing_summary", "q3_revenue_topk", "q5_regional_revenue",
+    # ADVICE r12: join_inner_large groups by year(o_orderdate) —
+    # session-TZ-dependent unless load_table's date handling is sound
+    "join_inner_large",
 ]
 
 

@@ -341,3 +341,46 @@ def test_join_asof_single_scan(spark, sf_dir):
     plan = _plan(REGISTRY["join_asof"].fn(spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_minhash_doc_table_no_aggregate_no_explode(spark, sf_dir):
+    """Round-13 optimization pin: the per-doc MinHash table (shingle
+    set + 32 mins) is pure array expressions on the un-exploded shingle
+    array — no Generate (explode), no aggregate of any kind, and the
+    only Exchange is the CPU-spreading repartition. The old shape
+    (explode -> 34-function ObjectHashAggregate) re-sorted exploded
+    shingle rows past 128 groups/partition (OHA sort fallback) and paid
+    ~4 s of codegen+JIT per fresh JVM (vs 0.9 s; values bit-identical)."""
+    from kafka_stream_aggregator_spark.llm.dedup import minhash_doc_table
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(minhash_doc_table(d, "doc_id", "text"))
+    assert plan.count("Exchange") == 1  # the repartition only
+    assert "Generate" not in plan
+    assert "Aggregate" not in plan  # no Hash/Object/Sort aggregate
+
+
+def test_minhash_doc_table_matches_signatures(spark, sf_dir):
+    """The HOF-built h0..h31 equal minhash_signatures' aggregate-built
+    signature bit-for-bit (same xxhash64 calls, different plan shape)."""
+    from pyspark.sql import functions as F
+
+    from kafka_stream_aggregator_spark.llm.dedup import (
+        minhash_doc_table,
+        minhash_signatures,
+    )
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    hof = minhash_doc_table(d, "doc_id", "text").select(
+        F.col("__id").alias("doc_id"),
+        F.array(*[f"h{k}" for k in range(32)]).alias("signature"),
+    )
+    agg = minhash_signatures(d, "doc_id", "text")
+    assert hof.exceptAll(agg).count() == 0
+    assert agg.exceptAll(hof).count() == 0

@@ -34,7 +34,7 @@ def main() -> None:
 
     spark = get_spark("capture_plans")
     names = explicit or [n for n, s in REGISTRY.items() if s.bench]
-    outdir = os.path.join(REPO, "plans", "r12")
+    outdir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r12"))
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = REGISTRY[name].fn(spark, sf_dir)
