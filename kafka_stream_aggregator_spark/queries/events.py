@@ -52,24 +52,40 @@ def ewma_5min(spark, sf_dir):
     # pipeline and streaming paths), verified equal to the fold at 6dp
     # in tests; ~25% faster at sf0.1 because the whole aggregate is
     # codegen'd with no per-window arrays.
-    from ..indicators import windowed_ewma_closed_form
-
+    # Round-13 (guide §1): SQL-string twin of
+    # indicators.windowed_ewma_closed_form for this fixed shape (the
+    # helper stays the generic surface) — one JVM parse instead of the
+    # py4j Column building; plan identical modulo expression IDs
+    # (plans/r13/ewma_5min_norm_{before,after}.txt). The reverse-rank
+    # exponent identity and its unique-total-order requirement are
+    # documented on the helper.
+    a = _A5
+    lam = 1.0 - a
     e = t(spark, sf_dir, "events")
-    out = windowed_ewma_closed_form(
-        e,
-        ts_col="ts",
-        value_col="value",
-        order_cols=("ts", "event_id"),
-        group_cols=("event_type",),
-        period_minutes=5,
-        emit_positive_only=True,
-    )
-    return out.select(
-        "event_type",
-        "window_start",
-        "window_end",
-        "n_rows",
-        F.round("ewma", 6).alias("ewma"),
+    return spark.sql(
+        f"""
+        WITH b AS (
+          SELECT event_type, value, ts, event_id,
+                 floor(unix_timestamp(ts) / 300) * 300 AS window_start
+          FROM {{e}}
+        ), r AS (
+          SELECT event_type, window_start, value,
+                 row_number() OVER (PARTITION BY event_type, window_start
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rev_rn
+          FROM b
+        ), g AS (
+          SELECT event_type, window_start, count(1) AS n_rows,
+                 sum(({a!r} * pow({lam!r}, CAST(rev_rn - 1 AS DOUBLE)))
+                     * value) AS ewma
+          FROM r GROUP BY event_type, window_start
+        )
+        SELECT event_type, window_start,
+               window_start + 300 AS window_end,
+               n_rows, round(ewma, 6) AS ewma
+        FROM g WHERE ewma > 0
+        """,
+        e=e,
     )
 
 

@@ -10,6 +10,7 @@ its end; the unfinalized tail is excluded on both sides).
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -212,7 +213,18 @@ def stream_neardup_pairs(spark, sf_dir):
     # overhead dominates instead and DIVIDES with partitions, so big
     # tiers keep the session/cluster default. The knob binds at
     # (fresh) checkpoint creation, so this is per-run.
-    n_docs = docs.count()
+    # Round-13 (VERDICT r12 minor #5): the tier probe reads the parquet
+    # footer's row count driver-side (no Spark job) instead of running
+    # a count() job per invocation; falls back to count() for
+    # non-file-backed inputs.
+    try:
+        import pyarrow.parquet as pq
+
+        n_docs = pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+    except Exception:
+        n_docs = docs.count()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", "4" if n_docs <= 20_000 else prev

@@ -343,6 +343,48 @@ def test_join_asof_single_scan(spark, sf_dir):
     assert plan.count("Exchange") == 1
 
 
+def test_shj_build_side_guard(spark, sf_dir):
+    """Round-13 (VERDICT r12 item 3): with the session's
+    preferSortMergeJoin=false, the planner may pick shuffled-hash join
+    ONLY while the build-side estimate fits the per-partition hash map
+    (autoBroadcastJoinThreshold x shuffle partitions); past that bound
+    it MUST fall back to the always-spillable sort-merge. Pin both
+    sides of the guard by moving the bound around the build side's own
+    statistics estimate (no reliance on absolute testdata sizes)."""
+    from kafka_stream_aggregator_spark.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    # single-column build side: SHJ additionally requires the build to
+    # be 3x smaller than the probe (muchSmaller) — one bigint column of
+    # orders vs two of lineitem clears that at any SF
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    est = int(
+        o._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # bound below the estimate but local map still fits
+        # (threshold < est <= threshold * partitions): SHJ chosen
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(est // 2 + 1)
+        )
+        plan = _plan(l.join(o, l.l_orderkey == o.o_orderkey))
+        assert "ShuffledHashJoin" in plan, plan
+        # bound so low the local map can't fit
+        # (est > threshold * partitions): SMJ fallback
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(max(1, est // (2 * n_part))),
+        )
+        plan = _plan(l.join(o, l.l_orderkey == o.o_orderkey))
+        assert "SortMergeJoin" in plan and "ShuffledHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_minhash_doc_table_no_aggregate_no_explode(spark, sf_dir):
     """Round-13 optimization pin: the per-doc MinHash table (shingle
     set + 32 mins) is pure array expressions on the un-exploded shingle
